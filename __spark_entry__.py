@@ -1,38 +1,501 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine code lives in ``eventhub_to_timescale_spark/``; this module only
+adapts it to the driver's (spark, sf_dir) calling convention. The
+time-series queries (Q1–Q9 from SURVEY.md §2.3) run over the EAV
+``conditions`` view of the ``events`` table; the ingest queries
+exercise the full envelope→converter→sink pipeline on deterministically
+synthesized publisher messages.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed query window covering the synthetic events range (2024-01-01 ..
+# 2024-01-30) at every scale factor.
+START = datetime(2024, 1, 1)
+END = datetime(2024, 1, 31)
+DAY_START = datetime(2024, 1, 5)
+DAY_END = datetime(2024, 1, 6)
+
+_SQL_START = "TIMESTAMP '2024-01-01 00:00:00'"
+_SQL_END = "TIMESTAMP '2024-01-31 00:00:00'"
+
+
+def _conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.sources.testdata import events_as_conditions
+
+    return events_as_conditions(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Q1 tumbling-window average on sf0.001; driver checks rows>0."""
+    return _q1(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Q1–Q9 wrappers
+# ---------------------------------------------------------------------------
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import aggregated_by_interval
+
+    df = aggregated_by_interval(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, 21600
+    )
+    return df.select("time", F.round("avg_value", 6).alias("avg_value"))
+
+
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import aggregated_data
+
+    df = aggregated_data(_conditions(spark, sf_dir), "user_3", "value", START, END, 200)
+    return df.select("time", F.round("avg_value", 6).alias("avg_value"))
+
+
+def _q3_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import aggregated_by_day
+
+    return aggregated_by_day(_conditions(spark, sf_dir), "user_3", "value", START, END)
+
+
+def _q3_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import aggregated_by_day
+
+    df = aggregated_by_day(
+        _conditions(spark, sf_dir), "user_3", "value", DAY_START, DAY_END
+    )
+    return df.select("time", F.round("avg_value", 6).alias("avg_value"))
+
+
+def _q4_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import most_frequent_value
+
+    return most_frequent_value(
+        _conditions(spark, sf_dir), "user_5", "event_type", START, END
+    )
+
+
+def _q5_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeweight import time_weighted_average
+
+    df = time_weighted_average(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, "locf", 360
+    )
+    return df.select(
+        "dt", F.round("time_weighted_value", 6).alias("time_weighted_value")
+    )
+
+
+def _q5_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeweight import time_weighted_average
+
+    df = time_weighted_average(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, "linear", 360
+    )
+    return df.select(
+        "dt", F.round("time_weighted_value", 6).alias("time_weighted_value")
+    )
+
+
+def _q6_asap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.asap import asap_smooth
+
+    return asap_smooth(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, resolution=200
+    )
+
+
+def _q7_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import unique_subjects
+
+    return unique_subjects(_conditions(spark, sf_dir), "event_type", START, END)
+
+
+def _q8_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import changed_rows
+
+    return changed_rows(_conditions(spark, sf_dir), None, "event_type", START, END)
+
+
+def _q9_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import state_intervals
+
+    df = state_intervals(
+        _conditions(spark, sf_dir), None, "event_type", START, END, close_at=END
+    )
+    return df.select(
+        "time", F.col("timeEnd").alias("time_end"), "measurement_subject", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest pipeline (envelope → converter → conditions pivot)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _ingest_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _conditions(spark, sf_dir)
+
+
+def _ingest_glow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.glow import glow_to_records
+    from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+    from eventhub_to_timescale_spark.sources.synth import events_to_glow_envelopes
+
+    env = parse_envelope(events_to_glow_envelopes(_events(spark, sf_dir)))
+    wide = records_to_conditions(glow_to_records(env), with_unique_id=False)
+    return wide.select(
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_number",
+    )
+
+
+def _ingest_homie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.homie import homie_to_records
+    from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+    from eventhub_to_timescale_spark.sources.synth import events_to_homie_envelopes
+
+    env = parse_envelope(events_to_homie_envelopes(_events(spark, sf_dir)))
+    wide = records_to_conditions(homie_to_records(env), with_unique_id=False)
+    return wide.select(
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_number",
+        "measurement_string",
+    )
+
+
+def _ingest_emon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.emon import emon_to_records
+    from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+    from eventhub_to_timescale_spark.sources.synth import events_to_emon_envelopes
+
+    env = parse_envelope(events_to_emon_envelopes(_events(spark, sf_dir)))
+    wide = records_to_conditions(emon_to_records(env), with_unique_id=False)
+    return wide.select(
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_number",
+        "measurement_string",
+    )
+
+
+def _ingest_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.ingest.bmw import bmw_to_records
+    from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+    from eventhub_to_timescale_spark.sources.synth import events_to_bmw_messages
+
+    wide = records_to_conditions(
+        bmw_to_records(events_to_bmw_messages(_events(spark, sf_dir))),
+        with_unique_id=False,
+    )
+    return wide.select(
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_number",
+        "measurement_string",
+        "measurement_bool",
+        "measurement_location",
+        "correlation_id",
+    )
+
+
+def _ingest_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three MQTT publishers routed through one unioned DAG; grades
+    the router + every converter at once (record counts per
+    publisher/measurement)."""
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.router import route_to_records
+    from eventhub_to_timescale_spark.sources.synth import (
+        events_to_emon_envelopes,
+        events_to_glow_envelopes,
+        events_to_homie_envelopes,
+    )
+
+    ev = _events(spark, sf_dir)
+    raw = (
+        events_to_glow_envelopes(ev)
+        .unionByName(events_to_homie_envelopes(ev))
+        .unionByName(events_to_emon_envelopes(ev))
+    )
+    recs = route_to_records(parse_envelope(raw))
+    return (
+        recs.groupBy("measurement_publisher", "measurement_of")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("measurement_publisher", "measurement_of")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_bucket_avg": _q1,
+        "q2_resolution_avg": _q2,
+        "q3_daily_max": _q3_daily,
+        "q3_intraday_avg": _q3_intraday,
+        "q4_mode_adaptive": _q4_mode,
+        "q5_timeweight_locf": _q5_locf,
+        "q5_timeweight_linear": _q5_linear,
+        "q6_asap_smooth": _q6_asap,
+        "q7_unique_subjects": _q7_subjects,
+        "q8_changed_rows": _q8_changes,
+        "q9_state_intervals": _q9_intervals,
+        "ingest_events_unpivot": _ingest_conditions,
+        "ingest_glow": _ingest_glow,
+        "ingest_homie": _ingest_homie,
+        "ingest_emon": _ingest_emon,
+        "ingest_bmw": _ingest_bmw,
+        "ingest_router_union": _ingest_router,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eventhub_to_timescale_spark.sources.synth import (
+        BMW_ORACLE,
+        EMON_ORACLE,
+        GLOW_ORACLE,
+        HOMIE_ORACLE,
+    )
+    from eventhub_to_timescale_spark.sources.testdata import (
+        EVENTS_AS_CONDITIONS_ORACLE,
+    )
+
+    cond = f"({EVENTS_AS_CONDITIONS_ORACLE})"
+    bucket = (
+        "make_timestamp(CAST(floor(epoch(timestamp) / {w}) * {w} AS BIGINT) * 1000000)"
+    )
+    in_range = f"timestamp BETWEEN {_SQL_START} AND {_SQL_END}"
+
+    q1 = f"""
+SELECT {bucket.format(w=21600)} AS time,
+       ROUND(AVG(measurement_number), 6) AS avg_value
+FROM {cond} c
+WHERE measurement_subject = 'user_7' AND measurement_of = 'value' AND {in_range}
+GROUP BY 1 ORDER BY 1
+"""
+    # Q2: bucket = span / max_result_size = 2592000/200 = 12960 s
+    q2 = f"""
+SELECT {bucket.format(w=12960)} AS time,
+       ROUND(AVG(measurement_number), 6) AS avg_value
+FROM {cond} c
+WHERE measurement_subject = 'user_3' AND measurement_of = 'value' AND {in_range}
+GROUP BY 1 ORDER BY 1 LIMIT 200
+"""
+    q3_daily = f"""
+SELECT CAST(date_trunc('day', timestamp) AS TIMESTAMP) AS time,
+       MAX(measurement_number) AS max_value
+FROM {cond} c
+WHERE measurement_subject = 'user_3' AND measurement_of = 'value' AND {in_range}
+GROUP BY 1 ORDER BY 1
+"""
+    # intraday: span = 86400 s (not > 1 day) → buckets = least(360, 96) = 96
+    # → width 900 s, anchored at day start (== epoch-floor since 900 | 86400)
+    q3_intraday = f"""
+SELECT date_trunc('day', timestamp)
+         + to_microseconds(CAST(floor(
+             epoch(timestamp - date_trunc('day', timestamp)) / 900) * 900 AS BIGINT) * 1000000)
+       AS time,
+       ROUND(AVG(measurement_number), 6) AS avg_value
+FROM {cond} c
+WHERE measurement_subject = 'user_3' AND measurement_of = 'value'
+  AND timestamp BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-06 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+    # Q4: per-subject slice is ~60 rows at every sf (users scale with
+    # sf, per-user density doesn't) ⇒ count ≤ 360 ⇒ bucket = 60 s;
+    # deterministic mode (ties → smallest value)
+    q4 = f"""
+WITH sliced AS (
+  SELECT {bucket.format(w=60)} AS time, measurement_string
+  FROM {cond} c
+  WHERE measurement_subject = 'user_5' AND measurement_of = 'event_type'
+    AND measurement_string IS NOT NULL AND {in_range}
+), counted AS (
+  SELECT time, measurement_string, COUNT(*) AS cnt
+  FROM sliced GROUP BY 1, 2
+)
+SELECT time, measurement_string AS most_common_value
+FROM counted
+QUALIFY row_number() OVER (PARTITION BY time ORDER BY cnt DESC, measurement_string ASC) = 1
+ORDER BY time
+"""
+    # Q5: bucket = span/360 = 7200 s; semantics pinned in
+    # operators/timeweight.py and mirrored here exactly.
+    q5_base = f"""
+WITH pts AS (
+  SELECT {bucket.format(w=7200)} AS dt,
+         epoch(timestamp) AS t,
+         measurement_number AS v
+  FROM {cond} c
+  WHERE measurement_subject = 'user_7' AND measurement_of = 'value'
+    AND measurement_number IS NOT NULL AND {in_range}
+), win AS (
+  SELECT dt, t, v,
+         lead(t) OVER (PARTITION BY dt ORDER BY t) AS next_t,
+         lead(v) OVER (PARTITION BY dt ORDER BY t) AS next_v
+  FROM pts
+)
+"""
+    q5_locf = (
+        q5_base
+        + """
+SELECT dt,
+       ROUND(SUM(v * (COALESCE(next_t, epoch(dt) + 7200) - t))
+             / SUM(COALESCE(next_t, epoch(dt) + 7200) - t), 6) AS time_weighted_value
+FROM win GROUP BY dt ORDER BY dt
+"""
+    )
+    q5_linear = (
+        q5_base
+        + """
+SELECT dt,
+       ROUND(CASE WHEN MAX(t) > MIN(t)
+              THEN SUM(CASE WHEN next_t IS NOT NULL
+                            THEN (v + next_v) / 2 * (next_t - t) END)
+                   / (MAX(t) - MIN(t))
+              ELSE MIN(v ORDER BY t) END, 6) AS time_weighted_value
+FROM win GROUP BY dt ORDER BY dt
+"""
+    )
+    q7 = f"""
+SELECT DISTINCT measurement_subject
+FROM {cond} c
+WHERE measurement_of = 'event_type' AND {in_range}
+ORDER BY measurement_subject
+"""
+    q8 = f"""
+WITH sliced AS (
+  SELECT timestamp, measurement_subject, measurement_of, measurement_string,
+         measurement_unique_id
+  FROM {cond} c
+  WHERE measurement_of = 'event_type' AND {in_range}
+), lagged AS (
+  SELECT *,
+         lag(measurement_string) OVER w AS prev_value,
+         row_number() OVER w AS rn
+  FROM sliced
+  WINDOW w AS (PARTITION BY measurement_subject
+               ORDER BY timestamp, measurement_unique_id)
+)
+SELECT timestamp, measurement_subject, measurement_of,
+       measurement_string AS value
+FROM lagged
+WHERE rn = 1 OR measurement_string IS DISTINCT FROM prev_value
+ORDER BY measurement_subject, timestamp
+"""
+    q9 = f"""
+WITH sliced AS (
+  SELECT timestamp, measurement_subject, measurement_string,
+         measurement_unique_id
+  FROM {cond} c
+  WHERE measurement_of = 'event_type' AND {in_range}
+), lagged AS (
+  SELECT *,
+         lag(measurement_string) OVER w AS prev_value,
+         row_number() OVER w AS rn
+  FROM sliced
+  WINDOW w AS (PARTITION BY measurement_subject
+               ORDER BY timestamp, measurement_unique_id)
+), changes AS (
+  SELECT timestamp, measurement_subject, measurement_string AS value
+  FROM lagged
+  WHERE rn = 1 OR measurement_string IS DISTINCT FROM prev_value
+)
+SELECT timestamp AS time,
+       COALESCE(lead(timestamp) OVER (PARTITION BY measurement_subject
+                                      ORDER BY timestamp),
+                {_SQL_END}) AS time_end,
+       measurement_subject,
+       value
+FROM changes
+ORDER BY measurement_subject, time
+"""
+    router = """
+WITH glow AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'electricitymeter' ELSE 'gasmeter' END AS subj,
+         event_id
+  FROM events
+), glow_counts AS (
+  SELECT 'glow' AS measurement_publisher, m_of AS measurement_of, COUNT(*) AS n_records
+  FROM (
+    SELECT subj, 'import_cumulative' AS m_of FROM glow
+    UNION ALL SELECT subj, 'import_day' FROM glow
+    UNION ALL SELECT subj, 'import_unitrate' FROM glow
+    UNION ALL SELECT subj, 'import_standingcharge' FROM glow
+    UNION ALL SELECT subj, 'power_value' FROM glow WHERE subj = 'electricitymeter'
+  ) g GROUP BY 2
+), homie_counts AS (
+  SELECT 'homie', CASE event_type
+           WHEN 'click' THEN 'measure-temperature'
+           WHEN 'view' THEN 'heating-setpoint'
+           WHEN 'purchase' THEN 'thermostat-setpoint'
+           WHEN 'signup' THEN 'mode'
+           WHEN 'error' THEN 'state'
+         END, COUNT(*)
+  FROM events GROUP BY 2
+), emon_counts AS (
+  SELECT 'emon', m_of, COUNT(*)
+  FROM (
+    SELECT 'P1' AS m_of FROM events
+    UNION ALL SELECT 'vrms' FROM events
+    UNION ALL SELECT 'label' FROM events
+  ) e GROUP BY 2
+)
+SELECT * FROM glow_counts
+UNION ALL SELECT * FROM homie_counts
+UNION ALL SELECT * FROM emon_counts
+ORDER BY measurement_publisher, measurement_of
+"""
+    return {
+        "q1_bucket_avg": q1,
+        "q2_resolution_avg": q2,
+        "q3_daily_max": q3_daily,
+        "q3_intraday_avg": q3_intraday,
+        "q4_mode_adaptive": q4,
+        "q5_timeweight_locf": q5_locf,
+        "q5_timeweight_linear": q5_linear,
+        # q6_asap_smooth: custom smoothing (applyInPandas) — rows-only check
+        "q7_unique_subjects": q7,
+        "q8_changed_rows": q8,
+        "q9_state_intervals": q9,
+        "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,
+        "ingest_glow": GLOW_ORACLE,
+        "ingest_homie": HOMIE_ORACLE,
+        "ingest_emon": EMON_ORACLE,
+        "ingest_bmw": BMW_ORACLE,
+        "ingest_router_union": router,
+    }

@@ -1,0 +1,103 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Includes both the driver-graded correctness queries and heavier
+whole-table variants (all-subject aggregations, full ingest pipeline)
+that actually stress shuffle/aggregate paths at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from eventhub_to_timescale_spark.functions.scalars import epoch_bucket  # noqa: E402
+from eventhub_to_timescale_spark.session import get_spark  # noqa: E402
+
+
+def _bench_all_subject_avg(spark, sf_dir):
+    """Whole-table tumbling aggregation: every subject, 6-h buckets."""
+    from eventhub_to_timescale_spark.sources.testdata import events_as_conditions
+
+    cond = events_as_conditions(spark, sf_dir).filter(
+        F.col("measurement_of") == "value"
+    )
+    return (
+        cond.groupBy(
+            "measurement_subject",
+            epoch_bucket(F.col("timestamp"), 21600).alias("time"),
+        )
+        .agg(F.avg("measurement_number").alias("avg_value"))
+    )
+
+
+def _bench_full_ingest(spark, sf_dir):
+    """Full synthetic wire-format ingest: 3 publishers × envelope parse
+    → route → convert → wide pivot."""
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.router import route_to_records
+    from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+    from eventhub_to_timescale_spark.sources.synth import (
+        events_to_emon_envelopes,
+        events_to_glow_envelopes,
+        events_to_homie_envelopes,
+    )
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        events_to_glow_envelopes(ev)
+        .unionByName(events_to_homie_envelopes(ev))
+        .unionByName(events_to_emon_envelopes(ev))
+    )
+    return records_to_conditions(route_to_records(parse_envelope(raw)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = dict(entrymod.queries())
+    bench_queries["b_all_subject_avg"] = _bench_all_subject_avg
+    bench_queries["b_full_ingest"] = _bench_full_ingest
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a broken query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+        else:
+            print(f"{name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Q6 — ASAP smoothing (reference db/get_sampled_data.sql, delegating
+to Timescale Toolkit ``asap_smooth``; algorithm: Rong & Bailis,
+"ASAP: Prioritizing Attention via Time Series Smoothing", VLDB 2017).
+
+ASAP picks a simple-moving-average window that minimizes the roughness
+(std-dev of the first difference) of the smoothed series while
+preserving its kurtosis (≥ original), searching candidate windows
+guided by autocorrelation peaks.
+
+Spark-first realization: after the dimension/time filter the series is
+ONE group per (subject, of) — small relative to the table (this is a
+plotting downsample; `resolution` ≤ a few thousand). So the search runs
+as an Arrow-batched ``applyInPandas`` grouped-map (the sanctioned
+custom-operator escape hatch, SURVEY §4), while the heavy lifting —
+the scan, filter, and pre-aggregation down to `resolution × 4` points —
+stays in codegen'd DataFrame ops. At 100 TB the per-group payload is
+bounded by the pre-aggregation, not the raw row count.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.functions.scalars import epoch_bucket
+from eventhub_to_timescale_spark.plans.adaptive import resolution_bucket_seconds
+
+_OUT_SCHEMA = "time timestamp, smoothed_value double"
+
+
+def _acf(x: np.ndarray, max_lag: int) -> np.ndarray:
+    x = x - x.mean()
+    n = len(x)
+    denom = float((x * x).sum()) or 1.0
+    return np.array(
+        [float((x[: n - k] * x[k:]).sum()) / denom for k in range(1, max_lag + 1)]
+    )
+
+
+def _kurtosis(x: np.ndarray) -> float:
+    n = len(x)
+    if n < 2:
+        return 0.0
+    m = x.mean()
+    s2 = float(((x - m) ** 2).mean())
+    if s2 == 0:
+        return 0.0
+    return float(((x - m) ** 4).mean()) / (s2 * s2)
+
+
+def _roughness(x: np.ndarray) -> float:
+    if len(x) < 2:
+        return 0.0
+    return float(np.std(np.diff(x)))
+
+
+def _sma(x: np.ndarray, w: int) -> np.ndarray:
+    if w <= 1:
+        return x
+    c = np.convolve(x, np.ones(w) / w, mode="valid")
+    return c
+
+
+def asap_core(ts: np.ndarray, vs: np.ndarray, resolution: int) -> tuple[np.ndarray, np.ndarray]:
+    """The ASAP window search on an in-memory series. Returns
+    (times, smoothed) downsampled to ≤ resolution points."""
+    n = len(vs)
+    if n == 0:
+        return ts, vs
+    orig_kurt = _kurtosis(vs)
+    best_w, best_rough = 1, _roughness(vs)
+    max_w = max(1, n // 10)
+    # candidate windows from autocorrelation peaks (paper §4), plus a
+    # coarse grid fallback so degenerate ACFs still get candidates
+    acf = _acf(vs, min(max_w, n - 1)) if n > 2 else np.array([])
+    peaks = [
+        k + 1
+        for k in range(1, len(acf) - 1)
+        if acf[k] > acf[k - 1] and acf[k] > acf[k + 1] and acf[k] > 0.2
+    ]
+    grid = list(range(2, max_w + 1, max(1, max_w // 16)))
+    for w in sorted(set(peaks + grid)):
+        if w < 2 or w > max_w:
+            continue
+        sm = _sma(vs, w)
+        if len(sm) < 2:
+            continue
+        if _kurtosis(sm) >= orig_kurt and _roughness(sm) < best_rough:
+            best_rough = _roughness(sm)
+            best_w = w
+    sm = _sma(vs, best_w)
+    t_out = ts[best_w - 1 :] if best_w > 1 else ts
+    # downsample to resolution points (stride sampling — ASAP's output
+    # is for plotting; stride preserves shape after smoothing)
+    if len(sm) > resolution:
+        idx = np.linspace(0, len(sm) - 1, resolution).round().astype(int)
+        sm = sm[idx]
+        t_out = t_out[idx]
+    return t_out, sm
+
+
+def asap_smooth(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+    resolution: int = 500,
+) -> DataFrame:
+    """→ (time, smoothed_value), ≤ ``resolution`` rows, ordered by time."""
+    sliced = (
+        conditions.filter(F.col("timestamp").between(start, end))
+        .filter(F.col("measurement_subject") == subject)
+        .filter(F.col("measurement_of") == of)
+        .filter(F.col("measurement_number").isNotNull())
+    )
+    # pre-aggregate to a bounded regular grid (resolution×4 buckets) so
+    # the pandas stage sees O(resolution) points no matter the raw size
+    pre_bucket = resolution_bucket_seconds(start, end, resolution * 4)
+    grid = (
+        sliced.groupBy(
+            epoch_bucket(F.col("timestamp"), pre_bucket).alias("time")
+        )
+        .agg(F.avg("measurement_number").alias("value"))
+    )
+
+    def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        t, v = asap_core(
+            pdf["time"].to_numpy(), pdf["value"].to_numpy(dtype=float), resolution
+        )
+        return pd.DataFrame({"time": t, "smoothed_value": v})
+
+    return (
+        grid.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_smooth, schema=_OUT_SCHEMA)
+        .orderBy("time")
+    )

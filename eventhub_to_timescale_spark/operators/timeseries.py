@@ -1,0 +1,280 @@
+"""The analytics query library: the reference's 8 plpgsql table
+functions (SURVEY §2.3 Q1–Q9) as parameterized DataFrame plans.
+
+Every function takes a ``conditions``-shaped DataFrame (wide schema,
+``schema.CONDITIONS_SCHEMA``) plus the same parameters as its plpgsql
+counterpart, and returns a DataFrame with stable, aliased column names.
+
+Scale design notes (local-test ≠ target: these run against a 100 TB
+time-partitioned table):
+- Each query starts with equality predicates on dimension columns plus
+  a timestamp BETWEEN — expressed FIRST so Catalyst pushes them into
+  the parquet scan (partition pruning on the date partition ≙
+  TimescaleDB chunk exclusion; row-group min/max ≙ its indexes).
+- Bucketing uses flat epoch-floor arithmetic (one codegen'd column),
+  so the groupBy key is a single 8-byte value — map-side partial
+  aggregation applies, and the shuffle carries one bucket per
+  (partition, key) pair, not raw rows.
+- Window functions partition by ``measurement_subject`` — for a single
+  subject that is one partition, which is fine because these queries
+  are always dimension-filtered (Grafana panel = one series); the
+  filtered slice, not the table, sets the window size.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.functions.scalars import epoch_bucket
+from eventhub_to_timescale_spark.plans.adaptive import (
+    adaptive_mode_bucket_seconds,
+    daily_branch_bucket_seconds,
+)
+
+
+def _slice(
+    df: DataFrame,
+    subject: str | None,
+    of: str | None,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    """Common dimension + time-range predicate block (every reference
+    query's WHERE, e.g. db/get_aggregated_data_by_interval.sql:19-24).
+    Expressed before anything else so it reaches the scan."""
+    out = df.filter(F.col("timestamp").between(start, end))
+    if subject is not None:
+        out = out.filter(F.col("measurement_subject") == subject)
+    if of is not None:
+        out = out.filter(F.col("measurement_of") == of)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q1 — tumbling-window average at a fixed interval
+# (reference db/get_aggregated_data_by_interval.sql)
+# ---------------------------------------------------------------------------
+
+
+def aggregated_by_interval(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+    interval_seconds: float,
+) -> DataFrame:
+    """→ (time, avg_value) per origin-aligned bucket, ordered by time."""
+    sliced = _slice(conditions, subject, of, start, end)
+    return (
+        sliced.groupBy(
+            epoch_bucket(F.col("timestamp"), interval_seconds).alias("time")
+        )
+        .agg(F.avg("measurement_number").alias("avg_value"))
+        .orderBy("time")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — resolution-targeted average (reference db/get_aggregated_data.sql)
+# ---------------------------------------------------------------------------
+
+
+def aggregated_data(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+    max_result_size: int,
+) -> DataFrame:
+    """Bucket width derived so the span yields ``max_result_size``
+    buckets, then Q1's plan + LIMIT (reference :15, :34)."""
+    from eventhub_to_timescale_spark.plans.adaptive import resolution_bucket_seconds
+
+    bucket = resolution_bucket_seconds(start, end, max_result_size)
+    return aggregated_by_interval(
+        conditions, subject, of, start, end, bucket
+    ).limit(max_result_size)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — adaptive daily/intraday aggregate
+# (reference db/get_aggregated_data_by_day.sql)
+# ---------------------------------------------------------------------------
+
+
+def aggregated_by_day(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    """span ≤ 1 day → day-anchored floor buckets + AVG
+    (reference :25: ``date_trunc('day',ts) + floor(sec_of_day/W)*W``);
+    span > 1 day → daily MAX (reference :44-47)."""
+    sliced = _slice(conditions, subject, of, start, end)
+    bucket = daily_branch_bucket_seconds(start, end)
+    if bucket is None:
+        return (
+            sliced.groupBy(F.date_trunc("day", F.col("timestamp")).alias("time"))
+            .agg(F.max("measurement_number").alias("max_value"))
+            .orderBy("time")
+        )
+    day = F.date_trunc("day", F.col("timestamp"))
+    sec_of_day = (
+        F.unix_micros(F.col("timestamp")) - F.unix_micros(day)
+    ) / F.lit(1_000_000.0)
+    bucket_start = F.timestamp_seconds(
+        F.unix_micros(day) / F.lit(1_000_000.0)
+        + F.floor(sec_of_day / F.lit(bucket)) * F.lit(bucket)
+    )
+    return (
+        sliced.groupBy(bucket_start.alias("time"))
+        .agg(F.avg("measurement_number").alias("avg_value"))
+        .orderBy("time")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — most frequent value per adaptive bucket
+# (reference db/get_most_frequent_value_by_time_interval.sql)
+# ---------------------------------------------------------------------------
+
+
+def most_frequent_value(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    """Two-phase: COUNT the slice (driver action), pick bucket width,
+    then deterministic mode of ``measurement_string`` per bucket.
+
+    Mode is made deterministic — ties broken by smallest value — via
+    count + row_number rather than ``F.mode`` (whose tie-break is
+    unspecified, as is plpgsql ``mode() WITHIN GROUP``'s across
+    engines); same rule is encoded in the oracle.
+    """
+    sliced = _slice(conditions, subject, of, start, end).filter(
+        F.col("measurement_string").isNotNull()
+    )
+    n = sliced.count()  # phase 1 (reference :15-23)
+    bucket = adaptive_mode_bucket_seconds(n, start, end)
+
+    counted = (
+        sliced.groupBy(
+            epoch_bucket(F.col("timestamp"), bucket).alias("time"),
+            F.col("measurement_string"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("time").orderBy(
+        F.desc("cnt"), F.asc("measurement_string")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("time", F.col("measurement_string").alias("most_common_value"))
+        .orderBy("time")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — distinct dimension listing
+# (reference db/get_unique_measurement_subjects.sql)
+# ---------------------------------------------------------------------------
+
+
+def unique_subjects(
+    conditions: DataFrame,
+    of: str,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    return (
+        _slice(conditions, None, of, start, end)
+        .select("measurement_subject")
+        .distinct()
+        .orderBy("measurement_subject")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — change-point filter (reference db/filter_unchanged_rows.sql)
+# ---------------------------------------------------------------------------
+
+
+def changed_rows(
+    conditions: DataFrame,
+    subject: str | None,
+    of: str,
+    start: datetime,
+    end: datetime,
+) -> DataFrame:
+    """Keep rows whose ``measurement_string`` differs (null-safely) from
+    the previous row of the same subject (reference LAG :23-26 +
+    IS DISTINCT FROM :33)."""
+    sliced = _slice(conditions, subject, of, start, end)
+    order_cols = ["timestamp"]
+    if "measurement_unique_id" in conditions.columns:
+        # deterministic tie-break when several records share a timestamp
+        order_cols.append("measurement_unique_id")
+    w = Window.partitionBy("measurement_subject").orderBy(*order_cols)
+    prev = F.lag("measurement_string").over(w)
+    first = F.row_number().over(w) == 1
+    return (
+        sliced.withColumn("prev_value", prev)
+        .withColumn("is_first", first)
+        .filter(
+            F.col("is_first")
+            | ~F.col("measurement_string").eqNullSafe(F.col("prev_value"))
+        )
+        .select(
+            "timestamp",
+            "measurement_subject",
+            "measurement_of",
+            F.col("measurement_string").alias("value"),
+        )
+        .orderBy("measurement_subject", "timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — state-interval construction (reference db/format_time_intervals.sql)
+# ---------------------------------------------------------------------------
+
+
+def state_intervals(
+    conditions: DataFrame,
+    subject: str | None,
+    of: str,
+    start: datetime,
+    end: datetime,
+    close_at: datetime | None = None,
+) -> DataFrame:
+    """Q8's change points → (time, timeEnd, value) state-timeline rows.
+
+    The reference's procedural cursor loop (:17-33) collapses to one
+    ``lead`` window expression; the final open interval is closed with
+    ``close_at`` (reference uses ``now()`` :36 — parameterized here so
+    results are deterministic/testable; None → current_timestamp).
+    """
+    changes = changed_rows(conditions, subject, of, start, end)
+    w = Window.partitionBy("measurement_subject").orderBy("timestamp")
+    close = F.lit(close_at) if close_at is not None else F.current_timestamp()
+    return (
+        changes.withColumn("timeEnd", F.coalesce(F.lead("timestamp").over(w), close))
+        .select(
+            F.col("timestamp").alias("time"),
+            "timeEnd",
+            "measurement_subject",
+            "value",
+        )
+        .orderBy("measurement_subject", "time")
+    )

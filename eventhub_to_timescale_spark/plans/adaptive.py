@@ -1,0 +1,58 @@
+"""Driver-side adaptive planning (the reference's two-phase plpgsql).
+
+Several reference query functions size their time bucket at call time:
+
+- Q2 derives the bucket from the requested resolution
+  (db/get_aggregated_data.sql:15: ``interval = (end-start)/max_result_size``)
+- Q3 branches on span: intraday gets ``span / least(360, span/900)``
+  buckets, multi-day gets daily buckets
+  (db/get_aggregated_data_by_day.sql:18-42)
+- Q4 runs a COUNT first and picks ``span/360`` if more than 360 rows
+  match, else 60 s
+  (db/get_most_frequent_value_by_time_interval.sql:15-30)
+
+These are *driver-side* decisions (an action, then plan construction) —
+no Catalyst extension needed (SURVEY §4). At 100 TB the Q4 count is a
+metadata-cheap scan of one (subject, of) slice with predicate pushdown;
+it does not materialize rows.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+
+def span_seconds(start: datetime, end: datetime) -> float:
+    return (end - start).total_seconds()
+
+
+def resolution_bucket_seconds(
+    start: datetime, end: datetime, max_result_size: int
+) -> float:
+    """Q2: bucket width so the span yields ``max_result_size`` buckets."""
+    if max_result_size <= 0:
+        raise ValueError(f"max_result_size must be positive: {max_result_size}")
+    return span_seconds(start, end) / max_result_size
+
+
+def daily_branch_bucket_seconds(start: datetime, end: datetime) -> float | None:
+    """Q3: intraday bucket width, or None → use daily MAX branch.
+
+    Intraday (span ≤ 1 day): number of buckets = least(360, span/900),
+    bucket = span / that (db/get_aggregated_data_by_day.sql:20-25).
+    """
+    span = span_seconds(start, end)
+    if span > 86400:
+        return None
+    n_buckets = min(360.0, span / 900.0)
+    if n_buckets <= 0:
+        n_buckets = 1.0
+    return span / n_buckets
+
+
+def adaptive_mode_bucket_seconds(matching_count: int, start: datetime, end: datetime) -> float:
+    """Q4: span/360 when more than 360 rows match, else 60 s
+    (db/get_most_frequent_value_by_time_interval.sql:26-30)."""
+    if matching_count > 360:
+        return span_seconds(start, end) / 360.0
+    return 60.0

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness-at-any-scale first:
+- UTC session timezone end-to-end (the reference normalizes every
+  timestamp to UTC ISO-8601; see reference helpers.py:78-95) so results
+  are byte-identical regardless of cluster locale.
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- Arrow on (every Pandas-UDF hop is Arrow-batched, never per-row).
+- shuffle partitions sized for local test runs; on a real cluster this
+  is overridden by AQE's coalescing + `spark.sql.shuffle.partitions`
+  set to ~2-3× total cores by the deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "eventhub-to-timescale-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master``/``shuffle_partitions`` default from env
+    (``SPARK_GRAFT_CPUS``) so the same entrypoints work in tests
+    (local[N]) and on a cluster (where ``master`` is left to
+    spark-submit).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        # EAV value coercion is try-cast-shaped by design (bad values →
+        # NULL → reject channel, reference timescale.py:121-124); ANSI
+        # fail-fast casts would kill whole jobs on one bad record
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # test parquet carries TIMESTAMP(NANOS) (pandas-written); Spark
+        # has no nanos type — read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,122 @@
+"""Sink shape: atomic records (long) → ``conditions`` wide rows.
+
+The reference validates each record against a JSON Schema and routes
+the value into exactly one of 4 typed columns with per-type coercion
+(reference timescale.py:98-216 — ``identify_data_column`` +
+``parse_measurement_value``), then issues one INSERT per record. Here
+the whole batch is one codegen'd projection:
+
+- number   → ``measurement_number``   (cast double, reference :208)
+- string   → ``measurement_string``
+- boolean  → ``measurement_bool``     (true/false strings accepted,
+                                       reference :196-205)
+- geography→ ``measurement_location`` WKT ``SRID=4326;POINT(lon lat)``
+             — lon FIRST (reference :270), lat/lon range-validated
+             (reference :260-263); input rendered "[lat, lon]" or
+             "lat,lon" (reference parse_to_geopoint accepts both).
+
+Validation-as-filter: rows violating the required-field contract
+(reference timeseries.json required list) are split to a reject
+channel rather than raising.
+
+Scale design: parquet sink partitioned by event date ≙ hypertable
+chunking on ``timestamp`` (reference db/create_table_and_roles.sql:59);
+time-range queries then prune partitions exactly like chunk exclusion.
+The reference's 8 secondary indexes are replaced by parquet row-group
+min/max stats + predicate pushdown. ``measurement_unique_id`` uses
+``monotonically_increasing_id`` (non-contiguous, unlike the
+reference's sequence — documented semantic difference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.schema import (
+    TYPE_BOOLEAN,
+    TYPE_GEOGRAPHY,
+    TYPE_NUMBER,
+    TYPE_STRING,
+)
+
+
+def _geo_to_wkt(value: Column) -> Column:
+    """'[lat, lon]' / 'lat,lon' string → validated WKT (lon first)."""
+    cleaned = F.regexp_replace(value, r"[\[\]\s]", "")
+    lat = F.split(cleaned, ",")[0].cast("double")
+    lon = F.split(cleaned, ",")[1].cast("double")
+    ok = (
+        lat.isNotNull()
+        & lon.isNotNull()
+        & lat.between(-90.0, 90.0)
+        & lon.between(-180.0, 180.0)
+    )
+    return F.when(ok, F.format_string("SRID=4326;POINT(%s %s)", lon, lat))
+
+
+def records_to_conditions(records: DataFrame, with_unique_id: bool = True) -> DataFrame:
+    """Long atomic records → wide conditions rows (valid rows only)."""
+    t = F.col("measurement_data_type")
+    v = F.col("measurement_value")
+    bool_val = F.when(
+        F.lower(v).isin("true", "false"), F.lower(v) == "true"
+    )
+    out = records.select(
+        F.col("timestamp"),
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        F.when(t == TYPE_NUMBER, v.cast("double")).alias("measurement_number"),
+        F.when(t == TYPE_STRING, v).alias("measurement_string"),
+        F.when(t == TYPE_BOOLEAN, bool_val).alias("measurement_bool"),
+        F.when(t == TYPE_GEOGRAPHY, _geo_to_wkt(v)).alias("measurement_location"),
+        "correlation_id",
+    )
+    # reject: typed value failed coercion (reference raises per record,
+    # timescale.py:121-124 asserts rowcount)
+    valid = (
+        F.col("measurement_number").isNotNull()
+        | F.col("measurement_string").isNotNull()
+        | F.col("measurement_bool").isNotNull()
+        | F.col("measurement_location").isNotNull()
+    )
+    out = out.filter(valid)
+    if with_unique_id:
+        out = out.withColumn("measurement_unique_id", F.monotonically_increasing_id())
+    return out
+
+
+def conditions_rejects(records: DataFrame) -> DataFrame:
+    """Rows whose value failed typed coercion — dead-letter channel."""
+    wide = records_to_conditions(records, with_unique_id=False)
+    keys = ["timestamp", "measurement_subject", "measurement_of", "correlation_id"]
+    return records.join(wide.select(*keys), on=keys, how="left_anti")
+
+
+def write_conditions_parquet(conditions: DataFrame, path: str, mode: str = "append") -> None:
+    """Parquet sink partitioned by day ≙ hypertable chunks."""
+    (
+        conditions.withColumn("date", F.to_date("timestamp"))
+        .repartition("date")  # one writer set per day-partition; avoids
+        # many-small-files at high partition counts
+        .write.mode(mode)
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def write_conditions_jdbc(
+    conditions: DataFrame,
+    url: str,
+    table: str = "conditions",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC append to a real TimescaleDB (reference sink S7). One
+    connection per partition, batched inserts — replaces the
+    reference's one-INSERT-per-record loop (timescale.py:107-120)."""
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    conditions.drop("measurement_unique_id").write.jdbc(
+        url, table, mode="append", properties=props
+    )

@@ -1,0 +1,115 @@
+"""Dev harness mimicking the driver's correctness gate: run every
+``queries()`` entry in Spark and its ``oracle_sql()`` in DuckDB on the
+same parquet tables, compare row count + column names + order-
+insensitive values.
+
+Usage: python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from eventhub_to_timescale_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v!r}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return repr(v)
+
+
+def row_key(row):
+    return tuple(norm(v) for v in row)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only check, {len(srows)} rows")
+            if len(srows) == 0:
+                failures.append(name)
+            continue
+        try:
+            ddf = con.execute(oracles[name])
+            dcols = sorted(d[0] for d in ddf.description)
+            drows = ddf.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        ok = True
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            ok = False
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if ok:
+            # column-name-sorted, order-insensitive value comparison
+            sidx = [sdf.columns.index(c) for c in scols]
+            didx = [[d[0] for d in ddf.description].index(c) for c in dcols]
+            sset = sorted(row_key([r[i] for i in sidx]) for r in srows)
+            dset = sorted(row_key([r[i] for i in didx]) for r in drows)
+            if sset != dset:
+                ok = False
+                diffs = [
+                    (a, b) for a, b in zip(sset, dset) if a != b
+                ][:5]
+                print(f"FAIL {name}: value mismatch; first diffs:")
+                for a, b in diffs:
+                    print(f"  spark={a}\n  duck ={b}")
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows")
+        else:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
