@@ -257,6 +257,108 @@ def _ingest_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=12,
+        bands=6,
+        shingle_n=3,
+        jaccard_threshold=0.5,
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), ngram=5, threshold=0.3, max_doc_id=100
+    )
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    df = cosine_topk_bruteforce(_embs(spark, sf_dir), query_max_id=8, k=5)
+    return df.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.similarity import cosine_topk_lsh
+
+    df = cosine_topk_lsh(_embs(spark, sf_dir), query_max_id=8, k=5, num_planes=8)
+    return df.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        blob_features_sql_checkable,
+        documents_as_blobs,
+    )
+
+    return blob_features_sql_checkable(documents_as_blobs(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -280,10 +382,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_emon": _ingest_emon,
         "ingest_bmw": _ingest_bmw,
         "ingest_router_union": _ingest_router,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_ngram,
+        "sim_cosine_topk": _sim_topk,
+        "sim_ann_lsh": _sim_ann_lsh,
+        "text_language_id": _text_langid,
+        "text_quality_score": _text_quality,
+        "text_token_stats": _text_tokens,
+        "text_fingerprint": _text_fingerprint,
+        "mm_blob_features": _mm_blob_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from eventhub_to_timescale_spark import oracles as oc
     from eventhub_to_timescale_spark.sources.synth import (
         BMW_ORACLE,
         EMON_ORACLE,
@@ -498,4 +612,15 @@ ORDER BY measurement_publisher, measurement_of
         "ingest_emon": EMON_ORACLE,
         "ingest_bmw": BMW_ORACLE,
         "ingest_router_union": router,
+        "dedup_exact": oc.dedup_exact_oracle(),
+        "dedup_minhash_lsh": oc.dedup_minhash_oracle(12, 6, 0.5),
+        "dedup_simhash": oc.dedup_simhash_oracle(3),
+        "dedup_ngram_jaccard": oc.dedup_ngram_oracle(5, 0.3, 100),
+        "sim_cosine_topk": oc.sim_topk_oracle(8, 5),
+        "sim_ann_lsh": oc.sim_ann_lsh_oracle(8, 5, 8, 64),
+        "text_language_id": oc.text_langid_oracle(),
+        "text_quality_score": oc.text_quality_oracle(),
+        "text_token_stats": oc.text_tokens_oracle(),
+        "text_fingerprint": oc.text_fingerprint_oracle(8),
+        "mm_blob_features": oc.mm_blob_oracle(),
     }

@@ -9,12 +9,15 @@ Semantics reproduced:
 - every remaining key becomes one record, no prefix, ``time`` ignored.
 
 This converter exercises the engine's **dynamic-payload path**: the
-payload is parsed as ``MAP<STRING,STRING>`` and exploded via
-``map_entries`` with per-leaf type inference (``infer_type_tag``) —
-the Spark-first equivalent of the reference's recursive flatten over
-unknown keys (timeseries.py:43-98) for flat payloads. Glow takes the
-declared-struct path; together they cover both strategies in SURVEY
-§1.3.
+payload keys are discovered at runtime (``json_object_keys``) and each
+leaf's *exact* JSON text extracted via ``parse_json``/``variant_get``
+(Spark 4 VariantType — a plain ``map<string,string>`` parse would
+re-render numbers in scientific notation and corrupt epoch
+timestamps), then exploded with per-leaf type inference
+(``infer_type_tag``). This is the Spark-first equivalent of the
+reference's recursive flatten over unknown keys (timeseries.py:43-98)
+for flat payloads. Glow takes the declared-struct path; together they
+cover both SURVEY §1.3 strategies.
 """
 
 from __future__ import annotations
@@ -39,7 +42,14 @@ def emon_to_records(envelope_df: DataFrame) -> DataFrame:
         .withColumn("measurement_subject", topic_subject(F.col("topic")))
         .filter(F.col("measurement_subject").isin(*EMON_SUBJECTS))
         .withColumn(
-            "kv", F.from_json(F.col("payload"), "map<string,string>")
+            "kv",
+            F.map_from_entries(
+                F.expr(
+                    "transform(json_object_keys(payload), k -> "
+                    "struct(k, cast(variant_get(parse_json(payload), "
+                    "'$[\"' || k || '\"]', 'string') as string)))"
+                )
+            ),
         )
         .withColumn("rec_ts", parse_timestamp_any(F.col("kv")["time"]))
         .filter(F.col("rec_ts").isNotNull())

@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies, all expressed as declarative DataFrame plans over a
+``documents(doc_id, text, ...)`` table:
+
+- **exact**: hash-groupBy on normalized text. One shuffle on a 32-hex
+  key; at 100 TB this is the cheapest possible dedup (map-side partial
+  aggregation collapses per-partition duplicates before the shuffle).
+- **MinHash + LSH**: word-shingle → k minhashes → b bands → bucket
+  self-join → exact Jaccard on candidates. The join key is the band
+  signature, so the shuffle carries (band, doc) pairs — never the full
+  cross product. Candidate volume is tunable via (k, b).
+- **SimHash**: 32-bit sign-of-sum fingerprint; near-dup = Hamming ≤ t.
+  Banded into 4 byte-blocks (pigeonhole: Hamming ≤ 3 ⇒ at least one
+  identical block) so candidate generation is again an equi-join.
+- **n-gram Jaccard**: exact character-5-gram Jaccard — the *oracle*
+  baseline, brute-force over a bounded sample; its scale path IS the
+  MinHash plan above.
+
+Every hash is the md5-derived ``portable_hash32`` so the DuckDB oracle
+reproduces identical signatures (see functions/scalars.py).
+
+All signature computation is per-row JVM expression work (no UDF, no
+shuffle); only candidate generation shuffles, on band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a space-tokenized text."""
+    w = _words(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def _hash32(col: Column, seed: str) -> Column:
+    # identical to functions.scalars.portable_hash32 (inlined for
+    # lambda use): first 8 md5 hex chars as unsigned 32-bit
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (text_hash, n_docs, keep_id): one row per distinct text; the
+    kept representative is the smallest doc_id (deterministic)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ the deduplicated document set (min-doc_id representative per
+    distinct text)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhashes over word shingles."""
+    sh = word_shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x, i=i: _hash32(x, f"mh{i}:")))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard): near-duplicate pairs with exact
+    word-shingle Jaccard ≥ threshold, candidates from LSH banding.
+
+    rows/band = num_hashes/bands; a pair is a candidate iff some band's
+    sub-signature matches exactly. The band self-join is an equi-join
+    on (band_id, band_key) — broadcast-able when the bucketed side is
+    small, shuffle-partitioned otherwise; AQE handles skewed buckets.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = (
+        docs.select(
+            F.col("doc_id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+    )
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column) -> Column:
+    """32-bit SimHash over words: bit b is set iff the sum over words
+    of ±1 (per word-hash bit b) is positive. Pure array expressions —
+    stays in codegen, reproducible in the oracle via the same
+    floor-div/mod bit extraction."""
+    w = _words(text)
+    # per-word signed bit contributions, summed elementwise
+    def contrib(word: Column) -> Column:
+        h = _hash32(word, "sh:")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda bit: F.when(
+                (F.floor(h / F.pow(F.lit(2.0), bit.cast("double"))).cast("long") % 2)
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    sums = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, word: F.zip_with(acc, contrib(word), lambda x, y: x + y),
+    )
+    # bits → integer
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda s, bit: F.when(
+                s > 0, F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """→ (doc_a, doc_b, hamming): pairs within Hamming distance
+    ``max_hamming`` of their SimHash. Candidates via byte-block
+    banding (4 blocks of 8 bits; pigeonhole guarantees recall for
+    distance ≤ 3)."""
+    sig = docs.select(F.col("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    blocks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        (
+                            F.floor(
+                                F.col("sh") / F.lit(float(2 ** (8 * i)))
+                            ).cast("long")
+                            % 256
+                        ).alias("block_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "sh", "blk.block_id", "blk.block_key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (bounded-sample oracle baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    ngram: int = 5,
+    threshold: float = 0.3,
+    max_doc_id: int | None = 100,
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard) by exact char-n-gram Jaccard.
+
+    Brute-force all-pairs — O(n²) by construction, so callers bound the
+    input (``max_doc_id``); this is the correctness baseline against
+    which the MinHash plan's recall is judged. The 100 TB path is
+    ``minhash_lsh_pairs``.
+    """
+    d = docs
+    if max_doc_id is not None:
+        d = d.filter(F.col("doc_id") < max_doc_id)
+    g = d.select(
+        F.col("doc_id"), char_shingles(F.col(text_col), ngram).alias("grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))) / F.size(
+        F.array_union(F.col("a.grams"), F.col("b.grams"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

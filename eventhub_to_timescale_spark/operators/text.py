@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token statistics, document fingerprinting.
+
+All pure JVM-side expressions (split / transform / aggregate / regexp)
+— linear per-document work, no shuffle, no UDF — so they pipeline with
+scans and survive any scale-up. Heuristics are deliberately simple and
+*pinned*: each is mirrored 1:1 in a DuckDB oracle, which is the point —
+deterministic, auditable filters, not model-quality language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword-overlap
+# heuristic; extend per deployment
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "ne"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+_PUNCT_RE = r"[.,!?;:]"
+_TOKEN_RE = r"[a-z]+|[0-9]+"
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    ws = _words(F.lower(text))
+    return F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in markers])))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ docs + (lang_pred, lang_hits): language with the most distinct
+    marker-stopword hits; ties (incl. zero hits) → 'und'. Ties are
+    resolved by language-code order for determinism."""
+    hits = {lang: _marker_hits(F.col(text_col), m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # reverse-sorted so earlier codes win ties after the final when-chain
+    for lang in sorted(hits, reverse=True):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("int").alias("lang_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_chars, n_words, avg_word_len, punct_ratio,
+    stopword_ratio, quality): length/punctuation/stopword heuristics
+    combined into a [0,1] score (weights pinned; see oracle)."""
+    t = F.col(text_col)
+    ws = _words(t)
+    n_chars = F.length(t)
+    n_words = F.size(ws)
+    avg_wlen = (n_chars - (n_words - 1)) / n_words  # chars excl. separators
+    n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    punct_ratio = n_punct / n_chars
+    sw = F.size(
+        F.filter(
+            _words(F.lower(t)),
+            lambda w: w.isin(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    stop_ratio = sw / n_words
+    quality = (
+        F.lit(0.4) * F.least(n_words / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_ws_tokens, n_re_tokens, n_distinct_tokens):
+    whitespace tokens plus a BPE-ish regex token count
+    (``[a-z]+|[0-9]+`` over the lowercased text)."""
+    t = F.col(text_col)
+    ws_tokens = F.size(_words(t))
+    re_tokens = F.size(F.regexp_extract_all(F.lower(t), F.lit(_TOKEN_RE), 0))
+    distinct_tokens = F.size(F.array_distinct(_words(F.lower(t))))
+    return docs.select(
+        "doc_id",
+        ws_tokens.cast("long").alias("n_ws_tokens"),
+        re_tokens.cast("long").alias("n_re_tokens"),
+        distinct_tokens.cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 8) -> DataFrame:
+    """→ (doc_id, fp_md5, fp_min_gram): two fingerprints —
+    md5 of whitespace-normalized lowercase text (exact-dup key) and the
+    minimum rolling char-n-gram hash (winnowing-style partial-overlap
+    key: equal min-gram ⇒ likely shared substring)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (ngram - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, ngram),
+    )
+    min_gram = F.array_min(
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        min_gram.alias("fp_min_gram"),
+    )

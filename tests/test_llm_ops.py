@@ -1,0 +1,155 @@
+"""Dedup / similarity / text / multimodal operator unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from eventhub_to_timescale_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from eventhub_to_timescale_spark.operators.multimodal import (
+    documents_as_blobs,
+    extract_blob_features,
+)
+from eventhub_to_timescale_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from eventhub_to_timescale_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark, ["a b c", "x y z", "a b c", "a b c"])
+    groups = {r.keep_id: r.n_docs for r in exact_duplicates(docs).collect()}
+    assert groups == {0: 3, 1: 1}
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 1]
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words appear within this other unrelated document here"
+    docs = _docs(spark, [base, base, near, far])
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    base = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [base, base, "alpha beta gamma delta epsilon zeta eta theta"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+def test_ngram_jaccard_bruteforce(spark):
+    docs = _docs(spark, ["abcdefghij", "abcdefghij", "zzzzzzzzzz"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 1): 1.0}
+
+
+def _embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(20, 8)).astype(float)
+    vecs[1] = vecs[0] * 2.0  # same direction as 0 → cosine 1
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(20)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_cosine_topk_finds_colinear_vector(spark):
+    out = cosine_topk_bruteforce(_embeddings(spark), query_max_id=1, k=3).collect()
+    assert out[0].neighbor_id == 1
+    assert out[0].cosine == pytest.approx(1.0)
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    emb = _embeddings(spark)
+    lsh = cosine_topk_lsh(emb, query_max_id=1, k=3, num_planes=4, dim=8).collect()
+    # colinear vector shares every hyperplane sign → always in bucket
+    assert lsh and lsh[0].neighbor_id == 1
+
+
+def test_language_id_markers(spark):
+    docs = _docs(
+        spark,
+        [
+            "the cat sat of the mat and a dog",
+            "der hund und die katze das haus",
+            "xyzzy plugh",
+        ],
+    )
+    out = {r.doc_id: (r.lang_pred, r.lang_hits) for r in language_id(docs).collect()}
+    assert out[0][0] == "en"
+    assert out[1][0] == "de"
+    assert out[2] == ("und", 0)
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    docs = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog and runs on in it for",
+            "!!! ??? ;;; ::: ,,,",
+        ],
+    )
+    out = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert 0.0 <= out[1].quality < out[0].quality <= 1.0
+    assert out[0].n_words == 15
+    assert out[1].punct_ratio > 0.5
+
+
+def test_token_stats(spark):
+    docs = _docs(spark, ["Hello world hello 42"])
+    r = token_stats(docs).collect()[0]
+    assert r.n_ws_tokens == 4
+    assert r.n_re_tokens == 4  # hello, world, hello, 42
+    assert r.n_distinct_tokens == 3  # hello, world, 42 (case-folded)
+
+
+def test_blob_features_fake_and_stub(spark):
+    docs = _docs(spark, ["hello", "hello", "worldlier"])
+    blobs = documents_as_blobs(docs)
+    rows = {r.doc_id: r for r in extract_blob_features(blobs, fake=True).collect()}
+    assert rows[0].n_bytes == 5
+    assert rows[0].sha256 == rows[1].sha256
+    assert rows[0].entropy == pytest.approx(
+        -sum(
+            (c / 5) * math.log2(c / 5)
+            for c in (1, 1, 2, 1)  # h,e,l(×2),o
+        )
+    )
+    # real decode path is stubbed (no codecs in this environment)
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        extract_blob_features(blobs, fake=False).collect()
