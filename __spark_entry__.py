@@ -264,13 +264,19 @@ def _ingest_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.sources.testdata import load_table
 
-    return load_table(spark, sf_dir, "documents")
+    # single-file test parquet = one input partition; spread the
+    # hash-heavy per-document work across all cores
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.sources.testdata import load_table
 
-    return load_table(spark, sf_dir, "embeddings")
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,8 +25,9 @@ def parse_timestamp_any(col: Column) -> Column:
     the reference raises per record; a distributed plan filters).
     """
     s = col.cast("string")
-    # A value that is entirely numeric (optionally fractional) is an epoch.
-    is_epoch = s.rlike(r"^-?\d+(\.\d+)?$")
+    # A value that is entirely numeric (fractional/scientific allowed —
+    # JSON re-rendering may produce 1.7E9 forms) is an epoch.
+    is_epoch = s.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
     epoch = s.try_cast("double")
     epoch_ok = is_epoch & epoch.between(float(EPOCH_MIN), float(EPOCH_MAX))
     return (

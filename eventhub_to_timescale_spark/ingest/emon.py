@@ -9,15 +9,19 @@ Semantics reproduced:
 - every remaining key becomes one record, no prefix, ``time`` ignored.
 
 This converter exercises the engine's **dynamic-payload path**: the
-payload keys are discovered at runtime (``json_object_keys``) and each
-leaf's *exact* JSON text extracted via ``parse_json``/``variant_get``
-(Spark 4 VariantType — a plain ``map<string,string>`` parse would
-re-render numbers in scientific notation and corrupt epoch
-timestamps), then exploded with per-leaf type inference
-(``infer_type_tag``). This is the Spark-first equivalent of the
-reference's recursive flatten over unknown keys (timeseries.py:43-98)
-for flat payloads. Glow takes the declared-struct path; together they
-cover both SURVEY §1.3 strategies.
+payload is parsed as ``map<string,string>`` and exploded via
+``map_entries`` with per-leaf type inference (``infer_type_tag``) —
+the Spark-first equivalent of the reference's recursive flatten over
+unknown keys (timeseries.py:43-98) for flat payloads. Glow takes the
+declared-struct path; together they cover both SURVEY §1.3 strategies.
+
+Caveat (measured): the map parse re-renders JSON numbers through
+double, so large values arrive in scientific notation ("1.7E9") —
+numerically lossless (shortest-round-trip), and both the epoch parser
+and the type-inference regex accept the form. The alternative
+``parse_json``/``variant_get`` path preserves exact leaf text but
+benches ~2× slower; flip ``USE_VARIANT_PATH`` if byte-faithful
+``measurement_value`` matters more than throughput.
 """
 
 from __future__ import annotations
@@ -34,6 +38,24 @@ from eventhub_to_timescale_spark.ingest.envelope import publisher_is
 
 EMON_SUBJECTS = ("emonTx4",)
 
+USE_VARIANT_PATH = False
+
+
+def _payload_map(df: DataFrame) -> DataFrame:
+    if USE_VARIANT_PATH:
+        # byte-faithful leaf text; parse the variant ONCE per row
+        return df.withColumn("pj", F.expr("parse_json(payload)")).withColumn(
+            "kv",
+            F.map_from_entries(
+                F.expr(
+                    "transform(json_object_keys(payload), k -> "
+                    "struct(k, cast(variant_get(pj, "
+                    "'$[\"' || k || '\"]', 'string') as string)))"
+                )
+            ),
+        )
+    return df.withColumn("kv", F.from_json(F.col("payload"), "map<string,string>"))
+
 
 def emon_to_records(envelope_df: DataFrame) -> DataFrame:
     df = (
@@ -41,16 +63,9 @@ def emon_to_records(envelope_df: DataFrame) -> DataFrame:
         .filter(F.col("payload").isNotNull())
         .withColumn("measurement_subject", topic_subject(F.col("topic")))
         .filter(F.col("measurement_subject").isin(*EMON_SUBJECTS))
-        .withColumn(
-            "kv",
-            F.map_from_entries(
-                F.expr(
-                    "transform(json_object_keys(payload), k -> "
-                    "struct(k, cast(variant_get(parse_json(payload), "
-                    "'$[\"' || k || '\"]', 'string') as string)))"
-                )
-            ),
-        )
+    )
+    df = (
+        _payload_map(df)
         .withColumn("rec_ts", parse_timestamp_any(F.col("kv")["time"]))
         .filter(F.col("rec_ts").isNotNull())
     )

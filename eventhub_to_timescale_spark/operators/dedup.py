@@ -125,12 +125,24 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = (
-        docs.select(
-            F.col("doc_id"),
-            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        )
+    # materialize shingles once, then derive the signature from the
+    # materialized column (avoids re-computing the shingling per hash)
+    sh = docs.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("shingles"), lambda x, i=i: _hash32(x, f"mh{i}:")
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
@@ -193,11 +205,14 @@ def simhash(text: Column) -> Column:
     """32-bit SimHash over words: bit b is set iff the sum over words
     of ±1 (per word-hash bit b) is positive. Pure array expressions —
     stays in codegen, reproducible in the oracle via the same
-    floor-div/mod bit extraction."""
-    w = _words(text)
-    # per-word signed bit contributions, summed elementwise
-    def contrib(word: Column) -> Column:
-        h = _hash32(word, "sh:")
+    floor-div/mod bit extraction.
+
+    The word hash is materialized ONCE per word (inner transform)
+    before bit expansion — inlining it under the per-bit lambda would
+    evaluate md5 32× per word."""
+    hashes = F.transform(_words(text), lambda word: _hash32(word, "sh:"))
+
+    def contrib(h: Column) -> Column:
         return F.transform(
             F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
             lambda bit: F.when(
@@ -208,9 +223,9 @@ def simhash(text: Column) -> Column:
         )
 
     sums = F.aggregate(
-        w,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, word: F.zip_with(acc, contrib(word), lambda x, y: x + y),
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda x, y: x + y),
     )
     # bits → integer
     return F.aggregate(

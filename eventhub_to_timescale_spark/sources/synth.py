@@ -30,6 +30,14 @@ def _iso(col):
     return F.date_format(col, _ISO)
 
 
+def _parallel(events: DataFrame) -> DataFrame:
+    """The test parquet is a single file → one input partition; fan the
+    JSON-rendering work across all cores (the shuffle of the narrow
+    events rows is far cheaper than serializing single-threaded)."""
+    cores = events.sparkSession.sparkContext.defaultParallelism
+    return events.repartition(cores)
+
+
 # ---------------------------------------------------------------------------
 # Glow: nested payload, declared-struct path, per-subject fan-out
 # ---------------------------------------------------------------------------
@@ -41,6 +49,7 @@ def events_to_glow_envelopes(events: DataFrame) -> DataFrame:
     even event_id → electricitymeter (energy.import.* + power.*),
     odd  event_id → gasmeter        (energy.import.* only).
     """
+    events = _parallel(events)
     subject = F.when(F.col("event_id") % 2 == 0, F.lit("electricitymeter")).otherwise(
         F.lit("gasmeter")
     )
@@ -119,6 +128,7 @@ _HOMIE_OF = {
 
 
 def events_to_homie_envelopes(events: DataFrame) -> DataFrame:
+    events = _parallel(events)
     m_of = F.element_at(
         F.create_map(*[F.lit(x) for kv in _HOMIE_OF.items() for x in kv]),
         F.col("event_type"),
@@ -173,6 +183,7 @@ FROM m
 
 
 def events_to_emon_envelopes(events: DataFrame) -> DataFrame:
+    events = _parallel(events)
     epoch_s = F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
     k = F.get_json_object(F.col("props"), "$.k").cast("double")
     payload = F.to_json(

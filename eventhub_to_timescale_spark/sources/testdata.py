@@ -44,68 +44,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_as_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → wide ``conditions`` rows (deterministic EAV unpivot)."""
+    """events → wide ``conditions`` rows (deterministic EAV unpivot).
+
+    Single-scan: each event row explodes into its 3 measurements via
+    ``explode(array(struct...))`` rather than a 3-way self-union —
+    one parquet scan instead of three, which matters when the base
+    table is 100 TB, and the explode stays inside whole-stage codegen.
+    """
     ev = load_table(spark, sf_dir, "events")
     subject = F.concat(F.lit("user_"), F.col("user_id").cast("string"))
-    cid = F.col("event_id").cast("string")
 
-    def base(of: str, slot: int):
-        return [
-            F.col("ts").alias("timestamp"),
-            subject.alias("measurement_subject"),
-            F.lit("events").alias("measurement_publisher"),
+    def rec(of: str, slot: int, num, s):
+        return F.struct(
             F.lit(of).alias("measurement_of"),
-            cid.alias("correlation_id"),
-            (F.col("event_id") * 4 + slot).alias("measurement_unique_id"),
-        ]
+            F.lit(slot).alias("slot"),
+            (num if num is not None else F.lit(None).cast("double")).alias(
+                "measurement_number"
+            ),
+            (s if s is not None else F.lit(None).cast("string")).alias(
+                "measurement_string"
+            ),
+        )
 
-    nulls = lambda *names: [F.lit(None).cast(t).alias(n) for n, t in names]  # noqa: E731
-
-    value_rows = ev.select(
-        *base("value", 0),
-        F.col("value").alias("measurement_number"),
-        *nulls(
-            ("measurement_string", "string"),
-            ("measurement_bool", "boolean"),
-            ("measurement_location", "string"),
+    recs = F.array(
+        rec("value", 0, F.col("value"), None),
+        rec("event_type", 1, None, F.col("event_type")),
+        rec(
+            "props_k",
+            2,
+            F.get_json_object(F.col("props"), "$.k").cast("double"),
+            None,
         ),
     )
-    type_rows = ev.select(
-        *base("event_type", 1),
-        *nulls(("measurement_number", "double")),
-        F.col("event_type").alias("measurement_string"),
-        *nulls(
-            ("measurement_bool", "boolean"),
-            ("measurement_location", "string"),
-        ),
-    )
-    props_rows = ev.select(
-        *base("props_k", 2),
-        F.get_json_object(F.col("props"), "$.k").cast("double").alias(
-            "measurement_number"
-        ),
-        *nulls(
-            ("measurement_string", "string"),
-            ("measurement_bool", "boolean"),
-            ("measurement_location", "string"),
-        ),
-    )
-    cols = [
+    return ev.select(
+        F.col("ts").alias("timestamp"),
+        subject.alias("measurement_subject"),
+        F.lit("events").alias("measurement_publisher"),
+        F.col("event_id").cast("string").alias("correlation_id"),
+        F.col("event_id"),
+        F.explode(recs).alias("r"),
+    ).select(
         "timestamp",
         "measurement_subject",
         "measurement_publisher",
-        "measurement_of",
-        "measurement_number",
-        "measurement_string",
-        "measurement_bool",
-        "measurement_location",
+        F.col("r.measurement_of").alias("measurement_of"),
+        F.col("r.measurement_number").alias("measurement_number"),
+        F.col("r.measurement_string").alias("measurement_string"),
+        F.lit(None).cast("boolean").alias("measurement_bool"),
+        F.lit(None).cast("string").alias("measurement_location"),
         "correlation_id",
-        "measurement_unique_id",
-    ]
-    return (
-        value_rows.select(*cols)
-        .unionByName(type_rows.select(*cols))
-        .unionByName(props_rows.select(*cols))
+        (F.col("event_id") * 4 + F.col("r.slot")).alias("measurement_unique_id"),
     )
 
 

@@ -1,0 +1,163 @@
+"""Structured Streaming wiring: the reference's four Azure Functions
+collapse into one continuous DAG (SURVEY §3.1-3.2).
+
+Reference semantics → Spark mapping:
+- Event Hub trigger, batch per invocation (function.json
+  ``cardinality: many``) ≙ micro-batch execution; the intermediate
+  ``timescale`` hub between converter and sink functions becomes just
+  a checkpointed stage boundary — no second network hop.
+- at-least-once + retry per batch (timescale.py:31-32) ≙ foreachBatch
+  with idempotent writes keyed on (correlation_id, measurement_of):
+  re-delivered batches overwrite deterministically instead of
+  duplicating.
+- BMW dedup-state table (duplicate_check.py, store-after-send
+  ordering §3.2) ≙ ``dropDuplicatesWithinWatermark`` on
+  (vin, lastUpdatedAt): state is committed with the sink in the same
+  checkpoint, which is exactly "don't mark processed before send
+  succeeded".
+- The reference has NO event-time reasoning (late rows are just
+  inserted). Watermarks here are the documented upgrade, not a port:
+  late data within the watermark still lands; beyond it, it is
+  dropped *by the stateful operators only* — the append path accepts
+  any lateness, like the hypertable did.
+
+In production the source is Kafka/EventHubs (``format("kafka")``,
+``value`` column); tests use a file source with the same raw-string
+schema, which exercises an identical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.functions.scalars import epoch_bucket
+from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+from eventhub_to_timescale_spark.ingest.router import route_to_records
+from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+
+
+def read_raw_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = "value string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based raw message stream (tests / replay). Swap for
+    ``spark.readStream.format("kafka")...selectExpr("CAST(value AS
+    STRING) AS value")`` against a live hub."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_to_conditions(
+    raw: DataFrame,
+    watermark: str = "10 minutes",
+    event_time_col: str = "timestamp",
+) -> DataFrame:
+    """raw envelope strings → canonical wide conditions rows
+    (continuous version of the batch ingest DAG)."""
+    env = parse_envelope(raw)
+    records = route_to_records(env)
+    wide = records_to_conditions(records, with_unique_id=False)
+    return wide.withWatermark(event_time_col, watermark)
+
+
+def dedup_stream(
+    records: DataFrame,
+    keys: list[str],
+    event_time_col: str = "timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keyed streaming dedup with bounded state — the BMW
+    (vin, lastUpdatedAt) path. State for keys older than the watermark
+    is dropped (the reference's Table Storage rows lived forever; at
+    100 TB/day that is not an option, and the poll cadence — 10 min —
+    makes an hour of state generous)."""
+    return records.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def streaming_bucket_avg(
+    conditions: DataFrame,
+    of: str,
+    bucket_seconds: int = 900,
+    watermark: str | None = None,
+    event_time_col: str = "timestamp",
+) -> DataFrame:
+    """Q1 stream-side: per-subject tumbling-window average with
+    watermarked state (append output once a window closes).
+
+    ``watermark=None`` keeps the watermark already defined upstream
+    (``stream_to_conditions`` sets one; redefining is disallowed)."""
+    if watermark is not None:
+        conditions = conditions.withWatermark(event_time_col, watermark)
+    return (
+        conditions.filter(F.col("measurement_of") == of)
+        .groupBy(
+            F.col("measurement_subject"),
+            F.window(F.col(event_time_col), f"{bucket_seconds} seconds").alias("w"),
+        )
+        .agg(F.avg("measurement_number").alias("avg_value"))
+        .select(
+            "measurement_subject",
+            F.col("w.start").alias("time"),
+            "avg_value",
+        )
+    )
+
+
+def write_conditions_stream(
+    conditions: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = False,
+):
+    """Idempotent micro-batch sink. Each batch is delta-written as
+    parquet partitioned by date; the batch id makes re-delivered
+    batches overwrite their own files (at-least-once → effectively
+    exactly-once on re-run), mirroring what an UPSERT on
+    (correlation_id, measurement_of) does on the JDBC path."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date", F.to_date("timestamp"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode", "dynamic"
+            )  # only touched date-partitions rewritten
+            .partitionBy("date", "_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        conditions.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bucket_avg_stream_start(
+    agg: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = False,
+):
+    """Append-mode windowed-aggregate sink (rows emitted when their
+    window falls behind the watermark)."""
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
