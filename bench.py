@@ -72,6 +72,13 @@ def main() -> None:
     bench_queries["b_all_subject_avg"] = _bench_all_subject_avg
     bench_queries["b_full_ingest"] = _bench_full_ingest
 
+    # warm up the JVM + Python workers so the first timed query doesn't
+    # absorb session startup (one tiny scan + one pandas-UDF roundtrip)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: (pdf for pdf in it), schema="x int"
+    ).count()
+
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         t0 = time.perf_counter()

@@ -82,9 +82,11 @@ BMW_STATE_SCHEMA = T.StructType(
 def bmw_to_records(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
     """Raw BMW snapshot JSON strings → canonical atomic records,
     deduplicated on (vin, lastUpdatedAt)."""
+    from eventhub_to_timescale_spark.ingest.envelope import materialize
+
     df = (
-        raw_df.withColumn(
-            "m", F.from_json(F.col(raw_col).cast("string"), BMW_STATE_SCHEMA)
+        materialize(
+            raw_df, F.from_json(F.col(raw_col).cast("string"), BMW_STATE_SCHEMA), "m"
         )
         .filter(F.col("m.vin").isNotNull() & F.col("m.state.lastUpdatedAt").isNotNull())
         .select(

@@ -34,7 +34,7 @@ from eventhub_to_timescale_spark.functions.scalars import (
     topic_subject,
 )
 from eventhub_to_timescale_spark.functions.typeinfer import infer_type_tag
-from eventhub_to_timescale_spark.ingest.envelope import publisher_is
+from eventhub_to_timescale_spark.ingest.envelope import materialize, publisher_is
 
 EMON_SUBJECTS = ("emonTx4",)
 
@@ -54,7 +54,7 @@ def _payload_map(df: DataFrame) -> DataFrame:
                 )
             ),
         )
-    return df.withColumn("kv", F.from_json(F.col("payload"), "map<string,string>"))
+    return materialize(df, F.from_json(F.col("payload"), "map<string,string>"), "kv")
 
 
 def emon_to_records(envelope_df: DataFrame) -> DataFrame:

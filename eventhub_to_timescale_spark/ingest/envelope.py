@@ -25,6 +25,23 @@ from eventhub_to_timescale_spark.functions.scalars import topic_publisher
 from eventhub_to_timescale_spark.schema import ENVELOPE_SCHEMA
 
 
+def materialize(df: DataFrame, col: Column, name: str) -> DataFrame:
+    """Force ``col`` to be evaluated exactly once per row by routing it
+    through a single-element ``explode`` (a ``Generate`` node).
+
+    Why: ``from_json`` is CodegenFallback, so it gets neither
+    whole-stage-codegen common-subexpression elimination nor any
+    protection from ``CollapseProject`` inlining — a parsed struct
+    referenced by N downstream expressions is re-parsed N times
+    (measured 14 ``from_json`` per row → ~8× slowdown on the glow
+    path). ``Generate`` output is an *attribute*, which downstream
+    projections reference for free, and ``CollapseProject`` cannot
+    collapse across it. Zero shuffle, zero caching — works the same on
+    a 1000-executor cluster.
+    """
+    return df.withColumn(name, F.explode(F.array(col)))
+
+
 def with_correlation_id(df: DataFrame, deterministic: bool = False) -> DataFrame:
     """Assign a per-source-message correlation id (reference
     helpers.py:98-103: fresh UUIDv4 per message, shared by the whole
@@ -57,8 +74,7 @@ def parse_envelope(
         F.col(raw_col).cast("string"), ENVELOPE_SCHEMA, {"mode": "PERMISSIVE"}
     )
     out = (
-        df.withColumn("raw", F.col(raw_col).cast("string"))
-        .withColumn("env", env)
+        materialize(df.withColumn("raw", F.col(raw_col).cast("string")), env, "env")
         .select(
             "raw",
             F.col("env.topic").alias("topic"),

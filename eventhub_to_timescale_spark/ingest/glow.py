@@ -29,7 +29,11 @@ from eventhub_to_timescale_spark.functions.scalars import (
     parse_timestamp_any,
     topic_subject,
 )
-from eventhub_to_timescale_spark.ingest.envelope import publisher_is, unpivot_fields
+from eventhub_to_timescale_spark.ingest.envelope import (
+    materialize,
+    publisher_is,
+    unpivot_fields,
+)
 from eventhub_to_timescale_spark.schema import TYPE_NUMBER
 
 GLOW_SUBJECTS = ("electricitymeter", "gasmeter")
@@ -86,16 +90,19 @@ GLOW_PAYLOAD_SCHEMA = T.StructType(
 def glow_to_records(envelope_df: DataFrame) -> DataFrame:
     """Envelope rows → canonical atomic records for the glow publisher."""
     subject = topic_subject(F.col("topic"))
-    df = (
+    base = (
         publisher_is(envelope_df, "glow")
         .filter(F.col("payload").isNotNull())
         .withColumn("measurement_subject", subject)
         .filter(F.col("measurement_subject").isin(*GLOW_SUBJECTS))
-        .withColumn("p", F.from_json(F.col("payload"), GLOW_PAYLOAD_SCHEMA))
-        # pick the struct matching the topic subject; a payload that
-        # lacks its subject key yields nulls → rows dropped by the
-        # timestamp filter (reference returns [] in that case,
-        # glow.py:30-31)
+    )
+    # materialize the payload parse (once per row — see
+    # envelope.materialize), then pick the struct matching the topic
+    # subject; a payload lacking its subject key yields nulls → rows
+    # dropped by the timestamp filter (reference returns [] there,
+    # glow.py:30-31)
+    df = (
+        materialize(base, F.from_json(F.col("payload"), GLOW_PAYLOAD_SCHEMA), "p")
         .withColumn(
             "meter",
             F.when(

@@ -46,54 +46,78 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_as_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → wide ``conditions`` rows (deterministic EAV unpivot).
 
-    Single-scan: each event row explodes into its 3 measurements via
-    ``explode(array(struct...))`` rather than a 3-way self-union —
-    one parquet scan instead of three, which matters when the base
-    table is 100 TB, and the explode stays inside whole-stage codegen.
+    Shape choice, measured via ``.explain``: a 3-way
+    union-of-projections, NOT a single-scan ``explode``. With union,
+    a downstream ``measurement_of = 'x'`` filter constant-folds the
+    other branches to empty (PruneFilters kills their scans entirely)
+    and each surviving branch's parquet scan is column-pruned to just
+    the columns that measurement needs. The explode form forces every
+    query — however narrow — to read all five source columns and emit
+    3× rows before filtering; at 100 TB that is the difference between
+    scanning one column slice and scanning the table.
     """
     ev = load_table(spark, sf_dir, "events")
     subject = F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+    cid = F.col("event_id").cast("string")
 
-    def rec(of: str, slot: int, num, s):
-        return F.struct(
+    def base(of: str, slot: int):
+        return [
+            F.col("ts").alias("timestamp"),
+            subject.alias("measurement_subject"),
+            F.lit("events").alias("measurement_publisher"),
             F.lit(of).alias("measurement_of"),
-            F.lit(slot).alias("slot"),
-            (num if num is not None else F.lit(None).cast("double")).alias(
-                "measurement_number"
-            ),
-            (s if s is not None else F.lit(None).cast("string")).alias(
-                "measurement_string"
-            ),
-        )
+            cid.alias("correlation_id"),
+            (F.col("event_id") * 4 + slot).alias("measurement_unique_id"),
+        ]
 
-    recs = F.array(
-        rec("value", 0, F.col("value"), None),
-        rec("event_type", 1, None, F.col("event_type")),
-        rec(
-            "props_k",
-            2,
-            F.get_json_object(F.col("props"), "$.k").cast("double"),
-            None,
+    def nulls(*names):
+        return [F.lit(None).cast(t).alias(n) for n, t in names]
+
+    value_rows = ev.select(
+        *base("value", 0),
+        F.col("value").alias("measurement_number"),
+        *nulls(
+            ("measurement_string", "string"),
+            ("measurement_bool", "boolean"),
+            ("measurement_location", "string"),
         ),
     )
-    return ev.select(
-        F.col("ts").alias("timestamp"),
-        subject.alias("measurement_subject"),
-        F.lit("events").alias("measurement_publisher"),
-        F.col("event_id").cast("string").alias("correlation_id"),
-        F.col("event_id"),
-        F.explode(recs).alias("r"),
-    ).select(
+    type_rows = ev.select(
+        *base("event_type", 1),
+        *nulls(("measurement_number", "double")),
+        F.col("event_type").alias("measurement_string"),
+        *nulls(
+            ("measurement_bool", "boolean"),
+            ("measurement_location", "string"),
+        ),
+    )
+    props_rows = ev.select(
+        *base("props_k", 2),
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias(
+            "measurement_number"
+        ),
+        *nulls(
+            ("measurement_string", "string"),
+            ("measurement_bool", "boolean"),
+            ("measurement_location", "string"),
+        ),
+    )
+    cols = [
         "timestamp",
         "measurement_subject",
         "measurement_publisher",
-        F.col("r.measurement_of").alias("measurement_of"),
-        F.col("r.measurement_number").alias("measurement_number"),
-        F.col("r.measurement_string").alias("measurement_string"),
-        F.lit(None).cast("boolean").alias("measurement_bool"),
-        F.lit(None).cast("string").alias("measurement_location"),
+        "measurement_of",
+        "measurement_number",
+        "measurement_string",
+        "measurement_bool",
+        "measurement_location",
         "correlation_id",
-        (F.col("event_id") * 4 + F.col("r.slot")).alias("measurement_unique_id"),
+        "measurement_unique_id",
+    ]
+    return (
+        value_rows.select(*cols)
+        .unionByName(type_rows.select(*cols))
+        .unionByName(props_rows.select(*cols))
     )
 
 

