@@ -331,6 +331,15 @@ def _sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.similarity import ivf_topk
+
+    df = ivf_topk(_embs(spark, sf_dir), query_max_id=8, k=5, n_centroids=16, nprobe=4)
+    return df.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.text import language_id
 
@@ -394,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram,
         "sim_cosine_topk": _sim_topk,
         "sim_ann_lsh": _sim_ann_lsh,
+        # sim_ivf_topk: k-means quantizer has no tractable SQL oracle →
+        # rows-only check; recall vs brute force asserted in pytest
+        "sim_ivf_topk": _sim_ivf,
         "text_language_id": _text_langid,
         "text_quality_score": _text_quality,
         "text_token_stats": _text_tokens,

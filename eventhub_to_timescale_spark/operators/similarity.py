@@ -144,6 +144,118 @@ def cosine_topk_lsh(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_size: int = 2048,
+) -> list[list[float]]:
+    """Deterministic mini k-means coarse quantizer (IVF training).
+
+    Driver-side Lloyd iterations over a bounded sample — the standard
+    IVF shape: training is small (a sample), ASSIGNMENT is the
+    distributed part. Init = the ``n_centroids`` lowest-vec_id vectors,
+    so retraining reproduces identical centroids (no RNG)."""
+    import numpy as np
+
+    sample = (
+        embeddings.orderBy("vec_id")
+        .limit(sample_size)
+        .select(_as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=float)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _cell_id(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroid squared-distances, as one codegen'd
+    expression (centroid literals constant-fold; no UDF)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cosine, rank): approximate top-k via
+    an IVF coarse quantizer — queries probe their ``nprobe`` nearest
+    cells; exact cosine within the probed cells.
+
+    Scale shape: centroid training is a bounded driver-side sample;
+    cell assignment is a per-row expression over the full corpus;
+    candidate generation is an equi-join on cell id (queries exploded
+    ×nprobe, broadcast). The corpus never self-joins."""
+    import numpy as np
+
+    cents = train_ivf_centroids(embeddings, n_centroids)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cell", _cell_id(F.col("cv"), cents))
+
+    # driver-side probe list per query (queries are a bounded set)
+    qrows = (
+        embeddings.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", _as_double(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    c = np.array(cents)
+    probe_rows = []
+    for r in qrows:
+        d = ((np.array(r.qv)[None, :] - c) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_rows.append((r.vec_id, [float(x) for x in r.qv], int(cell)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, qcell int"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            corpus,
+            (F.col("qcell") == F.col("cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -23,11 +23,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the dynamic SQLConfs the engine's semantics depend on.
+
+    The driver (and any host application) may hand us a SparkSession
+    built without ``eventhub_to_timescale_spark.session.get_spark`` —
+    these three are runtime-settable and REQUIRED: nanos parquet reads
+    (test tables), UTC timestamp semantics, and try-cast-shaped EAV
+    coercion (ANSI off)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; nanosecond timestamp columns (written by
     pandas, no Spark equivalent) arrive as long (see session config
     ``nanosAsLong``) and are truncated to microseconds — exactly what
     DuckDB does reading the same files, so oracles agree."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         meta = field.metadata or {}

@@ -94,6 +94,22 @@ def test_cosine_topk_finds_colinear_vector(spark):
     assert [r.rank for r in out] == [1, 2, 3]
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from eventhub_to_timescale_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, query_max_id=2, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, query_max_id=2, k=3, n_centroids=4, nprobe=4).collect()
+    }
+    # nprobe == n_centroids probes every cell → recall must be 1
+    assert approx == exact
+
+
 def test_lsh_topk_subset_of_bruteforce_universe(spark):
     emb = _embeddings(spark)
     lsh = cosine_topk_lsh(emb, query_max_id=1, k=3, num_planes=4, dim=8).collect()
