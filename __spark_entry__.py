@@ -117,6 +117,39 @@ def _q6_asap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.asap import moving_average_smooth
+
+    return moving_average_smooth(
+        _conditions(spark, sf_dir), "user_7", "value", START, END,
+        resolution=360, window_k=2,
+    )
+
+
+def _q1_all_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.timeseries import _slice
+    from eventhub_to_timescale_spark.functions.scalars import epoch_bucket
+
+    cond = _conditions(spark, sf_dir)
+    sliced = _slice(cond, None, "value", START, END)
+    return (
+        sliced.groupBy(
+            "measurement_subject",
+            epoch_bucket(F.col("timestamp"), 21600).alias("time"),
+        )
+        .agg(F.round(F.avg("measurement_number"), 6).alias("avg_value"))
+        .orderBy("measurement_subject", "time")
+    )
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    return embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.3)
+
+
 def _q7_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.timeseries import unique_subjects
 
@@ -388,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_timeweight_locf": _q5_locf,
         "q5_timeweight_linear": _q5_linear,
         "q6_asap_smooth": _q6_asap,
+        "q6_moving_avg": _q6_moving_avg,
+        "q1_all_subjects": _q1_all_subjects,
         "q7_unique_subjects": _q7_subjects,
         "q8_changed_rows": _q8_changes,
         "q9_state_intervals": _q9_intervals,
@@ -401,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_embedding_cosine": _dedup_embedding,
         "sim_cosine_topk": _sim_topk,
         "sim_ann_lsh": _sim_ann_lsh,
         # sim_ivf_topk: k-means quantizer has no tractable SQL oracle →
@@ -523,6 +559,29 @@ SELECT dt,
 FROM win GROUP BY dt ORDER BY dt
 """
     )
+    # Q6 fallback: grid = span/360 = 7200 s buckets, centered ±2 moving avg
+    q6_moving = f"""
+WITH grid AS (
+  SELECT {bucket.format(w=7200)} AS time, AVG(measurement_number) AS value
+  FROM {cond} c
+  WHERE measurement_subject = 'user_7' AND measurement_of = 'value'
+    AND measurement_number IS NOT NULL AND {in_range}
+  GROUP BY 1
+)
+SELECT time,
+       ROUND(AVG(value) OVER (ORDER BY time
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+         AS smoothed_value
+FROM grid ORDER BY time
+"""
+    q1_all = f"""
+SELECT measurement_subject,
+       {bucket.format(w=21600)} AS time,
+       ROUND(AVG(measurement_number), 6) AS avg_value
+FROM {cond} c
+WHERE measurement_of = 'value' AND {in_range}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
     q7 = f"""
 SELECT DISTINCT measurement_subject
 FROM {cond} c
@@ -621,6 +680,8 @@ ORDER BY measurement_publisher, measurement_of
         "q5_timeweight_locf": q5_locf,
         "q5_timeweight_linear": q5_linear,
         # q6_asap_smooth: custom smoothing (applyInPandas) — rows-only check
+        "q6_moving_avg": q6_moving,
+        "q1_all_subjects": q1_all,
         "q7_unique_subjects": q7,
         "q8_changed_rows": q8,
         "q9_state_intervals": q9,
@@ -634,6 +695,7 @@ ORDER BY measurement_publisher, measurement_of
         "dedup_minhash_lsh": oc.dedup_minhash_oracle(12, 6, 0.5),
         "dedup_simhash": oc.dedup_simhash_oracle(3),
         "dedup_ngram_jaccard": oc.dedup_ngram_oracle(5, 0.3, 100),
+        "dedup_embedding_cosine": oc.embedding_neardup_oracle(0.3, 8, 64),
         "sim_cosine_topk": oc.sim_topk_oracle(8, 5),
         "sim_ann_lsh": oc.sim_ann_lsh_oracle(8, 5, 8, 64),
         "text_language_id": oc.text_langid_oracle(),

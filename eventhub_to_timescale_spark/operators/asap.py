@@ -103,6 +103,38 @@ def asap_core(ts: np.ndarray, vs: np.ndarray, resolution: int) -> tuple[np.ndarr
     return t_out, sm
 
 
+def moving_average_smooth(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+    resolution: int = 360,
+    window_k: int = 2,
+) -> DataFrame:
+    """The cheap SQL-expressible smoothing fallback from SURVEY §2.3
+    Q6: pre-aggregate to a ``resolution`` grid, then a centered
+    moving average over ±``window_k`` grid points
+    (``rowsBetween(-k, k)``). Fully oracle-checkable, unlike the
+    adaptive ASAP search; use when a fixed window is acceptable."""
+    from pyspark.sql import Window
+
+    bucket_s = resolution_bucket_seconds(start, end, resolution)
+    sliced = (
+        conditions.filter(F.col("timestamp").between(start, end))
+        .filter(F.col("measurement_subject") == subject)
+        .filter(F.col("measurement_of") == of)
+        .filter(F.col("measurement_number").isNotNull())
+    )
+    grid = sliced.groupBy(
+        epoch_bucket(F.col("timestamp"), bucket_s).alias("time")
+    ).agg(F.avg("measurement_number").alias("value"))
+    w = Window.orderBy("time").rowsBetween(-window_k, window_k)
+    return grid.select(
+        "time", F.round(F.avg("value").over(w), 6).alias("smoothed_value")
+    ).orderBy("time")
+
+
 def asap_smooth(
     conditions: DataFrame,
     subject: str,

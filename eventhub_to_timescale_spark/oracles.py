@@ -198,6 +198,32 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def embedding_neardup_oracle(
+    threshold: float = 0.3, num_planes: int = 8, dim: int = 64
+) -> str:
+    """Same hyperplane sketch (bucket) + exact cosine ≥ threshold."""
+    sketch_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(p, dim)}) > 0 "
+        f"THEN {2 ** p} ELSE 0 END"
+        for p in range(num_planes)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST({sketch_terms} AS BIGINT) AS sketch
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cosine
+FROM e a JOIN e b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+WHERE ROUND({cos}, 6) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def text_langid_oracle() -> str:
     hit_exprs = {
         lang: (
