@@ -120,3 +120,54 @@ def write_conditions_jdbc(
     conditions.drop("measurement_unique_id").write.jdbc(
         url, table, mode="append", properties=props
     )
+
+
+IDEMPOTENCY_KEY = ("timestamp", "measurement_subject", "measurement_of", "correlation_id")
+
+
+def upsert_sql(table: str, staging: str, key_cols: tuple[str, ...] = IDEMPOTENCY_KEY) -> str:
+    """Server-side idempotent merge: staged batch → target, skipping
+    rows whose idempotency key already landed (at-least-once delivery
+    → effectively exactly-once; the reference tolerates duplicate
+    inserts instead, SURVEY §3.1 error channel)."""
+    keys = ", ".join(key_cols)
+    return (
+        f"INSERT INTO {table} "
+        f"SELECT s.* FROM {staging} s "
+        f"ON CONFLICT ({keys}) DO NOTHING"
+    )
+
+
+def write_conditions_jdbc_idempotent(
+    conditions: DataFrame,
+    url: str,
+    table: str = "conditions",
+    batch_id: int = 0,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Exactly-once-ish JDBC path for ``foreachBatch``: stage the batch
+    to a per-batch table (parallel JDBC write), then one server-side
+    ``INSERT ... ON CONFLICT DO NOTHING`` keyed on
+    ``IDEMPOTENCY_KEY``, then drop the staging table. Requires a
+    unique index on the key (add to the reference DDL:
+    ``CREATE UNIQUE INDEX ON conditions (timestamp,
+    measurement_subject, measurement_of, correlation_id)``).
+
+    Untested against a live database in this environment (no
+    PostgreSQL available) — statement generation is unit-tested and
+    the same staged-merge pattern is exercised on the parquet sink.
+    """
+    staging = f"{table}_staging_{batch_id}"
+    props = properties or {}
+    conditions.drop("measurement_unique_id").write.jdbc(
+        url, staging, mode="overwrite", properties=props
+    )
+    spark = conditions.sparkSession
+    jvm = spark._sc._jvm  # server-side merge via plain JDBC statement
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(upsert_sql(table, staging))
+        stmt.execute(f"DROP TABLE {staging}")
+    finally:
+        conn.close()

@@ -1,0 +1,57 @@
+"""Error-channel behavior: malformed envelopes, unroutable publishers,
+and the JDBC idempotent-merge statement."""
+
+from __future__ import annotations
+
+from tests.conftest import make_envelope
+
+
+def test_malformed_envelopes_flagged_not_fatal(spark):
+    from eventhub_to_timescale_spark.ingest.envelope import (
+        envelope_errors,
+        envelope_ok,
+        parse_envelope,
+    )
+
+    raws = [
+        "not json at all",
+        '{"unexpected": "shape"}',
+        "",
+        make_envelope("emon/emonTx4", {"time": 1706777400, "P1": 1}),
+    ]
+    env = parse_envelope(
+        spark.createDataFrame([(r,) for r in raws], "value string")
+    )
+    # reference logs-and-drops (json_converter.py:66-69); we keep both
+    # channels: 1 good row, 3 on the dead-letter side
+    assert envelope_ok(env).count() == 1
+    bad = [r.raw for r in envelope_errors(env).collect()]
+    assert len(bad) == 3 and "not json at all" in bad
+
+
+def test_corrupt_rows_never_reach_converters(spark):
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.router import route_to_records
+
+    raws = [
+        "garbage{{{",
+        make_envelope("emon/emonTx4", {"time": 1706777400, "P1": 1}),
+        make_envelope("glow/X/SENSOR/electricitymeter", {"electricitymeter": {}}),
+    ]
+    env = parse_envelope(spark.createDataFrame([(r,) for r in raws], "value string"))
+    recs = route_to_records(env).collect()
+    # emon yields its record; the empty glow payload yields none
+    # (missing timestamp → dropped, reference glow.py:30-31); garbage
+    # never produces a record nor an exception
+    assert len(recs) == 1 and recs[0].measurement_publisher == "emon"
+
+
+def test_upsert_sql_shape():
+    from eventhub_to_timescale_spark.sinks.conditions import upsert_sql
+
+    sql = upsert_sql("conditions", "conditions_staging_7")
+    assert sql == (
+        "INSERT INTO conditions SELECT s.* FROM conditions_staging_7 s "
+        "ON CONFLICT (timestamp, measurement_subject, measurement_of, "
+        "correlation_id) DO NOTHING"
+    )
