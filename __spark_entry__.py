@@ -397,6 +397,12 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.text import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir), min_quality=0.5)
+
+
 def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.multimodal import (
         blob_features_sql_checkable,
@@ -446,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _text_quality,
         "text_token_stats": _text_tokens,
         "text_fingerprint": _text_fingerprint,
+        "pipeline_clean_corpus": _pipeline_clean_corpus,
         "mm_blob_features": _mm_blob_features,
     }
 
@@ -702,5 +709,6 @@ ORDER BY measurement_publisher, measurement_of
         "text_quality_score": oc.text_quality_oracle(),
         "text_token_stats": oc.text_tokens_oracle(),
         "text_fingerprint": oc.text_fingerprint_oracle(8),
+        "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "mm_blob_features": oc.mm_blob_oracle(),
     }

@@ -37,11 +37,11 @@ def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in markers])))
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ docs + (lang_pred, lang_hits): language with the most distinct
-    marker-stopword hits; ties (incl. zero hits) → 'und'. Ties are
+def language_id_col(text: Column) -> tuple[Column, Column]:
+    """(lang_pred, lang_hits) column pair: language with the most
+    distinct marker-stopword hits; ties (incl. zero hits) → 'und',
     resolved by language-code order for determinism."""
-    hits = {lang: _marker_hits(F.col(text_col), m) for lang, m in LANG_MARKERS.items()}
+    hits = {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
     # reverse-sorted so earlier codes win ties after the final when-chain
@@ -49,10 +49,35 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
             pred
         )
+    return pred, best.cast("int")
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    pred, hits = language_id_col(F.col(text_col))
     return docs.select(
-        "doc_id",
-        pred.alias("lang_pred"),
-        best.cast("int").alias("lang_hits"),
+        "doc_id", pred.alias("lang_pred"), hits.alias("lang_hits")
+    )
+
+
+def quality_col(t: Column) -> Column:
+    """The pinned [0,1] quality score as a single column expression."""
+    ws = _words(t)
+    n_chars = F.length(t)
+    n_words = F.size(ws)
+    n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    punct_ratio = n_punct / n_chars
+    sw = F.size(
+        F.filter(
+            _words(F.lower(t)),
+            lambda w: w.isin(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    stop_ratio = sw / n_words
+    return F.round(
+        F.lit(0.4) * F.least(n_words / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
+        6,
     )
 
 
@@ -104,6 +129,34 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         re_tokens.cast("long").alias("n_re_tokens"),
         distinct_tokens.cast("long").alias("n_distinct_tokens"),
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """End-to-end training-data cleaning pipeline — the composition the
+    engine exists for: exact dedup (min-doc_id representative) →
+    language ID → quality filter, in ONE declarative plan: one scan,
+    one shuffle (the dedup window); lang/quality are column
+    expressions over the deduped rows, no self-joins.
+
+    → (doc_id, lang_pred, quality) of the surviving documents.
+    """
+    from eventhub_to_timescale_spark.operators.dedup import exact_dedup
+
+    deduped = exact_dedup(docs, text_col)
+    pred, _hits = language_id_col(F.col(text_col))
+    out = deduped.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        quality_col(F.col(text_col)).alias("quality"),
+    ).filter(F.col("quality") >= min_quality)
+    if keep_langs:
+        out = out.filter(F.col("lang_pred").isin(*keep_langs))
+    return out.orderBy("doc_id")
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 8) -> DataFrame:

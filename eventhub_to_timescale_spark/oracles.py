@@ -299,6 +299,44 @@ FROM n
 """
 
 
+def clean_corpus_oracle(min_quality: float = 0.5) -> str:
+    """Dedup (min doc_id per text) → lang-ID → quality filter, mirroring
+    operators.text.clean_corpus."""
+    hit_exprs = {
+        lang: (
+            "len(list_distinct(list_intersect("
+            "string_split(lower(text), ' '), "
+            "[" + ", ".join(f"'{m}'" for m in markers) + "])))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hit_exprs[lang]} > 0 AND {hit_exprs[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(hit_exprs)
+    )
+    stoplist = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH deduped AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), scored AS (
+  SELECT doc_id,
+         CASE {whens} ELSE 'und' END AS lang_pred,
+         ROUND(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+               + 0.3 * least(len(list_filter(string_split(lower(text), ' '),
+                                 x -> list_contains({stoplist}, x)))
+                             / len(string_split(text, ' ')) * 5, 1.0)
+               + 0.3 * (1.0 - least((length(text)
+                   - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')))
+                   / length(text) * 10, 1.0)), 6) AS quality
+  FROM deduped
+)
+SELECT doc_id, lang_pred, quality FROM scored
+WHERE quality >= {min_quality} ORDER BY doc_id
+"""
+
+
 def mm_blob_oracle() -> str:
     return """
 SELECT doc_id,
