@@ -95,6 +95,77 @@ def extract_blob_features(blobs: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes long"
+
+
+def resize_images(
+    blobs: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage.
+
+    Real deployment: PIL decode → resize → re-encode. Here the codec is
+    stubbed with a deterministic byte-level stand-in (truncate/cycle the
+    payload to width×height bytes) so the Spark plumbing — schema,
+    batch shape, binary round-trip — is real and tested."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable; pass fake=True"
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        bytes((p * (target // max(len(p), 1) + 1))[:target])
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Video frame-sampling as a one-to-many ``mapInPandas`` stage
+    (each blob row yields ``n_frames`` rows). Stub: evenly-split byte
+    chunks stand in for decoded frames; swap for ffmpeg in deployment."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs unavailable; pass fake=True"
+                )
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = p[i * step : (i + 1) * step] or b"\x00"
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame": chunk,
+                            "n_bytes": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )
+
+
 def blob_features_sql_checkable(blobs: DataFrame) -> DataFrame:
     """The oracle-comparable slice of the fake feature extractor
     (entropy excluded — no portable SQL equivalent)."""

@@ -1,0 +1,87 @@
+"""applyInPandasWithState change-point stream + multimodal resize/frame
+plumbing."""
+
+from __future__ import annotations
+
+import json
+
+from tests.conftest import make_envelope
+
+
+def test_streaming_changed_rows_stateful(spark, tmp_path):
+    """Stream-side Q8: across MULTIPLE micro-batches, only change
+    points are emitted — state (last value per subject) carries from
+    batch to batch."""
+    from eventhub_to_timescale_spark.streaming.pipeline import (
+        read_raw_stream,
+        stream_to_conditions,
+    )
+    from eventhub_to_timescale_spark.streaming.stateful import (
+        streaming_changed_rows,
+    )
+
+    def msg(sec, mode):
+        return make_envelope(
+            "homie/room/thermostat/mode",
+            mode,
+            timestamp=f"2024-02-01T10:00:{sec:02d}Z",
+        )
+
+    raw_dir = str(tmp_path / "raw")
+    # batch 1: auto, auto → 1 change point; batch 2 (separate file):
+    # auto (suppressed by carried state), heat → 1 change point
+    spark.createDataFrame(
+        [(msg(0, "auto"),), (msg(10, "auto"),)], "value string"
+    ).coalesce(1).write.mode("append").parquet(raw_dir)
+    spark.createDataFrame(
+        [(msg(20, "auto"),), (msg(30, "heat"),)], "value string"
+    ).coalesce(1).write.mode("append").parquet(raw_dir)
+
+    cond = stream_to_conditions(
+        read_raw_stream(spark, raw_dir, max_files_per_trigger=1)
+    )
+    q = (
+        streaming_changed_rows(cond)
+        .writeStream.format("memory")
+        .queryName("q8_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT value FROM q8_stream ORDER BY timestamp"
+    ).collect()
+    assert [r.value for r in rows] == ["auto", "heat"]
+
+
+def test_resize_images_plumbing(spark):
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        documents_as_blobs,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "s"), (2, "a much longer text body for the blob", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in resize_images(documents_as_blobs(docs), 8, 4).collect()}
+    assert all(len(r.payload) == 32 for r in out.values())
+    assert out[1].width == 8 and out[1].height == 4
+    # deterministic: short payloads cycle
+    assert bytes(out[1].payload)[:3] == b"abc" and bytes(out[1].payload)[3:6] == b"abc"
+
+
+def test_sample_frames_plumbing(spark):
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        documents_as_blobs,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef", "s")], "doc_id long, text string, source string"
+    )
+    rows = sample_frames(documents_as_blobs(docs), n_frames=4).collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert b"".join(bytes(r.frame) for r in rows) == b"0123456789abcdef"
+    assert all(r.n_bytes == 4 for r in rows)
