@@ -55,6 +55,14 @@ _METER_STRUCT = T.StructType(
                                 T.StructField("day", T.DoubleType()),
                                 T.StructField("week", T.DoubleType()),
                                 T.StructField("month", T.DoubleType()),
+                                # gas meters also publish volume leaves
+                                # — NOT ignore-keys, they fan out
+                                # (reference golden glow_gasmeter: 10
+                                # records incl. import_*vol)
+                                T.StructField("cumulativevol", T.DoubleType()),
+                                T.StructField("dayvol", T.DoubleType()),
+                                T.StructField("weekvol", T.DoubleType()),
+                                T.StructField("monthvol", T.DoubleType()),
                                 T.StructField(
                                     "price",
                                     T.StructType(
@@ -119,6 +127,10 @@ def glow_to_records(envelope_df: DataFrame) -> DataFrame:
         ("import_day", imp["day"], TYPE_NUMBER),
         ("import_week", imp["week"], TYPE_NUMBER),
         ("import_month", imp["month"], TYPE_NUMBER),
+        ("import_cumulativevol", imp["cumulativevol"], TYPE_NUMBER),
+        ("import_dayvol", imp["dayvol"], TYPE_NUMBER),
+        ("import_weekvol", imp["weekvol"], TYPE_NUMBER),
+        ("import_monthvol", imp["monthvol"], TYPE_NUMBER),
         ("import_unitrate", imp["price"]["unitrate"], TYPE_NUMBER),
         ("import_standingcharge", imp["price"]["standingcharge"], TYPE_NUMBER),
         # power_* applies to electricitymeter only (glow.py:44-55)

@@ -31,14 +31,26 @@ GLOW_ELEC_PAYLOAD = {
 }
 
 GLOW_GAS_PAYLOAD = {
+    # full gas shape from the reference golden glow_gasmeter: the four
+    # *vol leaves fan out (10 records), the *volunits/mprn/supplier
+    # keys are ignore-keys
     "gasmeter": {
         "timestamp": "2024-02-01T10:00:00Z",
         "energy": {
             "import": {
                 "cumulative": 1234.5,
                 "day": 2.0,
+                "week": 43.1,
+                "month": 3062.6,
                 "units": "kWh",
+                "cumulativevol": 1357.2,
                 "cumulativevolunits": "m3",
+                "dayvol": 43.1,
+                "weekvol": 43.1,
+                "monthvol": 3062.6,
+                "dayweekmonthvolunits": "kWh",
+                "mprn": "3057817410",
+                "supplier": "---",
                 "price": {"unitrate": 0.030, "standingcharge": 0.268},
             }
         },
@@ -85,15 +97,28 @@ def test_glow_electricitymeter(envelopes):
     assert "import_units" not in recs and "import_mpan" not in recs
 
 
-def test_glow_gasmeter_has_no_power(envelopes):
+def test_glow_gasmeter_full_record_set(envelopes):
+    # reference golden glow_gasmeter: exactly these 10, no power_*
     from eventhub_to_timescale_spark.ingest.glow import glow_to_records
 
     env = envelopes(
         [make_envelope("glow/XXXXXX/SENSOR/gasmeter", GLOW_GAS_PAYLOAD)]
     )
     recs = _records(glow_to_records(env))
-    assert "power_value" not in recs
+    assert set(recs) == {
+        "import_cumulative",
+        "import_day",
+        "import_week",
+        "import_month",
+        "import_cumulativevol",
+        "import_dayvol",
+        "import_weekvol",
+        "import_monthvol",
+        "import_unitrate",
+        "import_standingcharge",
+    }
     assert recs["import_cumulative"][0] == "1234.5"
+    assert recs["import_cumulativevol"][0] == "1357.2"
     assert recs["import_cumulative"][3] == "gasmeter"
 
 
