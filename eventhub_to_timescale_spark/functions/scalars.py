@@ -30,8 +30,14 @@ def parse_timestamp_any(col: Column) -> Column:
     is_epoch = s.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
     epoch = s.try_cast("double")
     epoch_ok = is_epoch & epoch.between(float(EPOCH_MIN), float(EPOCH_MAX))
+    # round (not truncate) to the nearest microsecond — matches CPython
+    # datetime.fromtimestamp, which the reference's formatter uses
+    # (helpers.py:83). epoch*1e6 is integer-exact in double up to 2^53
+    # (≈ year 2255); beyond that the microsecond part degrades, which
+    # the source double couldn't represent anyway
+    micros = F.round(epoch * F.lit(1_000_000.0)).cast("long")
     return (
-        F.when(epoch_ok, F.timestamp_seconds(epoch))
+        F.when(epoch_ok, F.timestamp_micros(micros))
         .when(is_epoch, F.lit(None).cast("timestamp"))
         .otherwise(F.to_timestamp(s))
     )

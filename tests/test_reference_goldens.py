@@ -1,0 +1,123 @@
+"""Run the REFERENCE's own captured golden messages
+(/root/reference/test_utils/test_data.json, read at test time — never
+copied) through this engine's converters and compare against the
+reference's expected record lists.
+
+Comparison normalizes the fields whose representation legitimately
+differs by design (documented in SURVEY §1.2):
+- correlation_id: reference derives it from EventHubEvent metadata /
+  uuid4; ours is per-message uuid/md5 → excluded.
+- timestamp: reference emits ISO strings; ours is TimestampType →
+  compared after formatting.
+- measurement_value: reference keeps native JSON types; ours carries a
+  string → compared after string-normalizing the expected value.
+- the stale 'time' record in the emon golden predates the converter's
+  ignore_keys=['time'] (emon.py:47) — current reference CODE drops it,
+  so we do too and it is excluded from the expectation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REF = "/root/reference/test_utils/test_data.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not available"
+)
+
+
+def _cases():
+    with open(REF) as f:
+        return json.load(f)
+
+
+def _norm_value(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        # JVM renders integral doubles as "1.0"
+        return f"{v:.1f}"
+    return str(v)
+
+
+def _run(spark, body: str, converter):
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+
+    env = parse_envelope(spark.createDataFrame([(body,)], "value string"))
+    rows = converter(env).collect()
+    return {
+        r.measurement_of: (
+            r.measurement_value,
+            r.measurement_data_type,
+            r.timestamp.strftime("%Y-%m-%dT%H:%M:%S.%fZ"),
+            r.measurement_subject,
+            r.measurement_publisher,
+        )
+        for r in rows
+    }
+
+
+@pytest.mark.parametrize(
+    "case,converter_name,drop_ofs",
+    [
+        ("glow_electricitymeter", "glow", ()),
+        ("glow_gasmeter", "glow", ()),
+        ("homie_mode", "homie", ()),
+        ("homie_measure_temperature", "homie", ()),
+        ("emontx4_json", "emon", ("time",)),
+    ],
+)
+def test_reference_golden_case(spark, case, converter_name, drop_ofs):
+    from eventhub_to_timescale_spark.ingest.emon import emon_to_records
+    from eventhub_to_timescale_spark.ingest.glow import glow_to_records
+    from eventhub_to_timescale_spark.ingest.homie import homie_to_records
+
+    converters = {
+        "glow": glow_to_records,
+        "homie": homie_to_records,
+        "emon": emon_to_records,
+    }
+    data = _cases()[case]
+    expected = json.loads(data["expected"])
+    got = _run(spark, data["properties"]["body"], converters[converter_name])
+
+    want = {
+        r["measurement_of"]: (
+            _norm_value(r["measurement_value"]),
+            r["measurement_data_type"],
+            r["timestamp"],
+            r["measurement_subject"],
+            r["measurement_publisher"],
+        )
+        for r in expected
+        if r["measurement_of"] not in drop_ofs
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "case,converter_name",
+    [
+        ("homie_heartbeat", "homie"),
+        ("emon_ignored", "emon"),
+        ("glow_ignored", "glow"),
+    ],
+)
+def test_reference_must_drop_case(spark, case, converter_name):
+    from eventhub_to_timescale_spark.ingest.emon import emon_to_records
+    from eventhub_to_timescale_spark.ingest.glow import glow_to_records
+    from eventhub_to_timescale_spark.ingest.homie import homie_to_records
+
+    converters = {
+        "glow": glow_to_records,
+        "homie": homie_to_records,
+        "emon": emon_to_records,
+    }
+    data = _cases()[case]
+    assert data["expected"] is None
+    got = _run(spark, data["properties"]["body"], converters[converter_name])
+    assert got == {}
