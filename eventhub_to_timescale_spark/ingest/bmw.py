@@ -102,6 +102,16 @@ def bmw_to_records(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
         .withColumn("rec_ts", parse_timestamp_any(F.col("last_updated_at")))
     )
 
+    # bool() coercion semantics (reference bmw_to_timescale.py:107):
+    # real booleans / "true"/"false" strings, AND numerics — the BMW
+    # API sends 0/1 ints (golden bmw_topic_messages.json) — nonzero →
+    # true
+    charger_raw = F.col("charging.isChargerConnected")
+    charger_bool = F.coalesce(
+        parse_bool(charger_raw),
+        F.when(charger_raw.try_cast("double").isNotNull(), charger_raw.try_cast("double") != 0),
+    )
+
     lat, lon = F.col("coords.latitude"), F.col("coords.longitude")
     coords_ok = lat.isNotNull() & lon.isNotNull() & lat.between(-90, 90) & lon.between(
         -180, 180
@@ -114,11 +124,7 @@ def bmw_to_records(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
     fields = [
         ("chargingLevelPercent", F.col("charging.chargingLevelPercent"), TYPE_NUMBER),
         ("range", F.col("charging.range"), TYPE_NUMBER),
-        (
-            "isChargerConnected",
-            parse_bool(F.col("charging.isChargerConnected")),
-            TYPE_BOOLEAN,
-        ),
+        ("isChargerConnected", charger_bool, TYPE_BOOLEAN),
         ("chargingStatus", F.col("charging.chargingStatus"), TYPE_STRING),
         (
             "currentMileage",

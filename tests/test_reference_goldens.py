@@ -99,6 +99,30 @@ def test_reference_golden_case(spark, case, converter_name, drop_ofs):
     assert got == want
 
 
+BMW_REF = "/root/reference/shared_code/test/bmw_topic_messages.json"
+
+
+@pytest.mark.skipif(not os.path.exists(BMW_REF), reason="reference absent")
+def test_reference_bmw_golden_messages(spark):
+    """3 captured snapshots, one an exact duplicate key → 2 survivors ×
+    6 records; isChargerConnected arrives as INT 0 (bool() coercion)."""
+    from eventhub_to_timescale_spark.ingest.bmw import bmw_to_records
+
+    with open(BMW_REF) as f:
+        msgs = json.load(f)
+    df = spark.createDataFrame([(json.dumps(m),) for m in msgs], "value string")
+    rows = bmw_to_records(df).collect()
+    assert len(rows) == 12  # 2 distinct (vin, lastUpdatedAt) × 6 fields
+    by_key = {(r.correlation_id, r.measurement_of): r for r in rows}
+    charger = by_key[("2023-10-27T21:55:00.0000000Z", "isChargerConnected")]
+    assert charger.measurement_value == "false"  # INT 0 → bool() → false
+    assert charger.measurement_data_type == "boolean"
+    coords = by_key[("2023-10-27T21:55:00.0000000Z", "coordinates")]
+    assert coords.measurement_value == "[12.34567890123456, 34.56789012345678]"
+    mileage = by_key[("2023-10-27T21:56:00.0000000Z", "currentMileage")]
+    assert mileage.measurement_value == "2085"
+
+
 @pytest.mark.parametrize(
     "case,converter_name",
     [
