@@ -1,0 +1,82 @@
+"""S5 sink ↔ S3 source closure + v1 batch envelope + record validation."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+
+def _records_df(spark):
+    return spark.createDataFrame(
+        [
+            (datetime(2024, 2, 1, 12), "s1", "pub", "temp", "21.5", "number", "c1"),
+            (datetime(2024, 2, 1, 13), "s2", "pub", "mode", "auto", "string", "c2"),
+        ],
+        "timestamp timestamp, measurement_subject string, "
+        "measurement_publisher string, measurement_of string, "
+        "measurement_value string, measurement_data_type string, "
+        "correlation_id string",
+    )
+
+
+def test_sink_source_roundtrip(spark):
+    from eventhub_to_timescale_spark.ingest.records import parse_record_messages
+    from eventhub_to_timescale_spark.sinks.messages import records_to_messages
+
+    wire = records_to_messages(_records_df(spark))
+    back = parse_record_messages(wire)
+    rows = {r.measurement_of: r for r in back.collect()}
+    assert rows["temp"].timestamp == datetime(2024, 2, 1, 12)
+    assert rows["temp"].measurement_value == "21.5"
+    assert rows["mode"].correlation_id == "c2"
+    assert back.count() == 2
+
+
+def test_v1_batch_envelope_explodes(spark):
+    from eventhub_to_timescale_spark.ingest.records import parse_record_batches
+
+    batch = json.dumps(
+        [
+            {
+                "timestamp": "2024-02-01T12:00:00Z",
+                "measurement_subject": "s1",
+                "measurement_publisher": "p",
+                "measurement_of": "a",
+                "measurement_value": "1",
+                "measurement_data_type": "number",
+                "correlation_id": "c",
+            },
+            {
+                "timestamp": "2024-02-01T12:01:00Z",
+                "measurement_subject": "s1",
+                "measurement_publisher": "p",
+                "measurement_of": "b",
+                "measurement_value": "x",
+                "measurement_data_type": "string",
+                "correlation_id": "c",
+            },
+        ]
+    )
+    df = spark.createDataFrame([(batch,)], "value string")
+    out = parse_record_batches(df)
+    assert out.count() == 2
+    assert {r.measurement_of for r in out.collect()} == {"a", "b"}
+
+
+def test_validate_records_split(spark):
+    from eventhub_to_timescale_spark.ingest.records import validate_records
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 2, 1), "s", "p", "ok", "1", "number", None),
+            (datetime(2024, 2, 1), None, "p", "no_subject", "1", "number", "c"),
+            (datetime(2024, 2, 1), "s", "p", "bad_type", "1", "integer", "c"),
+        ],
+        "timestamp timestamp, measurement_subject string, "
+        "measurement_publisher string, measurement_of string, "
+        "measurement_value string, measurement_data_type string, "
+        "correlation_id string",
+    )
+    valid, rejects = validate_records(df)
+    assert [r.measurement_of for r in valid.collect()] == ["ok"]  # null cid OK
+    assert {r.measurement_of for r in rejects.collect()} == {"no_subject", "bad_type"}
