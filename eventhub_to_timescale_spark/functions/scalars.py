@@ -45,8 +45,14 @@ def parse_timestamp_any(col: Column) -> Column:
 
 def iso_utc_string(ts: Column) -> Column:
     """TimestampType → reference's canonical `%Y-%m-%dT%H:%M:%S.%fZ`
-    string (helpers.py:83,89) for sink/interop edges only."""
-    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    string (helpers.py:83,89) for sink/interop edges only.
+
+    Renders the instant's UTC wall time regardless of the session
+    timezone — ``date_format`` alone renders session-local time, which
+    under a non-UTC host session would pair local wall clock with a
+    literal 'Z' and shift every consumed timestamp by the offset."""
+    utc = F.to_utc_timestamp(ts, F.current_timezone())
+    return F.date_format(utc, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
 
 def parse_bool(col: Column) -> Column:

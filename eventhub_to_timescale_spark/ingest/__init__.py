@@ -7,3 +7,8 @@ from eventhub_to_timescale_spark.ingest.homie import homie_to_records  # noqa: F
 from eventhub_to_timescale_spark.ingest.emon import emon_to_records  # noqa: F401
 from eventhub_to_timescale_spark.ingest.bmw import bmw_to_records  # noqa: F401
 from eventhub_to_timescale_spark.ingest.router import route_to_records  # noqa: F401
+from eventhub_to_timescale_spark.ingest.records import (  # noqa: F401
+    parse_record_batches,
+    parse_record_messages,
+    validate_records,
+)

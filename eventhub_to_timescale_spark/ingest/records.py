@@ -7,11 +7,22 @@
   ``sinks.messages.records_to_messages``.
 - ``parse_record_batches``: the older v1.0.0 array-of-records batch
   envelope (reference test/timeseries.json — an array whose items are
-  records); one message → many records via ``explode``.
+  records); one message → many records via ``explode_outer`` so a
+  malformed batch still surfaces as a (raw, all-null) dead-letter row
+  instead of vanishing.
 - ``validate_records``: the sink-side JSON-Schema contract (reference
-  timescale.py:105 + validate_all_fields_in_record :127-141) as a
-  filter pair: 6 required fields, known type tag. Returns
-  (valid, rejects) so callers route the dead letters.
+  timescale.py:105 + validate_all_fields_in_record:127-141) as a
+  filter pair: 7 required fields (correlation_id included — the
+  reference KeyErrors without it), known type tag. Returns
+  (valid, rejects); reject rows keep the ``raw`` message when the
+  input carried one, so dead letters are loggable/replayable.
+
+Documented narrowings vs the reference validator (both supersets on
+the accept side, flagged rather than hidden):
+- ``from_json`` cannot enforce ``additionalProperties: false`` —
+  unknown extra fields are ignored, not rejected;
+- timestamps are parsed with the engine's lenient parser (epoch or
+  ISO), where the JSON Schema requires a date-time string.
 """
 
 from __future__ import annotations
@@ -22,57 +33,59 @@ from pyspark.sql import types as T
 
 from eventhub_to_timescale_spark.functions.scalars import parse_timestamp_any
 from eventhub_to_timescale_spark.ingest.envelope import materialize
-from eventhub_to_timescale_spark.schema import PAYLOAD_TYPES
+from eventhub_to_timescale_spark.schema import (
+    ATOMIC_RECORD_COLUMNS,
+    PAYLOAD_TYPES,
+)
 
+# wire-format struct: canonical column list, all strings (typed parse
+# happens in _project) — derived from the single source of truth in
+# schema.py so the lists cannot drift
 _RECORD_STRUCT = T.StructType(
-    [
-        T.StructField("timestamp", T.StringType()),
-        T.StructField("measurement_subject", T.StringType()),
-        T.StructField("measurement_publisher", T.StringType()),
-        T.StructField("measurement_of", T.StringType()),
-        T.StructField("measurement_value", T.StringType()),
-        T.StructField("measurement_data_type", T.StringType()),
-        T.StructField("correlation_id", T.StringType()),
-    ]
+    [T.StructField(name, T.StringType()) for name in ATOMIC_RECORD_COLUMNS]
 )
 
 
-def _project(df: DataFrame, rec: str) -> DataFrame:
-    return df.select(
+def _project(df: DataFrame, rec: str, keep_raw: bool = True) -> DataFrame:
+    cols = [
         parse_timestamp_any(F.col(f"{rec}.timestamp")).alias("timestamp"),
-        F.col(f"{rec}.measurement_subject").alias("measurement_subject"),
-        F.col(f"{rec}.measurement_publisher").alias("measurement_publisher"),
-        F.col(f"{rec}.measurement_of").alias("measurement_of"),
-        F.col(f"{rec}.measurement_value").alias("measurement_value"),
-        F.col(f"{rec}.measurement_data_type").alias("measurement_data_type"),
-        F.col(f"{rec}.correlation_id").alias("correlation_id"),
-    )
+        *[
+            F.col(f"{rec}.{name}").alias(name)
+            for name in ATOMIC_RECORD_COLUMNS
+            if name != "timestamp"
+        ],
+    ]
+    if keep_raw:
+        cols.append(F.col("raw"))
+    return df.select(*cols)
 
 
 def parse_record_messages(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
-    """One JSON record per message (v2.0.0) → canonical records."""
+    """One JSON record per message (v2.0.0) → canonical records, plus
+    the original ``raw`` message for the dead-letter channel."""
     df = materialize(
-        raw_df, F.from_json(F.col(raw_col).cast("string"), _RECORD_STRUCT), "rec"
+        raw_df.withColumn("raw", F.col(raw_col).cast("string")),
+        F.from_json(F.col(raw_col).cast("string"), _RECORD_STRUCT),
+        "rec",
     )
     return _project(df, "rec")
 
 
 def parse_record_batches(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
-    """v1.0.0 array-of-records batch envelope → canonical records
-    (one message explodes into many)."""
+    """v1.0.0 array-of-records batch envelope → canonical records (one
+    message explodes into many). ``explode_outer`` keeps a malformed
+    batch as one (raw, nulls) row for the reject channel."""
     arr = F.from_json(F.col(raw_col).cast("string"), T.ArrayType(_RECORD_STRUCT))
-    df = raw_df.select(F.explode(arr).alias("rec"))
+    df = raw_df.withColumn("raw", F.col(raw_col).cast("string")).select(
+        "raw", F.explode_outer(arr).alias("rec")
+    )
     return _project(df, "rec")
 
 
-_REQUIRED = (
-    "timestamp",
-    "measurement_subject",
-    "measurement_publisher",
-    "measurement_of",
-    "measurement_value",
-    "measurement_data_type",
-)
+# the reference requires all 7 fields at the sink
+# (validate_all_fields_in_record, timescale.py:127-141; a missing
+# correlation_id KeyErrors into the error channel)
+_REQUIRED = tuple(ATOMIC_RECORD_COLUMNS)
 
 
 def _valid_predicate():
@@ -83,8 +96,13 @@ def _valid_predicate():
 
 
 def validate_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """→ (valid, rejects): the reference's closed-schema validation
-    (6 required fields, correlation_id optional, type tag ∈ the 4
-    payload types) as a declarative split."""
+    """→ (valid, rejects). NOTE: the two returned frames are
+    independent plans over the same input — a caller consuming both
+    should ``persist()`` the input (or the parse upstream) to avoid
+    re-parsing each message twice."""
     pred = _valid_predicate()
-    return records.filter(pred), records.filter(~F.coalesce(pred, F.lit(False)))
+    valid = records.filter(pred)
+    rejects = records.filter(~F.coalesce(pred, F.lit(False)))
+    if "raw" in records.columns:
+        valid = valid.drop("raw")
+    return valid, rejects

@@ -68,7 +68,10 @@ def test_validate_records_split(spark):
 
     df = spark.createDataFrame(
         [
-            (datetime(2024, 2, 1), "s", "p", "ok", "1", "number", None),
+            (datetime(2024, 2, 1), "s", "p", "ok", "1", "number", "c"),
+            # reference KeyErrors on missing correlation_id
+            # (timescale.py validate_all_fields_in_record) → reject
+            (datetime(2024, 2, 1), "s", "p", "no_cid", "1", "number", None),
             (datetime(2024, 2, 1), None, "p", "no_subject", "1", "number", "c"),
             (datetime(2024, 2, 1), "s", "p", "bad_type", "1", "integer", "c"),
         ],
@@ -78,5 +81,39 @@ def test_validate_records_split(spark):
         "correlation_id string",
     )
     valid, rejects = validate_records(df)
-    assert [r.measurement_of for r in valid.collect()] == ["ok"]  # null cid OK
-    assert {r.measurement_of for r in rejects.collect()} == {"no_subject", "bad_type"}
+    assert [r.measurement_of for r in valid.collect()] == ["ok"]
+    assert {r.measurement_of for r in rejects.collect()} == {
+        "no_cid",
+        "no_subject",
+        "bad_type",
+    }
+
+
+def test_malformed_messages_keep_raw_for_dead_letter(spark):
+    from eventhub_to_timescale_spark.ingest.records import (
+        parse_record_batches,
+        parse_record_messages,
+        validate_records,
+    )
+
+    good = json.dumps(
+        {
+            "timestamp": "2024-02-01T12:00:00Z",
+            "measurement_subject": "s",
+            "measurement_publisher": "p",
+            "measurement_of": "m",
+            "measurement_value": "1",
+            "measurement_data_type": "number",
+            "correlation_id": "c",
+        }
+    )
+    df = spark.createDataFrame([(good,), ("not json",)], "value string")
+    _, rejects = validate_records(parse_record_messages(df))
+    assert [r.raw for r in rejects.collect()] == ["not json"]
+
+    # v1 batch: malformed batch message must surface, not vanish
+    bdf = spark.createDataFrame([(f"[{good}]",), ("garbage",)], "value string")
+    parsed = parse_record_batches(bdf)
+    assert parsed.count() == 2
+    _, brejects = validate_records(parsed)
+    assert [r.raw for r in brejects.collect()] == ["garbage"]
