@@ -15,6 +15,15 @@ synthesized publisher messages.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the engine package lives beside this file; make its import robust to
+# whatever cwd/sys.path the driver process uses
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
 from collections.abc import Callable
 from datetime import datetime
 
