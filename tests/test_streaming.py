@@ -88,6 +88,39 @@ def test_stream_idempotent_redelivery(spark, tmpdir):
     assert spark.read.parquet(f"{tmpdir}/out").count() == 2
 
 
+def test_stream_checkpoint_resume_processes_only_new_files(spark, tmpdir):
+    """Restarting with the SAME checkpoint must consume only data that
+    arrived since the last run (exactly-once source progress)."""
+    from eventhub_to_timescale_spark.streaming.pipeline import (
+        read_raw_stream,
+        stream_to_conditions,
+        write_conditions_stream,
+    )
+
+    def run():
+        q = write_conditions_stream(
+            stream_to_conditions(read_raw_stream(spark, f"{tmpdir}/raw")),
+            f"{tmpdir}/out",
+            f"{tmpdir}/ckpt",  # SAME checkpoint across runs
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    _write_raw(
+        spark, tmpdir, [make_envelope("emon/emonTx4", {"time": 1706777400, "P1": 1})]
+    )
+    run()
+    assert spark.read.parquet(f"{tmpdir}/out").count() == 1
+    # new file arrives; old one must not be re-processed
+    _write_raw(
+        spark, tmpdir, [make_envelope("emon/emonTx4", {"time": 1706777460, "P1": 2})]
+    )
+    run()
+    out = spark.read.parquet(f"{tmpdir}/out")
+    assert out.count() == 2
+    assert {r.measurement_number for r in out.collect()} == {1.0, 2.0}
+
+
 def test_stream_dedup_within_watermark(spark, tmpdir):
     from eventhub_to_timescale_spark.streaming.pipeline import dedup_stream
 
