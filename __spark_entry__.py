@@ -126,6 +126,14 @@ def _q6_asap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from eventhub_to_timescale_spark.operators.asap import lttb_downsample
+
+    return lttb_downsample(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, resolution=200
+    )
+
+
 def _q6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.asap import moving_average_smooth
 
@@ -436,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_timeweight_locf": _q5_locf,
         "q5_timeweight_linear": _q5_linear,
         "q6_asap_smooth": _q6_asap,
+        # q6_lttb: sequential point selection — rows-only check like ASAP
+        "q6_lttb_downsample": _q6_lttb,
         "q6_moving_avg": _q6_moving_avg,
         "q1_all_subjects": _q1_all_subjects,
         "q7_unique_subjects": _q7_subjects,

@@ -135,6 +135,72 @@ def moving_average_smooth(
     ).orderBy("time")
 
 
+def lttb_core(ts: np.ndarray, vs: np.ndarray, n_out: int) -> tuple[np.ndarray, np.ndarray]:
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013): downsample to
+    ``n_out`` points preserving visual shape — first/last points kept,
+    each middle bucket contributes the point forming the largest
+    triangle with the previous pick and the next bucket's centroid."""
+    n = len(vs)
+    if n_out >= n or n_out < 3:
+        return ts, vs
+    t = ts.astype("datetime64[us]").astype("int64").astype(float) if ts.dtype.kind == "M" else ts.astype(float)
+    idx_out = [0]
+    bucket_edges = np.linspace(1, n - 1, n_out - 1).round().astype(int)
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bucket_edges[i], bucket_edges[i + 1]
+        nlo, nhi = hi, bucket_edges[i + 2] if i + 2 < len(bucket_edges) else n
+        cx, cy = t[nlo:nhi].mean(), vs[nlo:nhi].mean()
+        ax, ay = t[a], vs[a]
+        areas = np.abs(
+            (ax - cx) * (vs[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+        )
+        a = lo + int(areas.argmax())
+        idx_out.append(a)
+    idx_out.append(n - 1)
+    sel = np.array(idx_out)
+    return ts[sel], vs[sel]
+
+
+def lttb_downsample(
+    conditions: DataFrame,
+    subject: str,
+    of: str,
+    start: datetime,
+    end: datetime,
+    resolution: int = 500,
+) -> DataFrame:
+    """→ (time, value): LTTB plotting downsample of one series —
+    the shape-preserving alternative to ASAP's smoothing (Grafana's
+    own downsampler). Same execution shape as ``asap_smooth``: filters
+    + pre-aggregation stay in codegen, the sequential selection runs
+    once per bounded series in Arrow-batched pandas."""
+    sliced = (
+        conditions.filter(F.col("timestamp").between(start, end))
+        .filter(F.col("measurement_subject") == subject)
+        .filter(F.col("measurement_of") == of)
+        .filter(F.col("measurement_number").isNotNull())
+    )
+    pre_bucket = resolution_bucket_seconds(start, end, resolution * 4)
+    grid = sliced.groupBy(
+        epoch_bucket(F.col("timestamp"), pre_bucket).alias("time")
+    ).agg(F.avg("measurement_number").alias("value"))
+
+    def _sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        t, v = lttb_core(
+            pdf["time"].to_numpy(), pdf["value"].to_numpy(dtype=float), resolution
+        )
+        return pd.DataFrame({"time": t, "value": v})
+
+    return (
+        grid.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_sample, schema="time timestamp, value double")
+        .orderBy("time")
+    )
+
+
 def asap_smooth(
     conditions: DataFrame,
     subject: str,

@@ -162,6 +162,37 @@ def test_q9_state_intervals_close_open_end(spark):
     ]
 
 
+def test_lttb_core_preserves_endpoints_and_spikes():
+    import numpy as np
+
+    from eventhub_to_timescale_spark.operators.asap import lttb_core
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(0, 0.1, size=2000)
+    v[777] = 50.0  # spike the triangle test must keep
+    t = np.arange(2000).astype(float)
+    t2, v2 = lttb_core(t, v, 100)
+    assert len(v2) == 100
+    assert t2[0] == 0 and t2[-1] == 1999  # endpoints kept
+    assert v2.max() == 50.0  # spike survives
+
+
+def test_lttb_downsample_dataframe(spark):
+    from datetime import timedelta
+
+    from eventhub_to_timescale_spark.operators.asap import lttb_downsample
+
+    rows = [
+        _row(T0 + timedelta(minutes=i), num=float(i % 7)) for i in range(500)
+    ]
+    df = _cond(spark, rows)
+    out = lttb_downsample(
+        df, "s1", "temp", T0, datetime(2024, 1, 2), resolution=50
+    ).collect()
+    assert 3 <= len(out) <= 50
+    assert out[0].time == T0  # first point preserved
+
+
 def test_asap_core_reduces_roughness_preserving_spikes():
     # ASAP's constraint is kurtosis preservation: smoothing must keep
     # outliers visible. A spiky noisy series is the target case —
