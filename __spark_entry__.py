@@ -121,16 +121,21 @@ def _q5_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q6_asap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.asap import asap_smooth
 
+    # user_8 / resolution 16: at sf0.01 the ACF-guided window search
+    # actually selects w=4 (not the w=1 fallback) AND the stride
+    # downsample fires, so the oracle exercises every code path
     return asap_smooth(
-        _conditions(spark, sf_dir), "user_7", "value", START, END, resolution=200
+        _conditions(spark, sf_dir), "user_8", "value", START, END, resolution=16
     )
 
 
 def _q6_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.asap import lttb_downsample
 
+    # resolution 24 < grid size at every sf → the triangle-area pick
+    # sequence genuinely runs (at 200 it was a passthrough)
     return lttb_downsample(
-        _conditions(spark, sf_dir), "user_7", "value", START, END, resolution=200
+        _conditions(spark, sf_dir), "user_7", "value", START, END, resolution=24
     )
 
 
@@ -444,7 +449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_timeweight_locf": _q5_locf,
         "q5_timeweight_linear": _q5_linear,
         "q6_asap_smooth": _q6_asap,
-        # q6_lttb: sequential point selection — rows-only check like ASAP
         "q6_lttb_downsample": _q6_lttb,
         "q6_moving_avg": _q6_moving_avg,
         "q1_all_subjects": _q1_all_subjects,
@@ -464,8 +468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding,
         "sim_cosine_topk": _sim_topk,
         "sim_ann_lsh": _sim_ann_lsh,
-        # sim_ivf_topk: k-means quantizer has no tractable SQL oracle →
-        # rows-only check; recall vs brute force asserted in pytest
         "sim_ivf_topk": _sim_ivf,
         "text_language_id": _text_langid,
         "text_quality_score": _text_quality,
@@ -705,7 +707,16 @@ ORDER BY measurement_publisher, measurement_of
         "q4_mode_adaptive": q4,
         "q5_timeweight_locf": q5_locf,
         "q5_timeweight_linear": q5_linear,
-        # q6_asap_smooth: custom smoothing (applyInPandas) — rows-only check
+        # LTTB pick sequence = recursive CTE; ASAP window search = plain
+        # SQL over the same 6dp-pre-rounded grid the Spark side selects
+        # from. bucket widths: span/(res×4) → 27000 s (lttb), 40500 s
+        # (asap). Contract params pinned in _q6_lttb/_q6_asap above.
+        "q6_asap_smooth": oc.asap_oracle(
+            cond, "user_8", bucket.format(w=40500), in_range, 16
+        ),
+        "q6_lttb_downsample": oc.lttb_oracle(
+            cond, "user_7", bucket.format(w=27000), in_range, 24
+        ),
         "q6_moving_avg": q6_moving,
         "q1_all_subjects": q1_all,
         "q7_unique_subjects": q7,
@@ -724,6 +735,16 @@ ORDER BY measurement_publisher, measurement_of
         "dedup_embedding_cosine": oc.embedding_neardup_oracle(0.3, 8, 64),
         "sim_cosine_topk": oc.sim_topk_oracle(8, 5),
         "sim_ann_lsh": oc.sim_ann_lsh_oracle(8, 5, 8, 64),
+        # the driver's correctness gate runs at sf0.01; the env override
+        # lets scripts/check_parity.py point the centroid trainer at the
+        # sf dir it's checking (centroids are data-dependent literals)
+        "sim_ivf_topk": oc.sim_ivf_oracle(
+            os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+            )
+            + "/embeddings.parquet",
+            8, 5, 16, 4,
+        ),
         "text_language_id": oc.text_langid_oracle(),
         "text_quality_score": oc.text_quality_oracle(),
         "text_token_stats": oc.text_tokens_oracle(),

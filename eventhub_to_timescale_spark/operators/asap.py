@@ -95,9 +95,11 @@ def asap_core(ts: np.ndarray, vs: np.ndarray, resolution: int) -> tuple[np.ndarr
     sm = _sma(vs, best_w)
     t_out = ts[best_w - 1 :] if best_w > 1 else ts
     # downsample to resolution points (stride sampling — ASAP's output
-    # is for plotting; stride preserves shape after smoothing)
+    # is for plotting; stride preserves shape after smoothing).
+    # floor(x + 0.5) instead of np.round: half-up is reproducible in
+    # plain SQL (the DuckDB oracle), banker's rounding is not.
     if len(sm) > resolution:
-        idx = np.linspace(0, len(sm) - 1, resolution).round().astype(int)
+        idx = np.floor(np.linspace(0, len(sm) - 1, resolution) + 0.5).astype(int)
         sm = sm[idx]
         t_out = t_out[idx]
     return t_out, sm
@@ -145,7 +147,8 @@ def lttb_core(ts: np.ndarray, vs: np.ndarray, n_out: int) -> tuple[np.ndarray, n
         return ts, vs
     t = ts.astype("datetime64[us]").astype("int64").astype(float) if ts.dtype.kind == "M" else ts.astype(float)
     idx_out = [0]
-    bucket_edges = np.linspace(1, n - 1, n_out - 1).round().astype(int)
+    # floor(x + 0.5) half-up rounding: SQL-portable (see asap_core note)
+    bucket_edges = np.floor(np.linspace(1, n - 1, n_out - 1) + 0.5).astype(int)
     a = 0
     for i in range(n_out - 2):
         lo, hi = bucket_edges[i], bucket_edges[i + 1]
@@ -182,9 +185,13 @@ def lttb_downsample(
         .filter(F.col("measurement_number").isNotNull())
     )
     pre_bucket = resolution_bucket_seconds(start, end, resolution * 4)
+    # grid values rounded to 6dp BEFORE selection: both engines (Spark
+    # here, DuckDB in the oracle) then run the deterministic selection
+    # on bit-identical inputs, so the picked indexes can't diverge on
+    # last-ulp aggregation-order noise
     grid = sliced.groupBy(
         epoch_bucket(F.col("timestamp"), pre_bucket).alias("time")
-    ).agg(F.avg("measurement_number").alias("value"))
+    ).agg(F.round(F.avg("measurement_number"), 6).alias("value"))
 
     def _sample(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("time")
@@ -219,11 +226,13 @@ def asap_smooth(
     # pre-aggregate to a bounded regular grid (resolution×4 buckets) so
     # the pandas stage sees O(resolution) points no matter the raw size
     pre_bucket = resolution_bucket_seconds(start, end, resolution * 4)
+    # 6dp-rounded grid: the oracle's window search runs on bit-identical
+    # inputs (see lttb_downsample note)
     grid = (
         sliced.groupBy(
             epoch_bucket(F.col("timestamp"), pre_bucket).alias("time")
         )
-        .agg(F.avg("measurement_number").alias("value"))
+        .agg(F.round(F.avg("measurement_number"), 6).alias("value"))
     )
 
     def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -237,5 +246,6 @@ def asap_smooth(
         grid.withColumn("g", F.lit(1))
         .groupBy("g")
         .applyInPandas(_smooth, schema=_OUT_SCHEMA)
+        .select("time", F.round("smoothed_value", 6).alias("smoothed_value"))
         .orderBy("time")
     )

@@ -145,6 +145,21 @@ def cosine_topk_lsh(
     )
 
 
+def _lloyd(x, n_centroids: int, iters: int):
+    """Deterministic Lloyd iterations (shared by the Spark trainer and
+    the DuckDB-oracle trainer, so both sides see bit-identical
+    centroids). Init = the first ``n_centroids`` rows; no RNG."""
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -166,15 +181,36 @@ def train_ivf_centroids(
         .collect()
     )
     x = np.array([r.v for r in sample], dtype=float)
-    cents = x[:n_centroids].copy()
-    for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(n_centroids):
-            members = x[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
+    cents = _lloyd(x, n_centroids, iters)
     return [[float(v) for v in c] for c in cents]
+
+
+def ivf_centroids_from_parquet(
+    parquet_path: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_size: int = 2048,
+):
+    """Recompute the exact centroids ``train_ivf_centroids`` produces,
+    reading the parquet directly (no Spark) — used by the DuckDB
+    correctness oracle. float32→float64 widening is exact in both
+    engines and the sample order (vec_id ASC) matches, so the shared
+    ``_lloyd`` yields bit-identical centroids. Returns (centroids,
+    c_sq) as numpy arrays, c_sq computed with the same expression the
+    vectorized assignment UDF uses."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding::DOUBLE[] FROM read_parquet(?) "
+        "ORDER BY vec_id LIMIT ?",
+        [parquet_path, sample_size],
+    ).fetchall()
+    con.close()
+    x = np.array([r[0] for r in rows], dtype=float)
+    cents = _lloyd(x, n_centroids, iters)
+    return cents, (cents * cents).sum(axis=1)
 
 
 def _cell_id_udf(centroids: list[list[float]]):
@@ -233,7 +269,9 @@ def ivf_topk(
     probe_rows = []
     for r in qrows:
         d = ((np.array(r.qv)[None, :] - c) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:nprobe]:
+        # stable sort: distance ties break toward the lower cell id,
+        # matching the oracle's row_number(ORDER BY dist, cell)
+        for cell in np.argsort(d, kind="stable")[:nprobe]:
             probe_rows.append((r.vec_id, [float(x) for x in r.qv], int(cell)))
     spark = embeddings.sparkSession
     probes = spark.createDataFrame(

@@ -344,3 +344,281 @@ SELECT doc_id,
        sha256(text) AS sha256
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Q6 plotting downsamplers (LTTB / ASAP) and IVF top-k — the three
+# operators whose selection logic is sequential. LTTB replays the exact
+# pick sequence with a recursive CTE; ASAP's window search is plain
+# (non-recursive) SQL; IVF embeds the deterministic k-means centroids
+# (recomputed from the same parquet by the shared ``_lloyd`` core) as
+# literals. All three run on 6dp-pre-rounded grid values / rounded
+# cosines so cross-engine float-fold noise can't flip a comparison.
+# ---------------------------------------------------------------------------
+
+
+def _q6_grid(cond: str, subject: str, bucket_sql: str, in_range: str) -> str:
+    """The shared pre-aggregation grid: one series, 6dp-rounded bucket
+    averages — bit-identical to the Spark side's grid (operators/asap.py
+    lttb_downsample/asap_smooth round before selection)."""
+    return f"""
+SELECT {bucket_sql} AS time, ROUND(AVG(measurement_number), 6) AS value
+FROM {cond} c
+WHERE measurement_subject = '{subject}' AND measurement_of = 'value'
+  AND measurement_number IS NOT NULL AND {in_range}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def lttb_oracle(cond: str, subject: str, bucket_sql: str, in_range: str,
+                n_out: int) -> str:
+    """LTTB (Steinarsson 2013) pick sequence as a DuckDB recursive CTE.
+
+    Mirrors operators/asap.py:lttb_core exactly: bucket edges =
+    floor(linspace(1, n-1, n_out-1) + 0.5) (last pinned to n-1, matching
+    np.linspace's exact endpoint), per-step argmax of the triangle area
+    vs the previous pick and the next bucket's centroid, ties → lowest
+    index (np.argmax takes the first maximum). Passthrough when
+    n <= n_out or n_out < 3, like the Python core."""
+    grid = _q6_grid(cond, subject, bucket_sql, in_range)
+    return f"""
+WITH RECURSIVE grid AS ({grid}),
+g AS (
+  SELECT row_number() OVER (ORDER BY time) - 1 AS rn,
+         epoch_us(time)::DOUBLE AS t, time, value AS v
+  FROM grid
+),
+p AS (SELECT count(*)::BIGINT AS n FROM g),
+edges AS (
+  SELECT k,
+         CASE WHEN k = {n_out} - 2 THEN n - 1
+              ELSE CAST(floor(1.0 + k * ((n - 2.0) / ({n_out}.0 - 2.0)) + 0.5)
+                        AS BIGINT) END AS e
+  FROM p, range({n_out} - 1) r(k)
+),
+buckets AS (
+  SELECT e1.k AS i, e1.e AS lo, e2.e AS hi,
+         e2.e AS nlo, COALESCE(e3.e, p.n) AS nhi
+  FROM p, edges e1
+  JOIN edges e2 ON e2.k = e1.k + 1
+  LEFT JOIN edges e3 ON e3.k = e1.k + 2
+  WHERE e1.k <= {n_out} - 3
+),
+cents AS (
+  SELECT b.i, b.lo, b.hi, AVG(g.t) AS cx, AVG(g.v) AS cy
+  FROM buckets b JOIN g ON g.rn >= b.nlo AND g.rn < b.nhi
+  GROUP BY b.i, b.lo, b.hi
+),
+sel AS (
+  SELECT -1 AS i, CAST(0 AS BIGINT) AS a
+  UNION ALL
+  SELECT c.i,
+    (SELECT g2.rn FROM g g2
+      WHERE g2.rn >= c.lo AND g2.rn < c.hi
+      ORDER BY abs((ga.t - c.cx) * (g2.v - ga.v)
+                   - (ga.t - g2.t) * (c.cy - ga.v)) DESC, g2.rn ASC
+      LIMIT 1) AS a
+  FROM sel s
+  JOIN cents c ON c.i = s.i + 1
+  JOIN g ga ON ga.rn = s.a
+)
+SELECT time, v AS value FROM g, p
+WHERE p.n <= {n_out} OR {n_out} < 3
+   OR rn IN (SELECT a FROM sel UNION ALL SELECT n - 1 FROM p)
+ORDER BY time
+"""
+
+
+def asap_oracle(cond: str, subject: str, bucket_sql: str, in_range: str,
+                resolution: int) -> str:
+    """ASAP (Rong & Bailis, VLDB'17) window search in plain SQL.
+
+    Mirrors operators/asap.py:asap_core: ACF peaks (lag 2..max_lag-1,
+    value > both neighbors and > 0.2) ∪ a stride grid of candidate
+    windows; SMA per candidate (sum of v·(1/w), matching np.convolve's
+    product-then-sum); pick = min roughness among candidates with
+    kurtosis ≥ original and roughness < original, ties → smallest w,
+    fallback w=1; stride-downsample to ``resolution`` points with
+    floor(x+0.5) half-up rounding. Candidate/lag ranges use a fixed
+    range(4096) + filter because DuckDB's range() can't take lateral
+    column parameters; 4096 safely exceeds any grid (≤ resolution×4)."""
+    grid = _q6_grid(cond, subject, bucket_sql, in_range)
+    return f"""
+WITH grid AS ({grid}),
+g AS (
+  SELECT row_number() OVER (ORDER BY time) - 1 AS rn, time, value AS v
+  FROM grid
+),
+p AS (
+  SELECT count(*)::BIGINT AS n,
+         greatest(1, count(*) // 10)::BIGINT AS max_w,
+         AVG(v) AS mu
+  FROM g
+),
+stats AS (
+  SELECT CASE WHEN n < 2 THEN 0.0
+              WHEN SUM((v - mu) * (v - mu)) / n = 0 THEN 0.0
+              ELSE (SUM(POW(v - mu, 4)) / n)
+                   / POW(SUM((v - mu) * (v - mu)) / n, 2) END AS orig_kurt
+  FROM g, p GROUP BY n, mu
+),
+diffs AS (SELECT v - lag(v) OVER (ORDER BY rn) AS d FROM g),
+orig_rough AS (
+  SELECT COALESCE(STDDEV_POP(d), 0.0) AS r FROM diffs WHERE d IS NOT NULL
+),
+acf AS (
+  SELECT k.k AS lag,
+         SUM((a.v - p.mu) * (b.v - p.mu)) /
+           (SELECT CASE WHEN SUM((v - mu) * (v - mu)) = 0 THEN 1.0
+                        ELSE SUM((v - mu) * (v - mu)) END
+            FROM g, p GROUP BY mu) AS c
+  FROM p, range(1, 4096) k(k)
+  JOIN g a ON true
+  JOIN g b ON b.rn = a.rn + k.k
+  WHERE k.k <= least(p.max_w, p.n - 1)
+  GROUP BY k.k
+),
+acfw AS (
+  SELECT lag, c, lag(c) OVER (ORDER BY lag) AS c_prev,
+         lead(c) OVER (ORDER BY lag) AS c_next
+  FROM acf
+),
+peaks AS (
+  SELECT lag AS w FROM acfw
+  WHERE c_prev IS NOT NULL AND c_next IS NOT NULL
+    AND c > c_prev AND c > c_next AND c > 0.2
+),
+gridw AS (
+  SELECT 2 + i * greatest(1, max_w // 16) AS w
+  FROM p, range(0, 4096) r(i)
+  WHERE p.max_w >= 2
+    AND i <= CAST(floor((p.max_w - 2) / greatest(1, p.max_w // 16)) AS BIGINT)
+),
+cands AS (
+  SELECT DISTINCT w
+  FROM (SELECT w FROM peaks UNION ALL SELECT w FROM gridw)
+  WHERE w >= 2 AND w <= (SELECT max_w FROM p)
+),
+sm AS (
+  SELECT c.w, a.rn AS j, SUM(b.v * (1.0 / c.w)) AS s
+  FROM cands c
+  JOIN g a ON a.rn >= c.w - 1
+  JOIN g b ON b.rn BETWEEN a.rn - (c.w - 1) AND a.rn
+  GROUP BY c.w, a.rn
+),
+smstats AS (SELECT w, count(*) AS nsm, AVG(s) AS msm FROM sm GROUP BY w),
+smkurt AS (
+  SELECT sm.w,
+         CASE WHEN ss.nsm < 2 THEN 0.0
+              WHEN SUM((s - msm) * (s - msm)) / ss.nsm = 0 THEN 0.0
+              ELSE (SUM(POW(s - msm, 4)) / ss.nsm)
+                   / POW(SUM((s - msm) * (s - msm)) / ss.nsm, 2) END AS kurt
+  FROM sm JOIN smstats ss ON ss.w = sm.w
+  GROUP BY sm.w, ss.nsm, ss.msm
+),
+smdiff AS (
+  SELECT w, s - lag(s) OVER (PARTITION BY w ORDER BY j) AS d FROM sm
+),
+smrough AS (
+  SELECT w, COALESCE(STDDEV_POP(d), 0.0) AS rough
+  FROM smdiff WHERE d IS NOT NULL GROUP BY w
+),
+best AS (
+  SELECT COALESCE(
+    (SELECT k.w FROM smkurt k
+       JOIN smrough r ON r.w = k.w
+       JOIN smstats ss ON ss.w = k.w, stats, orig_rough
+     WHERE ss.nsm >= 2 AND k.kurt >= stats.orig_kurt AND r.rough < orig_rough.r
+     ORDER BY r.rough ASC, k.w ASC LIMIT 1), 1) AS w
+),
+final_sm AS (
+  SELECT a.rn - (best.w - 1) AS j, a.time, SUM(b.v * (1.0 / best.w)) AS s
+  FROM best JOIN g a ON a.rn >= best.w - 1
+  JOIN g b ON b.rn BETWEEN a.rn - (best.w - 1) AND a.rn
+  GROUP BY a.rn, best.w, a.time
+),
+fp AS (SELECT count(*)::BIGINT AS nsm FROM final_sm),
+stride AS (
+  SELECT CASE WHEN k = {resolution} - 1 THEN fp.nsm - 1
+              ELSE CAST(floor(k * ((fp.nsm - 1.0) / ({resolution}.0 - 1.0))
+                              + 0.5) AS BIGINT) END AS j
+  FROM fp, range({resolution}) r(k)
+  WHERE fp.nsm > {resolution}
+)
+SELECT time, ROUND(s, 6) AS smoothed_value
+FROM final_sm, fp
+WHERE fp.nsm <= {resolution} OR j IN (SELECT j FROM stride)
+ORDER BY time
+"""
+
+
+def sim_ivf_oracle(
+    embeddings_parquet: str,
+    query_max_id: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """IVF top-k oracle: the deterministic k-means centroids (and their
+    squared norms, computed by the very numpy expression the assignment
+    UDF uses) are embedded as literals; assignment, probe selection,
+    exact cosine, dedup and ranking are then recomputed independently
+    in SQL. Assignment distance uses the same ``c_sq − 2·x·c`` form as
+    operators/similarity.py:_cell_id_udf; probe ranking is monotone in
+    the Spark side's squared distance; ties break toward the lower cell
+    in both engines (stable argsort ↔ ORDER BY dist, cell)."""
+    from eventhub_to_timescale_spark.operators.similarity import (
+        ivf_centroids_from_parquet,
+    )
+
+    cents, c_sq = ivf_centroids_from_parquet(
+        embeddings_parquet, n_centroids=n_centroids
+    )
+    cent_vals = ",\n".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in cents[i])}]::DOUBLE[], "
+        f"{float(c_sq[i])!r})"
+        for i in range(n_centroids)
+    )
+    return f"""
+WITH cents(cell, cvec, c_sq) AS (VALUES {cent_vals}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cell
+  FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY c.c_sq - 2.0 * list_dot_product(e.v, c.cvec), c.cell
+           ) AS rnk
+    FROM e, cents c
+  ) WHERE rnk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {query_max_id}),
+probes AS (
+  SELECT query_id, qv, cell AS qcell
+  FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(q.qv, c.cvec), c.cell
+           ) AS rnk
+    FROM q, cents c
+  ) WHERE rnk <= {nprobe}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cosine
+  FROM probes p JOIN assigned a
+    ON a.cell = p.qcell AND a.neighbor_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -41,6 +41,12 @@ def row_key(row):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # data-dependent oracles (IVF centroid literals) must train on the
+    # same sf dir the Spark side reads; the driver's gate uses the
+    # sf0.01 default
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[2:])
 
     spark = get_spark(shuffle_partitions=8)
