@@ -95,6 +95,31 @@ GLOW_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+def glow_fields(meter, subject):
+    """The glow fan-out as (measurement_of, value, type_tag) tuples over
+    a ``meter`` struct column — shared by ``glow_to_records`` and the
+    single-pass router so the leaf list can't diverge."""
+    imp = meter["energy"]["import"]
+    return [
+        ("import_cumulative", imp["cumulative"], TYPE_NUMBER),
+        ("import_day", imp["day"], TYPE_NUMBER),
+        ("import_week", imp["week"], TYPE_NUMBER),
+        ("import_month", imp["month"], TYPE_NUMBER),
+        ("import_cumulativevol", imp["cumulativevol"], TYPE_NUMBER),
+        ("import_dayvol", imp["dayvol"], TYPE_NUMBER),
+        ("import_weekvol", imp["weekvol"], TYPE_NUMBER),
+        ("import_monthvol", imp["monthvol"], TYPE_NUMBER),
+        ("import_unitrate", imp["price"]["unitrate"], TYPE_NUMBER),
+        ("import_standingcharge", imp["price"]["standingcharge"], TYPE_NUMBER),
+        # power_* applies to electricitymeter only (glow.py:44-55)
+        (
+            "power_value",
+            F.when(subject == "electricitymeter", meter["power"]["value"]),
+            TYPE_NUMBER,
+        ),
+    ]
+
+
 def glow_to_records(envelope_df: DataFrame) -> DataFrame:
     """Envelope rows → canonical atomic records for the glow publisher."""
     subject = topic_subject(F.col("topic"))
@@ -121,28 +146,7 @@ def glow_to_records(envelope_df: DataFrame) -> DataFrame:
         .withColumn("rec_ts", parse_timestamp_any(F.col("meter.timestamp")))
     )
 
-    imp = F.col("meter.energy.import")
-    fields = [
-        ("import_cumulative", imp["cumulative"], TYPE_NUMBER),
-        ("import_day", imp["day"], TYPE_NUMBER),
-        ("import_week", imp["week"], TYPE_NUMBER),
-        ("import_month", imp["month"], TYPE_NUMBER),
-        ("import_cumulativevol", imp["cumulativevol"], TYPE_NUMBER),
-        ("import_dayvol", imp["dayvol"], TYPE_NUMBER),
-        ("import_weekvol", imp["weekvol"], TYPE_NUMBER),
-        ("import_monthvol", imp["monthvol"], TYPE_NUMBER),
-        ("import_unitrate", imp["price"]["unitrate"], TYPE_NUMBER),
-        ("import_standingcharge", imp["price"]["standingcharge"], TYPE_NUMBER),
-        # power_* applies to electricitymeter only (glow.py:44-55)
-        (
-            "power_value",
-            F.when(
-                F.col("measurement_subject") == "electricitymeter",
-                F.col("meter.power.value"),
-            ),
-            TYPE_NUMBER,
-        ),
-    ]
+    fields = glow_fields(F.col("meter"), F.col("measurement_subject"))
     return unpivot_fields(
         df,
         fields,

@@ -1,25 +1,59 @@
-"""Publisher routing: one DAG, per-publisher branches, unioned.
+"""Publisher routing: ONE pass over the envelope, per-publisher record
+arrays, a single explode.
 
 Replaces the reference's ``send_to_converter`` dispatch
-(json_converter.py:145-163): instead of a Python branch per message,
-the parsed envelope DataFrame is filtered once per publisher and each
-converter contributes a branch to a ``unionByName``. Catalyst collapses
-the shared scan; each branch's topic/publisher filters are evaluated
-before its payload ``from_json`` (the reference's early-drop,
-glow.py:78-80), and unknown publishers fall out of every branch — the
-reference raises ValueError; we expose them via ``unrouted``.
+(json_converter.py:145-163). Round 1 expressed routing as a 3-way
+``unionByName`` of the converter DataFrames — semantically right, but
+Catalyst does not share common subtrees across union branches, so the
+raw scan and the envelope ``from_json`` executed once per branch (a 3×
+scan tax measured as the worst bench entry, 4.6 s warm at sf0.1). The
+single-pass plan evaluates the source exactly once:
+
+    envelope rows (scanned once)
+      → glow payload parse,   guarded by when(publisher = 'glow')
+      → emon map parse,       guarded by when(publisher = 'emon')
+        (both materialized through the Generate barrier — see
+        envelope.materialize — so each parses at most once per row)
+      → per-publisher array<struct<of, value, type>>:
+          glow  = the 11 declared leaves (glow.glow_fields)
+          homie = one element, measurement_of from the topic
+          emon  = transform(map_entries(kv)) minus the 'time' key
+      → concat → array-level null-value filter → ONE explode.
+
+Row-level columns (timestamp, subject) are when/otherwise over the
+same scan; per-branch guards reproduce each converter's filters. At
+100 TB this is one linear stage with no shuffle and no repeated scan;
+``route_to_records_union`` keeps the naive plan for differential
+testing (tests/test_router_single_pass.py asserts identical output).
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from eventhub_to_timescale_spark.ingest.emon import emon_to_records
-from eventhub_to_timescale_spark.ingest.glow import glow_to_records
-from eventhub_to_timescale_spark.ingest.homie import homie_to_records
+from eventhub_to_timescale_spark.functions.scalars import (
+    parse_timestamp_any,
+    topic_part,
+    topic_subject,
+)
+from eventhub_to_timescale_spark.functions.typeinfer import infer_type_tag
+from eventhub_to_timescale_spark.ingest.emon import EMON_SUBJECTS, emon_to_records
+from eventhub_to_timescale_spark.ingest.envelope import materialize
+from eventhub_to_timescale_spark.ingest.glow import (
+    GLOW_PAYLOAD_SCHEMA,
+    GLOW_SUBJECTS,
+    glow_fields,
+    glow_to_records,
+)
+from eventhub_to_timescale_spark.ingest.homie import (
+    HOMIE_EVENTS_OF_INTEREST,
+    _STRING_MEASURES,
+    homie_to_records,
+)
+from eventhub_to_timescale_spark.schema import TYPE_NUMBER, TYPE_STRING
 
 KNOWN_PUBLISHERS = ("glow", "homie", "emon")
 
@@ -29,10 +63,136 @@ _CONVERTERS = {
     "emon": emon_to_records,
 }
 
+_REC_TYPE = (
+    "array<struct<measurement_of:string,measurement_value:string,"
+    "measurement_data_type:string>>"
+)
+
+
+def _rec(of: Column, value: Column, type_tag: Column) -> Column:
+    return F.struct(
+        of.alias("measurement_of"),
+        value.cast("string").alias("measurement_value"),
+        type_tag.alias("measurement_data_type"),
+    )
+
 
 def route_to_records(envelope_df: DataFrame) -> DataFrame:
     """Parsed envelope rows → canonical atomic records across all
-    MQTT publishers (glow, homie, emon)."""
+    MQTT publishers (glow, homie, emon) in a single pass."""
+    pub = F.lower(F.col("publisher"))
+    has_payload = F.col("payload").isNotNull()
+    base = envelope_df.filter(pub.isin(*KNOWN_PUBLISHERS))
+
+    # payload parses, evaluated only for the matching publisher's rows
+    # (CaseWhen short-circuits) and at most once per row (Generate
+    # attribute — from_json is CodegenFallback, see envelope.materialize)
+    base = materialize(
+        base,
+        F.when(
+            (pub == "glow") & has_payload,
+            F.from_json(F.col("payload"), GLOW_PAYLOAD_SCHEMA),
+        ),
+        "gp",
+    )
+    base = materialize(
+        base,
+        F.when(
+            (pub == "emon") & has_payload,
+            F.from_json(F.col("payload"), "map<string,string>"),
+        ),
+        "kv",
+    )
+
+    subject_last = topic_subject(F.col("topic"))
+    meter = F.when(
+        subject_last == "electricitymeter", F.col("gp.electricitymeter")
+    ).otherwise(F.col("gp.gasmeter"))
+    homie_of = topic_part(F.col("topic"), -1)
+
+    # record timestamp source differs per publisher: glow = payload
+    # meter.timestamp (glow.py:17), homie = envelope timestamp
+    # (homie.py:33), emon = payload 'time' key (emon.py
+    # extract_timestamp); null → row dropped, like each converter
+    rec_ts = (
+        F.when(pub == "glow", parse_timestamp_any(meter["timestamp"]))
+        .when(pub == "homie", parse_timestamp_any(F.col("timestamp")))
+        .otherwise(parse_timestamp_any(F.col("kv")["time"]))
+    )
+    subject = F.when(pub == "homie", topic_part(F.col("topic"), -2)).otherwise(
+        subject_last
+    )
+
+    glow_arr = F.when(
+        (pub == "glow") & has_payload & subject_last.isin(*GLOW_SUBJECTS),
+        F.array(
+            *[
+                _rec(F.lit(name), value, F.lit(tag))
+                for name, value, tag in glow_fields(meter, subject_last)
+            ]
+        ),
+    )
+    homie_arr = F.when(
+        (pub == "homie")
+        & has_payload
+        & F.col("timestamp").isNotNull()
+        & homie_of.isin(*HOMIE_EVENTS_OF_INTEREST),
+        F.array(
+            _rec(
+                homie_of,
+                F.col("payload"),
+                F.when(
+                    homie_of.isin(*_STRING_MEASURES), F.lit(TYPE_STRING)
+                ).otherwise(F.lit(TYPE_NUMBER)),
+            )
+        ),
+    )
+    emon_arr = F.when(
+        (pub == "emon") & has_payload & subject_last.isin(*EMON_SUBJECTS),
+        F.filter(
+            F.transform(
+                F.map_entries(F.col("kv")),
+                lambda e: _rec(e["key"], e["value"], infer_type_tag(e["value"])),
+            ),
+            lambda r: r["measurement_of"] != F.lit("time"),
+        ),
+    )
+
+    empty = F.array().cast(_REC_TYPE)
+    records = F.filter(
+        F.concat(
+            F.coalesce(glow_arr, empty),
+            F.coalesce(homie_arr, empty),
+            F.coalesce(emon_arr, empty),
+        ),
+        lambda r: r["measurement_value"].isNotNull(),
+    )
+
+    return (
+        base.select(
+            rec_ts.alias("timestamp"),
+            subject.alias("measurement_subject"),
+            pub.alias("measurement_publisher"),
+            F.col("correlation_id"),
+            F.explode(records).alias("rec"),
+        )
+        .filter(F.col("timestamp").isNotNull())
+        .select(
+            "timestamp",
+            "measurement_subject",
+            "measurement_publisher",
+            F.col("rec.measurement_of").alias("measurement_of"),
+            F.col("rec.measurement_value").alias("measurement_value"),
+            F.col("rec.measurement_data_type").alias("measurement_data_type"),
+            "correlation_id",
+        )
+    )
+
+
+def route_to_records_union(envelope_df: DataFrame) -> DataFrame:
+    """The round-1 plan — one filtered branch per converter, unioned.
+    Kept as the differential-test baseline for the single-pass router
+    (and as the shape a reader should compare against)."""
     branches = [conv(envelope_df) for conv in _CONVERTERS.values()]
     return reduce(lambda a, b: a.unionByName(b), branches)
 
