@@ -33,6 +33,12 @@ def _changes_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     subject, m_of = key
+    # Timeout invocation: no new data for this key within the idle
+    # window — drop the state and do NOT re-arm the timer, otherwise
+    # every idle subject is revisited forever and state never shrinks.
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         (last_value, has_value) = state.get
     else:

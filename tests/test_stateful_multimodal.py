@@ -85,3 +85,61 @@ def test_sample_frames_plumbing(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
     assert b"".join(bytes(r.frame) for r in rows) == b"0123456789abcdef"
     assert all(r.n_bytes == 4 for r in rows)
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _changes_fn directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_changes_fn_timeout_evicts_state():
+    """ProcessingTimeTimeout invocation must remove state and NOT
+    re-arm the timer — otherwise idle keys are revisited forever and
+    state never shrinks (the 'state stays bounded' claim)."""
+    from eventhub_to_timescale_spark.streaming.stateful import _changes_fn
+
+    state = _FakeState(value=("auto", True), timed_out=True)
+    out = list(_changes_fn(("room", "mode"), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.timeout_set is None
+
+
+def test_changes_fn_data_rearms_timer():
+    import pandas as pd
+
+    from eventhub_to_timescale_spark.streaming.stateful import _changes_fn
+
+    state = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.to_datetime(["2024-02-01T10:00:00Z"]),
+            "measurement_string": ["auto"],
+        }
+    )
+    out = list(_changes_fn(("room", "mode"), iter([pdf]), state))
+    assert len(out) == 1 and list(out[0]["value"]) == ["auto"]
+    assert state.get == ("auto", True)
+    assert state.timeout_set == 24 * 3600 * 1000
