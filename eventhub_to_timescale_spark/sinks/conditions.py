@@ -112,11 +112,14 @@ def write_conditions_jdbc(
     table: str = "conditions",
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    create_table_column_types: str | None = None,
 ) -> None:
     """JDBC append to a real TimescaleDB (reference sink S7). One
     connection per partition, batched inserts — replaces the
     reference's one-INSERT-per-record loop (timescale.py:107-120)."""
     props = {"batchsize": str(batchsize), **(properties or {})}
+    if create_table_column_types:
+        props["createTableColumnTypes"] = create_table_column_types
     conditions.drop("measurement_unique_id").write.jdbc(
         url, table, mode="append", properties=props
     )
@@ -124,17 +127,76 @@ def write_conditions_jdbc(
 
 IDEMPOTENCY_KEY = ("timestamp", "measurement_subject", "measurement_of", "correlation_id")
 
+# Column order of the staged conditions batch (measurement_unique_id
+# is dropped before staging; the target may default it server-side).
+CONDITIONS_JDBC_COLUMNS = (
+    "timestamp",
+    "measurement_subject",
+    "measurement_publisher",
+    "measurement_of",
+    "measurement_number",
+    "measurement_string",
+    "measurement_bool",
+    "measurement_location",
+    "correlation_id",
+)
 
-def upsert_sql(table: str, staging: str, key_cols: tuple[str, ...] = IDEMPOTENCY_KEY) -> str:
+
+def _q(name: str) -> str:
+    # Spark's JDBC writer quotes column identifiers on CREATE TABLE
+    # (preserving lower case, incl. the reserved word `timestamp`), so
+    # the merge must quote too or Derby/PG would fold the case.
+    return '"' + name + '"'
+
+
+def upsert_sql(
+    table: str,
+    staging: str,
+    columns: tuple[str, ...] = CONDITIONS_JDBC_COLUMNS,
+    key_cols: tuple[str, ...] = IDEMPOTENCY_KEY,
+    dialect: str = "postgres",
+    key_casts: dict[str, str] | None = None,
+) -> str:
     """Server-side idempotent merge: staged batch → target, skipping
     rows whose idempotency key already landed (at-least-once delivery
     → effectively exactly-once; the reference tolerates duplicate
-    inserts instead, SURVEY §3.1 error channel)."""
-    keys = ", ".join(key_cols)
+    inserts instead, SURVEY §3.1 error channel).
+
+    The column list is explicit — the target table may carry extra
+    defaulted columns (e.g. a ``measurement_unique_id`` sequence) or a
+    different column order than the staged batch, so ``SELECT s.*``
+    would mis-align values.
+
+    ``dialect='postgres'`` emits ``ON CONFLICT DO NOTHING`` (needs the
+    unique key index; concurrency-safe). ``dialect='ansi'`` emits a
+    ``NOT EXISTS`` anti-join that any ANSI engine (incl. embedded
+    Derby) executes — correct for a single writer per target, which is
+    what foreachBatch guarantees; key columns are non-null by
+    construction so the equality predicate never NULL-drops a row.
+    ``key_casts`` maps key columns to a SQL type to CAST both sides
+    through — needed where the engine's String mapping is CLOB
+    (Derby), since CLOBs cannot be compared with ``=``.
+    """
+    collist = ", ".join(_q(c) for c in columns)
+    sel = ", ".join(f"s.{_q(c)}" for c in columns)
+    if dialect == "postgres":
+        keys = ", ".join(_q(k) for k in key_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {sel} FROM {staging} s "
+            f"ON CONFLICT ({keys}) DO NOTHING"
+        )
+
+    def _k(alias: str, k: str) -> str:
+        if key_casts and k in key_casts:
+            return f"CAST({alias}.{_q(k)} AS {key_casts[k]})"
+        return f"{alias}.{_q(k)}"
+
+    pred = " AND ".join(f"{_k('t', k)} = {_k('s', k)}" for k in key_cols)
     return (
-        f"INSERT INTO {table} "
-        f"SELECT s.* FROM {staging} s "
-        f"ON CONFLICT ({keys}) DO NOTHING"
+        f"INSERT INTO {table} ({collist}) "
+        f"SELECT {sel} FROM {staging} s "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {table} t WHERE {pred})"
     )
 
 
@@ -144,30 +206,60 @@ def write_conditions_jdbc_idempotent(
     table: str = "conditions",
     batch_id: int = 0,
     properties: dict[str, str] | None = None,
+    dialect: str | None = None,
+    create_table_column_types: str | None = None,
 ) -> None:
     """Exactly-once-ish JDBC path for ``foreachBatch``: stage the batch
     to a per-batch table (parallel JDBC write), then one server-side
-    ``INSERT ... ON CONFLICT DO NOTHING`` keyed on
-    ``IDEMPOTENCY_KEY``, then drop the staging table. Requires a
-    unique index on the key (add to the reference DDL:
-    ``CREATE UNIQUE INDEX ON conditions (timestamp,
-    measurement_subject, measurement_of, correlation_id)``).
-
-    Untested against a live database in this environment (no
-    PostgreSQL available) — statement generation is unit-tested and
-    the same staged-merge pattern is exercised on the parquet sink.
+    idempotent merge keyed on ``IDEMPOTENCY_KEY``, then drop the
+    staging table. On PostgreSQL this is ``INSERT ... ON CONFLICT DO
+    NOTHING`` (requires ``CREATE UNIQUE INDEX ON conditions
+    (timestamp, measurement_subject, measurement_of,
+    correlation_id)``); elsewhere an ANSI ``NOT EXISTS`` merge.
+    Executed for real against embedded Derby in
+    ``tests/test_jdbc_sink.py`` (reference live path:
+    timescale.py:98-124, CI test_timescale.py:167-256).
     """
     staging = f"{table}_staging_{batch_id}"
-    props = properties or {}
-    conditions.drop("measurement_unique_id").write.jdbc(
-        url, staging, mode="overwrite", properties=props
-    )
+    props = dict(properties or {})
+    if create_table_column_types:
+        props["createTableColumnTypes"] = create_table_column_types
+    staged = conditions.drop("measurement_unique_id")
+    staged.write.jdbc(url, staging, mode="overwrite", properties=props)
+    if dialect is None:
+        dialect = "postgres" if "postgresql" in url else "ansi"
+    # ANSI path: string keys go through VARCHAR so CLOB-mapped string
+    # columns (Derby) stay comparable
+    key_casts = None
+    if dialect == "ansi":
+        key_casts = {
+            f.name: "VARCHAR(512)"
+            for f in staged.schema.fields
+            if f.name in IDEMPOTENCY_KEY and f.dataType.simpleString() == "string"
+        }
     spark = conditions.sparkSession
     jvm = spark._sc._jvm  # server-side merge via plain JDBC statement
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    user = props.get("user")
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, user, props.get("password", "")
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         stmt = conn.createStatement()
-        stmt.execute(upsert_sql(table, staging))
-        stmt.execute(f"DROP TABLE {staging}")
+        try:
+            stmt.execute(
+                upsert_sql(
+                    table,
+                    staging,
+                    tuple(staged.columns),
+                    dialect=dialect,
+                    key_casts=key_casts,
+                )
+            )
+            stmt.execute(f"DROP TABLE {staging}")
+        finally:
+            stmt.close()
     finally:
         conn.close()

@@ -49,9 +49,18 @@ def test_corrupt_rows_never_reach_converters(spark):
 def test_upsert_sql_shape():
     from eventhub_to_timescale_spark.sinks.conditions import upsert_sql
 
-    sql = upsert_sql("conditions", "conditions_staging_7")
+    sql = upsert_sql("conditions", "conditions_staging_7", ("a", "timestamp"))
+    # explicit quoted column list: the target's column order/count may
+    # differ from the staged batch (defaulted measurement_unique_id),
+    # so SELECT s.* would mis-align values
     assert sql == (
-        "INSERT INTO conditions SELECT s.* FROM conditions_staging_7 s "
-        "ON CONFLICT (timestamp, measurement_subject, measurement_of, "
-        "correlation_id) DO NOTHING"
+        'INSERT INTO conditions ("a", "timestamp") '
+        'SELECT s."a", s."timestamp" FROM conditions_staging_7 s '
+        'ON CONFLICT ("timestamp", "measurement_subject", '
+        '"measurement_of", "correlation_id") DO NOTHING'
+    )
+    ansi = upsert_sql("t", "t_s", ("a",), key_cols=("a",), dialect="ansi")
+    assert ansi == (
+        'INSERT INTO t ("a") SELECT s."a" FROM t_s s '
+        'WHERE NOT EXISTS (SELECT 1 FROM t t WHERE t."a" = s."a")'
     )

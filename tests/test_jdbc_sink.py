@@ -1,0 +1,108 @@
+"""Live JDBC sink execution against embedded Derby (ships with Spark).
+
+The reference's S7 sink writes to a real TimescaleDB over psycopg2
+(timescale.py:98-124; CI level-3 test_timescale.py:167-256). No
+PostgreSQL exists in this environment, so the stage→merge→drop
+sequence is executed for real against Derby with the ANSI merge
+dialect; the ``ON CONFLICT`` text stays PostgreSQL-only and is
+string-tested in test_error_channels.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from eventhub_to_timescale_spark.sinks.conditions import (
+    records_to_conditions,
+    write_conditions_jdbc,
+    write_conditions_jdbc_idempotent,
+)
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _conditions(spark, rows):
+    recs = spark.createDataFrame(
+        rows,
+        "timestamp timestamp, measurement_subject string, "
+        "measurement_publisher string, measurement_of string, "
+        "measurement_value string, measurement_data_type string, "
+        "correlation_id string",
+    )
+    return records_to_conditions(recs)
+
+
+def _row(i, corr):
+    return (
+        datetime(2024, 2, 1, 12, 0, i),
+        "sensor-a",
+        "glow",
+        "power",
+        str(float(i)),
+        "number",
+        corr,
+    )
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_append_roundtrip(spark, derby_url):
+    cond = _conditions(spark, [_row(i, f"c{i}") for i in range(3)])
+    write_conditions_jdbc(
+        cond,
+        derby_url,
+        properties=DERBY_PROPS,
+    )
+    back = spark.read.jdbc(derby_url, "conditions", properties=DERBY_PROPS)
+    rows = {r.correlation_id: r for r in back.collect()}
+    assert len(rows) == 3
+    assert rows["c2"].measurement_number == 2.0
+    assert rows["c2"].measurement_subject == "sensor-a"
+    assert rows["c2"].timestamp == datetime(2024, 2, 1, 12, 0, 2)
+
+
+def test_jdbc_idempotent_merge_skips_landed_rows(spark, derby_url):
+    first = _conditions(spark, [_row(i, f"c{i}") for i in range(2)])
+    write_conditions_jdbc(
+        first,
+        derby_url,
+        properties=DERBY_PROPS,
+    )
+    # redelivered batch: rows c0/c1 already landed + two new rows —
+    # the at-least-once scenario the staged merge exists for
+    redelivered = _conditions(spark, [_row(i, f"c{i}") for i in range(4)])
+    write_conditions_jdbc_idempotent(
+        redelivered,
+        derby_url,
+        batch_id=7,
+        properties=DERBY_PROPS,
+    )
+    back = spark.read.jdbc(derby_url, "conditions", properties=DERBY_PROPS)
+    assert sorted(r.correlation_id for r in back.collect()) == [
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+    ]
+
+    # replaying the identical batch adds nothing (exactly-once-ish)
+    write_conditions_jdbc_idempotent(
+        redelivered,
+        derby_url,
+        batch_id=8,
+        properties=DERBY_PROPS,
+    )
+    back = spark.read.jdbc(derby_url, "conditions", properties=DERBY_PROPS)
+    assert back.count() == 4
+
+    # staging tables were dropped after each merge
+    for batch_id in (7, 8):
+        with pytest.raises(Exception):
+            spark.read.jdbc(
+                derby_url, f"conditions_staging_{batch_id}", properties=DERBY_PROPS
+            ).collect()
