@@ -285,6 +285,33 @@ def _ingest_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less publisher through the arbitrary-depth dynamic
+    flatten (reference create_record_recursive + recursively
+    deserialize, timeseries.py:43-98 / helpers.py:112-127): depth-3
+    nested payload incl. a JSON-encoded-string subtree, no declared
+    struct anywhere."""
+    from eventhub_to_timescale_spark.ingest.dynamic import dynamic_to_records
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
+    from eventhub_to_timescale_spark.sources.synth import (
+        events_to_dynamic_envelopes,
+    )
+
+    env = parse_envelope(events_to_dynamic_envelopes(_events(spark, sf_dir)))
+    recs = dynamic_to_records(env, "dyn", ignore_keys=("ignoreme",))
+    wide = records_to_conditions(recs, with_unique_id=False)
+    return wide.select(
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_number",
+        "measurement_string",
+        "measurement_bool",
+    )
+
+
 def _ingest_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three MQTT publishers routed through one unioned DAG; grades
     the router + every converter at once (record counts per
@@ -460,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_homie": _ingest_homie,
         "ingest_emon": _ingest_emon,
         "ingest_bmw": _ingest_bmw,
+        "ingest_dynamic": _ingest_dynamic,
         "ingest_router_union": _ingest_router,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -482,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
     from eventhub_to_timescale_spark import oracles as oc
     from eventhub_to_timescale_spark.sources.synth import (
         BMW_ORACLE,
+        DYNAMIC_ORACLE,
         EMON_ORACLE,
         GLOW_ORACLE,
         HOMIE_ORACLE,
@@ -727,6 +756,7 @@ ORDER BY measurement_publisher, measurement_of
         "ingest_homie": HOMIE_ORACLE,
         "ingest_emon": EMON_ORACLE,
         "ingest_bmw": BMW_ORACLE,
+        "ingest_dynamic": DYNAMIC_ORACLE,
         "ingest_router_union": router,
         "dedup_exact": oc.dedup_exact_oracle(),
         "dedup_minhash_lsh": oc.dedup_minhash_oracle(12, 6, 0.5),

@@ -1,0 +1,178 @@
+"""Arbitrary-depth dynamic payload flatten — the schema-less path for
+onboarding a publisher nobody wrote a struct for.
+
+Reproduces the reference's ``recursively_deserialize``
+(helpers.py:112-127) + ``create_record_recursive``
+(timeseries.py:43-98) pair as ONE depth-unrolled JVM expression tree:
+
+- objects recurse; every non-object value is a leaf record whose
+  ``measurement_of`` is the LEAF key — optionally prefixed with a
+  constant ``prefix + '_'`` exactly like the reference's
+  ``measurement_of_prefix`` (the reference does NOT accumulate the
+  path; sibling subtrees sharing a leaf key collide there too).
+- ``ignore_keys`` prune whole subtrees (reference: ignored keys are
+  "also not recursed").
+- a leaf STRING that itself parses as JSON behaves as its parsed
+  value (``recursively_deserialize``): object-bearing strings keep
+  recursing because ``get_json_object`` hands back the decoded inner
+  text and ``json_object_keys`` then sees an object; scalar strings
+  like ``"1.5"``/``"true"`` fall through to type inference, which tags
+  them number/boolean just as ``json.loads`` would re-type them.
+- arrays are leaves (``create_record_recursive`` never iterates
+  lists); a 2-numeric array is tagged GEOGRAPHY by ``infer_type_tag``
+  (timeseries.py:120-124), any other array STRING (the reference
+  raises TypeError — here unknown shapes ride the reject channel
+  instead of killing the job, same divergence policy as T13).
+- JSON ``null`` leaves extract as SQL NULL and are dropped (the
+  reference would raise on ``get_record_type(None)``).
+
+Recursion is unrolled to ``max_depth`` object levels (default 6 — the
+deepest reference payload, BMW, is 3). Deeper objects are dropped,
+not mis-emitted; raise ``max_depth`` to onboard deeper publishers.
+
+Scale shape: everything is one codegen'd expression per row — no
+shuffle, no Python, no driver involvement; the leaf fan-out happens
+in a single ``explode`` (Generate), so the frontier expression is
+evaluated once per input row. Keys containing a single quote are not
+addressable via the JSON-path bracket syntax used here and their
+subtree is skipped (documented limitation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.functions.typeinfer import infer_type_tag
+
+_EMPTY = "''"
+
+
+def _node(k_expr: str, js_expr: str, var: str) -> str:
+    """Frontier node ``struct<k, js, keys>`` — the single-element
+    ``transform`` binds the extracted child text to ``var`` so the
+    ``json_object_keys`` probe doesn't re-run the extraction (the
+    same no-CSE hazard materialize() exists for, solved with a lambda
+    binding instead of a Generate since we're inside an array)."""
+    return (
+        f"element_at(transform(array({js_expr}), {var} -> "
+        f"named_struct('k', {k_expr}, 'js', {var}, "
+        f"'keys', json_object_keys({var}))), 1)"
+    )
+
+
+def leaves_expr(
+    payload_expr: str,
+    max_depth: int = 6,
+    ignore_keys: tuple[str, ...] = (),
+) -> str:
+    """SQL expression: payload JSON text → ``array<struct<k, js>>`` of
+    leaf (key, raw-text value) pairs, depth-first per the unrolled
+    frontier. Compose with ``explode`` for row fan-out."""
+    ignore_sql = (
+        "array(" + ", ".join("'" + k.replace("'", "''") + "'" for k in ignore_keys) + ")"
+        if ignore_keys
+        else "array()"
+    )
+    frontier = f"array({_node(_EMPTY, payload_expr, 'w0')})"
+    for d in range(max_depth):
+        n, k, w = f"n{d}", f"k{d}", f"w{d + 1}"
+        path = f"concat('$[', chr(39), {k}, chr(39), ']')"
+        child = f"get_json_object({n}.js, {path})"
+        frontier = (
+            f"flatten(transform({frontier}, {n} -> "
+            f"CASE WHEN {n}.keys IS NULL THEN array({n}) "
+            f"ELSE transform(filter({n}.keys, {k} -> "
+            f"NOT array_contains({ignore_sql}, {k})), "
+            f"{k} -> {_node(k, child, w)}) END))"
+        )
+    return (
+        f"transform(filter({frontier}, fin -> fin.keys IS NULL AND fin.k <> {_EMPTY}), "
+        f"fin -> named_struct('k', fin.k, 'js', fin.js))"
+    )
+
+
+def flatten_payload_dynamic(
+    df: DataFrame,
+    payload_col: str = "payload",
+    max_depth: int = 6,
+    ignore_keys: tuple[str, ...] = (),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Fan each row out to one row per JSON leaf of ``payload_col``:
+    adds ``measurement_of`` / ``measurement_value`` /
+    ``measurement_data_type``, drops the payload column. All other
+    columns are carried through the explode unchanged."""
+    leaf = F.explode(
+        F.expr(leaves_expr(payload_col, max_depth, tuple(ignore_keys)))
+    ).alias("_leaf")
+    carried = [c for c in df.columns if c != payload_col]
+    out = df.select(*carried, leaf)
+    m_of = (
+        F.concat(F.lit(prefix + "_"), F.col("_leaf.k"))
+        if prefix
+        else F.col("_leaf.k")
+    )
+    return (
+        out.select(
+            *carried,
+            m_of.alias("measurement_of"),
+            F.col("_leaf.js").alias("measurement_value"),
+            infer_type_tag(F.col("_leaf.js")).alias("measurement_data_type"),
+        )
+        .filter(F.col("measurement_value").isNotNull())
+    )
+
+
+def dynamic_to_records(
+    envelope_df: DataFrame,
+    publisher: str,
+    subjects: tuple[str, ...] | None = None,
+    ignore_keys: tuple[str, ...] = (),
+    prefix: str | None = None,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Generic converter for an undeclared publisher: envelope → atomic
+    records by flattening the payload at any depth. Subject = last
+    topic segment (optionally filtered to ``subjects``), record
+    timestamp = envelope timestamp — the shape a brand-new sensor
+    onboards with before anyone writes a declared-struct converter."""
+    from eventhub_to_timescale_spark.functions.scalars import (
+        parse_timestamp_any,
+        topic_subject,
+    )
+    from eventhub_to_timescale_spark.ingest.envelope import publisher_is
+
+    df = (
+        publisher_is(envelope_df, publisher)
+        .filter(F.col("payload").isNotNull() & F.col("timestamp").isNotNull())
+        .withColumn("measurement_subject", topic_subject(F.col("topic")))
+    )
+    if subjects:
+        df = df.filter(F.col("measurement_subject").isin(*subjects))
+    df = (
+        df.withColumn("rec_ts", parse_timestamp_any(F.col("timestamp")))
+        .filter(F.col("rec_ts").isNotNull())
+        .select(
+            F.col("rec_ts").alias("timestamp"),
+            "measurement_subject",
+            F.lower(F.col("publisher")).alias("measurement_publisher"),
+            "correlation_id",
+            "payload",
+        )
+    )
+    flat = flatten_payload_dynamic(
+        df, "payload", max_depth=max_depth, ignore_keys=ignore_keys, prefix=prefix
+    )
+    return flat.select(
+        "timestamp",
+        "measurement_subject",
+        "measurement_publisher",
+        "measurement_of",
+        "measurement_value",
+        "measurement_data_type",
+        "correlation_id",
+    )
+
+
+__all__ = ["leaves_expr", "flatten_payload_dynamic", "dynamic_to_records"]

@@ -316,3 +316,78 @@ SELECT last_upd AS timestamp,
        strftime(last_upd, '%Y-%m-%dT%H:%M:%S.%fZ') AS correlation_id
 FROM recs
 """
+
+# ---------------------------------------------------------------------------
+# Dynamic: depth-3 nested payload for the schema-less flatten path
+# ---------------------------------------------------------------------------
+
+
+def events_to_dynamic_envelopes(events: DataFrame) -> DataFrame:
+    """→ envelopes for an UNDECLARED publisher ``dyn`` whose payload
+    nests three levels deep and embeds a JSON-encoded-string subtree
+    (``packed``) — exercising ``recursively_deserialize`` +
+    ``create_record_recursive`` semantics end-to-end:
+
+    - ``meta``                 depth-1 string leaf
+    - ``outer.reading``        depth-2 number leaf
+    - ``outer.flags.active``   depth-3 boolean leaf
+    - ``outer.flags.mode``     depth-3 string leaf
+    - ``outer.ignoreme.x``     pruned by ignore_keys
+    - ``packed`` → ``inner.q`` depth-3 number leaf reached THROUGH a
+      JSON-encoded string value
+    """
+    events = _parallel(events)
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    packed = F.to_json(F.struct(F.struct(k.alias("q")).alias("inner")))
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("meta"),
+            F.struct(
+                F.col("value").alias("reading"),
+                F.struct(
+                    (F.col("event_id") % 2 == 0).alias("active"),
+                    F.col("event_type").alias("mode"),
+                ).alias("flags"),
+                F.struct(F.lit(1).alias("x")).alias("ignoreme"),
+            ).alias("outer"),
+            packed.alias("packed"),
+        )
+    )
+    raw = F.to_json(
+        F.struct(
+            F.lit("dyn/nested").alias("topic"),
+            payload.alias("payload"),
+            F.lit(0).alias("qos"),
+            F.lit(0).alias("retain"),
+            _iso(F.col("ts")).alias("timestamp"),
+        )
+    )
+    return events.select(raw.alias("value"))
+
+
+DYNAMIC_ORACLE = """
+WITH base AS (
+  SELECT ts, event_id, value, event_type,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+  FROM events
+), recs AS (
+  SELECT ts, 'meta' AS m_of, CAST(NULL AS DOUBLE) AS num,
+         event_type AS str, CAST(NULL AS BOOLEAN) AS b FROM base
+  UNION ALL
+  SELECT ts, 'reading', value, NULL, NULL FROM base
+  UNION ALL
+  SELECT ts, 'active', NULL, NULL, event_id % 2 = 0 FROM base
+  UNION ALL
+  SELECT ts, 'mode', NULL, event_type, NULL FROM base
+  UNION ALL
+  SELECT ts, 'q', k, NULL, NULL FROM base
+)
+SELECT ts AS timestamp,
+       'nested' AS measurement_subject,
+       'dyn' AS measurement_publisher,
+       m_of AS measurement_of,
+       num AS measurement_number,
+       str AS measurement_string,
+       b AS measurement_bool
+FROM recs
+"""
