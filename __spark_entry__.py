@@ -562,20 +562,23 @@ GROUP BY 1 ORDER BY 1
 """
     # Q4: per-subject slice is ~60 rows at every sf (users scale with
     # sf, per-user density doesn't) ⇒ count ≤ 360 ⇒ bucket = 60 s;
-    # deterministic mode (ties → smallest value)
+    # deterministic mode (ties → smallest value). Reference parity:
+    # the slice keeps NULL strings (they're counted in phase 1 and a
+    # bucket of only-NULLs emits a NULL mode); NULL groups rank last.
     q4 = f"""
 WITH sliced AS (
   SELECT {bucket.format(w=60)} AS time, measurement_string
   FROM {cond} c
   WHERE measurement_subject = 'user_5' AND measurement_of = 'event_type'
-    AND measurement_string IS NOT NULL AND {in_range}
+    AND {in_range}
 ), counted AS (
   SELECT time, measurement_string, COUNT(*) AS cnt
   FROM sliced GROUP BY 1, 2
 )
 SELECT time, measurement_string AS most_common_value
 FROM counted
-QUALIFY row_number() OVER (PARTITION BY time ORDER BY cnt DESC, measurement_string ASC) = 1
+QUALIFY row_number() OVER (PARTITION BY time
+  ORDER BY (measurement_string IS NULL) ASC, cnt DESC, measurement_string ASC) = 1
 ORDER BY time
 """
     # Q5: bucket = span/360 = 7200 s; semantics pinned in
@@ -653,8 +656,7 @@ WITH sliced AS (
   WHERE measurement_of = 'event_type' AND {in_range}
 ), lagged AS (
   SELECT *,
-         lag(measurement_string) OVER w AS prev_value,
-         row_number() OVER w AS rn
+         lag(measurement_string) OVER w AS prev_value
   FROM sliced
   WINDOW w AS (PARTITION BY measurement_subject
                ORDER BY timestamp, measurement_unique_id)
@@ -662,7 +664,7 @@ WITH sliced AS (
 SELECT timestamp, measurement_subject, measurement_of,
        measurement_string AS value
 FROM lagged
-WHERE rn = 1 OR measurement_string IS DISTINCT FROM prev_value
+WHERE measurement_string IS DISTINCT FROM prev_value
 ORDER BY measurement_subject, timestamp
 """
     q9 = f"""
@@ -673,15 +675,14 @@ WITH sliced AS (
   WHERE measurement_of = 'event_type' AND {in_range}
 ), lagged AS (
   SELECT *,
-         lag(measurement_string) OVER w AS prev_value,
-         row_number() OVER w AS rn
+         lag(measurement_string) OVER w AS prev_value
   FROM sliced
   WINDOW w AS (PARTITION BY measurement_subject
                ORDER BY timestamp, measurement_unique_id)
 ), changes AS (
   SELECT timestamp, measurement_subject, measurement_string AS value
   FROM lagged
-  WHERE rn = 1 OR measurement_string IS DISTINCT FROM prev_value
+  WHERE measurement_string IS DISTINCT FROM prev_value
 )
 SELECT timestamp AS time,
        COALESCE(lead(timestamp) OVER (PARTITION BY measurement_subject

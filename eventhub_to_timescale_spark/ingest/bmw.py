@@ -16,6 +16,14 @@ Semantics reproduced:
     (state.location.coordinates.{latitude,longitude}, validated
     lat∈[-90,90] lon∈[-180,180], value rendered ``[lat, lon]``).
 - absent fields are skipped, not errored (bmw_to_timescale.py:167-190).
+
+Documented divergence — string isChargerConnected: the reference's
+``bool()`` coercion makes ANY non-empty string truthy, so
+``bool('false')`` and ``bool('no')`` are True (an upstream foot-gun,
+not a semantic). ``parse_bool`` here maps 'false'/'no'→False,
+'true'/'yes'→True and routes unparseable strings to the reject
+channel. Boolean and int(0/1) payloads — the shapes the reference
+goldens actually contain — coerce identically on both sides.
 """
 
 from __future__ import annotations

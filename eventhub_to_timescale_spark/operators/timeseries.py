@@ -160,11 +160,17 @@ def most_frequent_value(
     count + row_number rather than ``F.mode`` (whose tie-break is
     unspecified, as is plpgsql ``mode() WITHIN GROUP``'s across
     engines); same rule is encoded in the oracle.
+
+    Reference parity (get_most_frequent_value_by_time_interval.sql):
+    the phase-1 COUNT(*) counts ALL rows in the slice — including
+    NULL ``measurement_string`` — and every bucket with rows emits a
+    row even when all its strings are NULL (PG ``mode()`` ignores
+    NULLs, yielding a NULL mode for such buckets). NULL groups rank
+    below any non-null value so they only win an otherwise-empty
+    bucket.
     """
-    sliced = _slice(conditions, subject, of, start, end).filter(
-        F.col("measurement_string").isNotNull()
-    )
-    n = sliced.count()  # phase 1 (reference :15-23)
+    sliced = _slice(conditions, subject, of, start, end)
+    n = sliced.count()  # phase 1 (reference :15-23), pre-null-filter
     bucket = adaptive_mode_bucket_seconds(n, start, end)
 
     counted = (
@@ -175,7 +181,9 @@ def most_frequent_value(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("time").orderBy(
-        F.desc("cnt"), F.asc("measurement_string")
+        F.asc(F.col("measurement_string").isNull()),
+        F.desc("cnt"),
+        F.asc("measurement_string"),
     )
     return (
         counted.withColumn("rn", F.row_number().over(w))
@@ -219,7 +227,12 @@ def changed_rows(
 ) -> DataFrame:
     """Keep rows whose ``measurement_string`` differs (null-safely) from
     the previous row of the same subject (reference LAG :23-26 +
-    IS DISTINCT FROM :33)."""
+    IS DISTINCT FROM :33).
+
+    A partition's first row has a NULL ``prev``; ``IS DISTINCT FROM``
+    keeps it unless its own value is also NULL — so a NULL-valued
+    first row is dropped, exactly like the reference (no special
+    first-row escape)."""
     sliced = _slice(conditions, subject, of, start, end)
     order_cols = ["timestamp"]
     if "measurement_unique_id" in conditions.columns:
@@ -227,14 +240,9 @@ def changed_rows(
         order_cols.append("measurement_unique_id")
     w = Window.partitionBy("measurement_subject").orderBy(*order_cols)
     prev = F.lag("measurement_string").over(w)
-    first = F.row_number().over(w) == 1
     return (
         sliced.withColumn("prev_value", prev)
-        .withColumn("is_first", first)
-        .filter(
-            F.col("is_first")
-            | ~F.col("measurement_string").eqNullSafe(F.col("prev_value"))
-        )
+        .filter(~F.col("measurement_string").eqNullSafe(F.col("prev_value")))
         .select(
             "timestamp",
             "measurement_subject",

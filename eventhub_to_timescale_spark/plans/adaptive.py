@@ -52,7 +52,12 @@ def daily_branch_bucket_seconds(start: datetime, end: datetime) -> float | None:
 
 def adaptive_mode_bucket_seconds(matching_count: int, start: datetime, end: datetime) -> float:
     """Q4: span/360 when more than 360 rows match, else 60 s
-    (db/get_most_frequent_value_by_time_interval.sql:26-30)."""
+    (db/get_most_frequent_value_by_time_interval.sql:26-30).
+
+    The reference assigns the division into an ``integer`` plpgsql
+    variable — a numeric→int cast that rounds to nearest (ties away
+    from zero) — so bucket width is a whole second; fractional spans
+    round the same way here."""
     if matching_count > 360:
-        return span_seconds(start, end) / 360.0
+        return float(int(span_seconds(start, end) / 360.0 + 0.5))
     return 60.0

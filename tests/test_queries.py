@@ -219,3 +219,50 @@ def test_asap_core_no_oversmoothing_without_outliers():
     v = np.sin(t / 50.0) + rng.normal(0, 0.4, size=2000)
     t2, sm = asap_core(t, v, resolution=500)
     assert len(sm) <= 500 and len(t2) == len(sm)
+
+
+def test_q8_null_valued_first_row_dropped(spark):
+    # reference `IS DISTINCT FROM prev`: first row's prev is NULL, so a
+    # NULL-valued first row is NOT a change point (ADVICE r1 parity fix)
+    rows = [
+        _row(datetime(2024, 1, 1, 0), of="state", s=None, uid=1),
+        _row(datetime(2024, 1, 1, 1), of="state", s="on", uid=2),
+    ]
+    out = changed_rows(
+        _cond(spark, rows), "s1", "state", T0, datetime(2024, 1, 2)
+    ).collect()
+    assert [(r.timestamp.hour, r.value) for r in out] == [(1, "on")]
+
+
+def test_q4_counts_nulls_and_emits_null_mode_bucket(spark):
+    # phase-1 COUNT(*) includes NULL strings (reference counts the raw
+    # slice), and a bucket holding only NULL strings still emits a row
+    # with a NULL mode (PG mode() ignores nulls but the group exists)
+    rows = [
+        _row(datetime(2024, 1, 1, 0, 0, 1), of="state", s=None, uid=1),
+        _row(datetime(2024, 1, 1, 0, 1, 1), of="state", s="a", uid=2),
+        _row(datetime(2024, 1, 1, 0, 1, 2), of="state", s=None, uid=3),
+        _row(datetime(2024, 1, 1, 0, 1, 3), of="state", s=None, uid=4),
+    ]
+    out = most_frequent_value(
+        _cond(spark, rows), "s1", "state", T0, datetime(2024, 1, 1, 1)
+    ).collect()
+    # bucket 00:00 → only NULLs → NULL mode; bucket 00:01 → 'a' wins
+    # over the more frequent NULL group (nulls rank last)
+    assert [(r.time.minute, r.most_common_value) for r in out] == [
+        (0, None),
+        (1, "a"),
+    ]
+
+
+def test_q4_bucket_width_rounds_to_whole_seconds():
+    from eventhub_to_timescale_spark.plans.adaptive import (
+        adaptive_mode_bucket_seconds,
+    )
+
+    start = datetime(2024, 1, 1)
+    # span 1000 s / 360 = 2.777… → reference's integer assignment
+    # rounds to 3 s (numeric→int, ties away from zero)
+    end = datetime(2024, 1, 1, 0, 16, 40)
+    assert adaptive_mode_bucket_seconds(361, start, end) == 3.0
+    assert adaptive_mode_bucket_seconds(360, start, end) == 60.0
