@@ -19,8 +19,13 @@
 
 Documented narrowings vs the reference validator (both supersets on
 the accept side, flagged rather than hidden):
-- ``from_json`` cannot enforce ``additionalProperties: false`` —
-  unknown extra fields are ignored, not rejected;
+- ``from_json`` itself ignores unknown extra fields; pass
+  ``strict=True`` to ``validate_records`` to enforce the schema's
+  ``additionalProperties: false`` (timeseries.json:78) — the raw
+  message's ``json_object_keys`` are checked against the declared
+  column set and any extra-keyed message rides the reject channel.
+  Batch (v1 array) messages are strict-checked only at the envelope
+  level (per-element raw text isn't retained after the explode).
 - timestamps are parsed with the engine's lenient parser (epoch or
   ISO), where the JSON Schema requires a date-time string.
 """
@@ -95,12 +100,28 @@ def _valid_predicate():
     return pred & F.col("measurement_data_type").isin(*PAYLOAD_TYPES)
 
 
-def validate_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """→ (valid, rejects). NOTE: the two returned frames are
-    independent plans over the same input — a caller consuming both
-    should ``persist()`` the input (or the parse upstream) to avoid
-    re-parsing each message twice."""
+def _no_extra_fields(raw):
+    """``additionalProperties: false`` (timeseries.json:78): any key of
+    the raw record object outside the declared 7 → invalid. Non-object
+    raw text (the v1 batch array) has NULL ``json_object_keys`` and is
+    exempted — elements were already shredded by then."""
+    keys = F.json_object_keys(raw)
+    has_extra = F.exists(keys, lambda k: ~k.isin(*_REQUIRED))
+    return F.when(keys.isNull(), F.lit(True)).otherwise(~has_extra)
+
+
+def validate_records(
+    records: DataFrame, strict: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """→ (valid, rejects). ``strict=True`` additionally enforces the
+    JSON Schema's ``additionalProperties: false`` against the ``raw``
+    message text (no-op when the input carries no ``raw`` column).
+    NOTE: the two returned frames are independent plans over the same
+    input — a caller consuming both should ``persist()`` the input (or
+    the parse upstream) to avoid re-parsing each message twice."""
     pred = _valid_predicate()
+    if strict and "raw" in records.columns:
+        pred = pred & _no_extra_fields(F.col("raw"))
     valid = records.filter(pred)
     rejects = records.filter(~F.coalesce(pred, F.lit(False)))
     if "raw" in records.columns:

@@ -117,3 +117,55 @@ def test_malformed_messages_keep_raw_for_dead_letter(spark):
     assert parsed.count() == 2
     _, brejects = validate_records(parsed)
     assert [r.raw for r in brejects.collect()] == ["garbage"]
+
+
+def _wire_record(extra=None):
+    rec = {
+        "timestamp": "2024-02-01T12:00:00.000000Z",
+        "measurement_subject": "s1",
+        "measurement_publisher": "pub",
+        "measurement_of": "temp",
+        "measurement_value": "21.5",
+        "measurement_data_type": "number",
+        "correlation_id": "c1",
+    }
+    if extra:
+        rec.update(extra)
+    return json.dumps(rec)
+
+
+def test_strict_rejects_extra_fields(spark):
+    """additionalProperties: false (timeseries.json:78): a message with
+    an undeclared key must drop into dead letters under strict mode."""
+    from eventhub_to_timescale_spark.ingest.records import (
+        parse_record_messages,
+        validate_records,
+    )
+
+    msgs = [_wire_record(), _wire_record({"smuggled": 1})]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    parsed = parse_record_messages(df)
+
+    valid, rejects = validate_records(parsed, strict=True)
+    assert valid.count() == 1
+    dead = rejects.collect()
+    assert len(dead) == 1
+    assert '"smuggled"' in dead[0].raw  # raw preserved for replay
+
+    # default (non-strict) keeps the reference's from_json leniency
+    lenient_valid, lenient_rejects = validate_records(parsed)
+    assert lenient_valid.count() == 2 and lenient_rejects.count() == 0
+
+
+def test_strict_exempts_batch_array_envelopes(spark):
+    """v1 batch raw text is an ARRAY — json_object_keys is NULL there;
+    strict mode must not blanket-reject exploded batch records."""
+    from eventhub_to_timescale_spark.ingest.records import (
+        parse_record_batches,
+        validate_records,
+    )
+
+    batch = "[" + _wire_record() + "]"
+    df = spark.createDataFrame([(batch,)], "value string")
+    valid, rejects = validate_records(parse_record_batches(df), strict=True)
+    assert valid.count() == 1 and rejects.count() == 0
