@@ -187,3 +187,98 @@ def test_streaming_bucket_avg_appends_closed_windows(spark, tmpdir):
     rows = spark.read.parquet(f"{tmpdir}/agg").collect()
     closed = {(r.measurement_subject, r.avg_value) for r in rows}
     assert ("emonTx4", 150.0) in closed
+
+
+def test_stream_late_data_watermark_boundary(spark, tmpdir):
+    """Per-micro-batch emission sets at the watermark boundary
+    (watermark 10 min, 15-min tumbling windows; emon epoch payloads;
+    one file per micro-batch via maxFilesPerTrigger=1):
+
+    - batch 0 (file A): 10:00:00→100, 10:00:10→200, 10:31:00→5.
+      Watermark advances to 10:21 after the batch.
+    - batch 1 (file B): 10:46:00→9. Runs with watermark 10:21 →
+      window [10:00,10:15) closes and emits avg 150. Watermark → 10:36.
+    - batch 2 (file C): 10:05:00→400 is BEYOND the watermark for its
+      long-closed window → dropped (never re-emitted, no state);
+      10:32:00→50 is late (event time < watermark) but its window
+      [10:30,10:45) is still open → KEPT; 11:00:00→7 advances the
+      watermark to 10:50, closing [10:30,10:45).
+    - final flush: [10:30,10:45) emits avg(5, 50) = 27.5 — proof the
+      within-open-window late row joined the batch-0 row, and 400
+      never contaminated the already-closed 10:00 window (which
+      emitted exactly once, before file C was read).
+
+    NOTE the deliberate extra batch between the close and the
+    too-late arrival: Spark's late-record filter uses the watermark
+    from the previous batch, so a row arriving in the very batch
+    where its window closes can still be admitted — the boundary is
+    only sharp one batch later.
+    """
+    import time
+    from datetime import datetime, timezone
+
+    from eventhub_to_timescale_spark.streaming.pipeline import (
+        read_raw_stream,
+        stream_to_conditions,
+        streaming_bucket_avg,
+    )
+
+    def e(hh, mm, ss):
+        return int(
+            datetime(2024, 2, 1, hh, mm, ss, tzinfo=timezone.utc).timestamp()
+        )
+
+    files = [
+        [
+            make_envelope("emon/emonTx4", {"time": e(10, 0, 0), "P1": 100}),
+            make_envelope("emon/emonTx4", {"time": e(10, 0, 10), "P1": 200}),
+            make_envelope("emon/emonTx4", {"time": e(10, 31, 0), "P1": 5}),
+        ],
+        [make_envelope("emon/emonTx4", {"time": e(10, 46, 0), "P1": 9})],
+        [
+            make_envelope("emon/emonTx4", {"time": e(10, 5, 0), "P1": 400}),
+            make_envelope("emon/emonTx4", {"time": e(10, 32, 0), "P1": 50}),
+            make_envelope("emon/emonTx4", {"time": e(11, 0, 0), "P1": 7}),
+        ],
+    ]
+    raw_path = None
+    for msgs in files:
+        raw_path = _write_raw(spark, tmpdir, msgs)
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    agg = streaming_bucket_avg(
+        stream_to_conditions(
+            read_raw_stream(spark, raw_path, max_files_per_trigger=1),
+            watermark="10 minutes",
+        ),
+        of="P1",
+        bucket_seconds=900,
+    )
+    emitted: dict[int, list] = {}
+
+    def capture(df, batch_id):
+        rows = df.collect()
+        if rows:
+            emitted[batch_id] = [
+                (r.time.strftime("%H:%M"), round(r.avg_value, 6)) for r in rows
+            ]
+
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/lateckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    elapsed = time.perf_counter() - t0
+    print(f"\navailableNow envelope→conditions→window-agg run: {elapsed:.1f}s")
+
+    all_rows = [r for rows in emitted.values() for r in rows]
+    assert sorted(all_rows) == [("10:00", 150.0), ("10:30", 27.5)]
+    # each closed window emitted in exactly one micro-batch (append
+    # mode never revises), and 10:00 closed before file C was read
+    assert len(all_rows) == len(set(w for (w, _) in all_rows))
+    batches_by_window = {w: bid for bid, rows in emitted.items() for (w, _) in rows}
+    assert batches_by_window["10:00"] < batches_by_window["10:30"]
