@@ -88,7 +88,13 @@ def records_to_conditions(records: DataFrame, with_unique_id: bool = True) -> Da
 
 
 def conditions_rejects(records: DataFrame) -> DataFrame:
-    """Rows whose value failed typed coercion — dead-letter channel."""
+    """Rows whose value failed typed coercion — dead-letter channel.
+
+    NOTE: this recomputes the wide pivot and anti-joins against it —
+    an independent plan from ``records_to_conditions``. A caller
+    consuming BOTH outputs re-parses the input twice; ``persist()``
+    the ``records`` frame (or its upstream parse) in that case, same
+    guidance as ``validate_records``."""
     wide = records_to_conditions(records, with_unique_id=False)
     keys = ["timestamp", "measurement_subject", "measurement_of", "correlation_id"]
     return records.join(wide.select(*keys), on=keys, how="left_anti")

@@ -266,3 +266,37 @@ def test_q4_bucket_width_rounds_to_whole_seconds():
     end = datetime(2024, 1, 1, 0, 16, 40)
     assert adaptive_mode_bucket_seconds(361, start, end) == 3.0
     assert adaptive_mode_bucket_seconds(360, start, end) == 60.0
+
+
+def test_asap_lttb_pandas_stage_is_grid_bounded(spark):
+    """The groupBy(lit(1)) funnel into a single pandas task is safe
+    ONLY because the resolution×4 pre-aggregation bounds its input
+    (VERDICT r1: keep that invariant tested). Pin the plan shape: a
+    HashAggregate (the grid) must sit below FlatMapGroupsInPandas, and
+    the output never exceeds the resolution."""
+    from pyspark.sql import functions as F
+
+    from eventhub_to_timescale_spark.operators.asap import (
+        asap_smooth,
+        lttb_downsample,
+    )
+
+    n = 50_000
+    cond = spark.range(n).select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("id") * 50
+        ).alias("timestamp"),
+        F.lit("s1").alias("measurement_subject"),
+        F.lit("value").alias("measurement_of"),
+        (F.col("id") % 97).cast("double").alias("measurement_number"),
+    )
+    start, end = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    for op, res in ((asap_smooth, 40), (lttb_downsample, 40)):
+        df = op(cond, "s1", "value", start, end, resolution=res)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pandas_pos = plan.find("FlatMapGroupsInPandas")
+        assert pandas_pos != -1
+        # at least one aggregate strictly below the pandas stage (plan
+        # trees print top-down, so "below" = later in the string)
+        assert "HashAggregate" in plan[pandas_pos:]
+        assert df.count() <= res
