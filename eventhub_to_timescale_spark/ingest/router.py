@@ -77,12 +77,30 @@ def _rec(of: Column, value: Column, type_tag: Column) -> Column:
     )
 
 
-def route_to_records(envelope_df: DataFrame) -> DataFrame:
+def route_to_records(
+    envelope_df: DataFrame,
+    dynamic_fallback: bool = False,
+    dynamic_max_depth: int = 6,
+    dynamic_ignore_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """Parsed envelope rows → canonical atomic records across all
-    MQTT publishers (glow, homie, emon) in a single pass."""
+    MQTT publishers (glow, homie, emon) in a single pass.
+
+    ``dynamic_fallback=True`` adds a fourth guarded branch: messages
+    from publishers no converter declares flow through the
+    arbitrary-depth dynamic flatten (``ingest.dynamic``) instead of
+    being dropped — subject from the topic, timestamp from the
+    envelope, leaf-key record names. Same single scan; the flatten
+    expression only evaluates on unknown-publisher rows (CaseWhen
+    short-circuit). This is the onboarding path for a sensor nobody
+    has written a declared-struct converter for yet."""
     pub = F.lower(F.col("publisher"))
     has_payload = F.col("payload").isNotNull()
-    base = envelope_df.filter(pub.isin(*KNOWN_PUBLISHERS))
+    base = (
+        envelope_df
+        if dynamic_fallback
+        else envelope_df.filter(pub.isin(*KNOWN_PUBLISHERS))
+    )
 
     # payload parses, evaluated only for the matching publisher's rows
     # (CaseWhen short-circuits) and at most once per row (Generate
@@ -113,11 +131,12 @@ def route_to_records(envelope_df: DataFrame) -> DataFrame:
     # record timestamp source differs per publisher: glow = payload
     # meter.timestamp (glow.py:17), homie = envelope timestamp
     # (homie.py:33), emon = payload 'time' key (emon.py
-    # extract_timestamp); null → row dropped, like each converter
+    # extract_timestamp), dynamic fallback = envelope timestamp;
+    # null → row dropped, like each converter
     rec_ts = (
         F.when(pub == "glow", parse_timestamp_any(meter["timestamp"]))
-        .when(pub == "homie", parse_timestamp_any(F.col("timestamp")))
-        .otherwise(parse_timestamp_any(F.col("kv")["time"]))
+        .when(pub == "emon", parse_timestamp_any(F.col("kv")["time"]))
+        .otherwise(parse_timestamp_any(F.col("timestamp")))
     )
     subject = F.when(pub == "homie", topic_part(F.col("topic"), -2)).otherwise(
         subject_last
@@ -158,13 +177,30 @@ def route_to_records(envelope_df: DataFrame) -> DataFrame:
         ),
     )
 
+    arrays = [glow_arr, homie_arr, emon_arr]
+    if dynamic_fallback:
+        from eventhub_to_timescale_spark.ingest.dynamic import leaves_expr
+
+        leaves = F.expr(
+            leaves_expr("payload", dynamic_max_depth, tuple(dynamic_ignore_keys))
+        )
+        arrays.append(
+            F.when(
+                ~pub.isin(*KNOWN_PUBLISHERS)
+                & has_payload
+                & F.col("timestamp").isNotNull(),
+                F.transform(
+                    leaves,
+                    lambda leaf: _rec(
+                        leaf["k"], leaf["js"], infer_type_tag(leaf["js"])
+                    ),
+                ),
+            )
+        )
+
     empty = F.array().cast(_REC_TYPE)
     records = F.filter(
-        F.concat(
-            F.coalesce(glow_arr, empty),
-            F.coalesce(homie_arr, empty),
-            F.coalesce(emon_arr, empty),
-        ),
+        F.concat(*[F.coalesce(a, empty) for a in arrays]),
         lambda r: r["measurement_value"].isNotNull(),
     )
 
@@ -199,7 +235,10 @@ def route_to_records_union(envelope_df: DataFrame) -> DataFrame:
 
 def unrouted(envelope_df: DataFrame) -> DataFrame:
     """Messages whose publisher no converter handles (reference raises
-    ValueError, json_converter.py:160-163) — error channel."""
+    ValueError, json_converter.py:160-163) — error channel. With
+    ``route_to_records(dynamic_fallback=True)`` these messages are
+    instead converted via the dynamic flatten; this channel then only
+    matters for auditing what WOULD have been dropped."""
     return envelope_df.filter(
         ~F.lower(F.col("publisher")).isin(*KNOWN_PUBLISHERS)
     )

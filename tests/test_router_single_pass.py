@@ -93,3 +93,47 @@ def test_single_pass_plan_has_one_scan(env):
 
     assert n_scans(route_to_records(env)) == 1
     assert n_scans(route_to_records_union(env)) == 3
+
+
+def test_dynamic_fallback_routes_unknown_publishers(env, envelopes):
+    """dynamic_fallback=True: the 'mystery' publisher's depth-1 payload
+    {"x": 1} fans out through the dynamic flatten (subject from topic,
+    envelope timestamp) instead of dropping — while every known
+    publisher's records are byte-identical to the fallback-off plan,
+    and the plan still scans the source exactly once."""
+    from eventhub_to_timescale_spark.ingest.router import route_to_records
+
+    base = _sorted_rows(route_to_records(env))
+    with_dyn = route_to_records(env, dynamic_fallback=True)
+    rows = _sorted_rows(with_dyn)
+
+    known = [r for r in rows if r[2] in ("glow", "homie", "emon")]
+    assert known == base
+
+    dyn = [r for r in rows if r[2] == "mystery"]
+    # make_envelope without timestamp → envelope ts None → dropped;
+    # MESSAGES' mystery message has no timestamp, so add one here
+    assert dyn == []
+    msgs = [
+        make_envelope(
+            "acme/device9", {"a": {"b": 2.5}, "ok": True},
+            timestamp="2024-02-01T10:00:00Z",
+        )
+    ]
+    out = route_to_records(envelopes(msgs), dynamic_fallback=True).collect()
+    got = {
+        r.measurement_of: (
+            r.measurement_value,
+            r.measurement_data_type,
+            r.measurement_subject,
+            r.measurement_publisher,
+        )
+        for r in out
+    }
+    assert got == {
+        "b": ("2.5", "number", "device9", "acme"),
+        "ok": ("true", "boolean", "device9", "acme"),
+    }
+
+    plan = with_dyn._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") + plan.count("Scan parquet") == 1
