@@ -333,3 +333,28 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection (near-dedup keep-first)
+# ---------------------------------------------------------------------------
+
+
+def near_dedup_filter(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-dedup survivor set: drop every document that has a
+    near-duplicate with a smaller id (``pairs`` is any (doc_a, doc_b)
+    frame with doc_a < doc_b — MinHash, SimHash or embedding pairs).
+
+    This is the deterministic keep-first heuristic used on training
+    corpora: one anti-join, no iteration. It is NOT full
+    connected-components clustering — in a chain a–b–c the pair (b,c)
+    still removes c even though b was itself removed; the result is a
+    superset-of-clusters dedup, which is the conservative direction
+    for dedup. At scale: a shuffle on the id key only (the pair list
+    projects one column), broadcast-able when the duplicate set is
+    small relative to the corpus.
+    """
+    dupes = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(dupes, on=id_col, how="left_anti")

@@ -622,3 +622,17 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def dedup_minhash_keep_oracle(
+    num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
+) -> str:
+    """Survivor set of the keep-first near-dedup: every document not
+    appearing as the larger id of a MinHash near-dup pair."""
+    pairs = dedup_minhash_oracle(num_hashes, bands, threshold)
+    return f"""
+WITH pairs AS ({pairs})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+ORDER BY d.doc_id
+"""

@@ -169,3 +169,17 @@ def test_blob_features_fake_and_stub(spark):
     # real decode path is stubbed (no codecs in this environment)
     with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
         extract_blob_features(blobs, fake=False).collect()
+
+
+def test_near_dedup_filter_keep_first_chain(spark):
+    """Chain a–b–c: b drops via (a,b), c drops via (b,c) even though b
+    itself was removed — keep-first is a superset-of-clusters dedup
+    (conservative direction)."""
+    from eventhub_to_timescale_spark.operators.dedup import near_dedup_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in near_dedup_filter(docs, pairs).collect())
+    assert kept == [1, 4]
