@@ -22,7 +22,10 @@ Reproduces the reference's ``recursively_deserialize``
   lists); a 2-numeric array is tagged GEOGRAPHY by ``infer_type_tag``
   (timeseries.py:120-124), any other array STRING (the reference
   raises TypeError — here unknown shapes ride the reject channel
-  instead of killing the job, same divergence policy as T13).
+  instead of killing the job, same divergence policy as T13). Array
+  leaf TEXT is ``get_json_object``'s re-rendering of the subtree
+  (Jackson number style, ``2.4E-7``), numerically equal to but not
+  byte-identical with the input text — found by the property tier.
 - JSON ``null`` leaves extract as SQL NULL and are dropped (the
   reference would raise on ``get_record_type(None)``).
 

@@ -118,6 +118,14 @@ def _norm(kind, raw):
         return float(raw)
     if kind in ("geography",):
         return [float(x) for x in json.loads(raw)]
+    if isinstance(raw, str) and raw.startswith("["):
+        # non-geo list leaf: get_json_object re-renders the extracted
+        # subtree (Jackson style, e.g. 2.4E-7 vs 2.4e-07) — compare
+        # numerically, not textually
+        try:
+            return [float(x) for x in json.loads(raw)]
+        except (ValueError, TypeError):
+            return raw
     return raw
 
 
@@ -154,12 +162,8 @@ def test_dynamic_flatten_matches_reference_model(spark_session, payload):
                 if kind == "number"
                 else (
                     [float(x) for x in v]
-                    if kind == "geography"
-                    else (
-                        json.dumps(v, separators=(",", ":"))
-                        if isinstance(v, list)
-                        else v
-                    )
+                    if kind == "geography" or isinstance(v, list)
+                    else v
                 )
             ),
         )
