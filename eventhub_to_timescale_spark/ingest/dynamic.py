@@ -36,62 +36,73 @@ not mis-emitted; raise ``max_depth`` to onboard deeper publishers.
 Scale shape: everything is one codegen'd expression per row — no
 shuffle, no Python, no driver involvement; the leaf fan-out happens
 in a single ``explode`` (Generate), so the frontier expression is
-evaluated once per input row. Keys containing a single quote are not
-addressable via the JSON-path bracket syntax used here and their
-subtree is skipped (documented limitation).
+evaluated once per input row.
+
+Each frontier node is parsed exactly ONCE: ``from_json`` to
+``map<string,string>`` yields every child's raw text in one pass
+(nested objects keep their JSON text as the map value — verified,
+incl. the shared Jackson float re-rendering with ``get_json_object``).
+An earlier per-child ``get_json_object``-path walk parsed a K-child
+node K+1 times and could not address keys containing a single quote;
+this one has no key-character restrictions and benches neutral at
+sf0.1 (the fan-out, not the parse, dominates there).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from eventhub_to_timescale_spark.functions.typeinfer import infer_type_tag
 
-_EMPTY = "''"
+_MAP = "map<string,string>"
 
 
-def _node(k_expr: str, js_expr: str, var: str) -> str:
-    """Frontier node ``struct<k, js, keys>`` — the single-element
-    ``transform`` binds the extracted child text to ``var`` so the
-    ``json_object_keys`` probe doesn't re-run the extraction (the
-    same no-CSE hazard materialize() exists for, solved with a lambda
-    binding instead of a Generate since we're inside an array)."""
-    return (
-        f"element_at(transform(array({js_expr}), {var} -> "
-        f"named_struct('k', {k_expr}, 'js', {var}, "
-        f"'keys', json_object_keys({var}))), 1)"
+def _node(k: Column, v: Column) -> Column:
+    """Frontier node ``struct<k, js, m>`` — the single-element
+    ``transform`` binds the one ``from_json`` per node to a lambda
+    variable, so the object-probe (``m IS NULL``) and the child
+    enumeration (``map_entries(m)``) read the SAME parsed map
+    (``JsonToStructs`` is CodegenFallback: without the binding each
+    field access would re-parse; same no-CSE hazard materialize()
+    exists for, solved with a lambda binding since we're inside an
+    array)."""
+    return F.element_at(
+        F.transform(
+            F.array(F.from_json(v, _MAP)),
+            lambda m: F.struct(k.alias("k"), v.alias("js"), m.alias("m")),
+        ),
+        1,
     )
 
 
-def leaves_expr(
-    payload_expr: str,
+def leaves_col(
+    payload: Column,
     max_depth: int = 6,
     ignore_keys: tuple[str, ...] = (),
-) -> str:
-    """SQL expression: payload JSON text → ``array<struct<k, js>>`` of
-    leaf (key, raw-text value) pairs, depth-first per the unrolled
-    frontier. Compose with ``explode`` for row fan-out."""
-    ignore_sql = (
-        "array(" + ", ".join("'" + k.replace("'", "''") + "'" for k in ignore_keys) + ")"
-        if ignore_keys
-        else "array()"
+) -> Column:
+    """payload JSON text → ``array<struct<k, js>>`` of leaf (key,
+    raw-text value) pairs via the unrolled frontier. Compose with
+    ``explode`` for row fan-out."""
+    frontier = F.array(_node(F.lit(""), payload))
+    for _ in range(max_depth):
+
+        def _expand(n):
+            entries = F.map_entries(n["m"])
+            if ignore_keys:
+                entries = F.filter(
+                    entries, lambda e: ~e["key"].isin(*ignore_keys)
+                )
+            return F.when(n["m"].isNull(), F.array(n)).otherwise(
+                F.transform(entries, lambda e: _node(e["key"], e["value"]))
+            )
+
+        frontier = F.flatten(F.transform(frontier, _expand))
+    leaves = F.filter(
+        frontier, lambda x: x["m"].isNull() & (x["k"] != F.lit(""))
     )
-    frontier = f"array({_node(_EMPTY, payload_expr, 'w0')})"
-    for d in range(max_depth):
-        n, k, w = f"n{d}", f"k{d}", f"w{d + 1}"
-        path = f"concat('$[', chr(39), {k}, chr(39), ']')"
-        child = f"get_json_object({n}.js, {path})"
-        frontier = (
-            f"flatten(transform({frontier}, {n} -> "
-            f"CASE WHEN {n}.keys IS NULL THEN array({n}) "
-            f"ELSE transform(filter({n}.keys, {k} -> "
-            f"NOT array_contains({ignore_sql}, {k})), "
-            f"{k} -> {_node(k, child, w)}) END))"
-        )
-    return (
-        f"transform(filter({frontier}, fin -> fin.keys IS NULL AND fin.k <> {_EMPTY}), "
-        f"fin -> named_struct('k', fin.k, 'js', fin.js))"
+    return F.transform(
+        leaves, lambda x: F.struct(x["k"].alias("k"), x["js"].alias("js"))
     )
 
 
@@ -107,7 +118,7 @@ def flatten_payload_dynamic(
     ``measurement_data_type``, drops the payload column. All other
     columns are carried through the explode unchanged."""
     leaf = F.explode(
-        F.expr(leaves_expr(payload_col, max_depth, tuple(ignore_keys)))
+        leaves_col(F.col(payload_col), max_depth, tuple(ignore_keys))
     ).alias("_leaf")
     carried = [c for c in df.columns if c != payload_col]
     out = df.select(*carried, leaf)
@@ -178,4 +189,4 @@ def dynamic_to_records(
     )
 
 
-__all__ = ["leaves_expr", "flatten_payload_dynamic", "dynamic_to_records"]
+__all__ = ["leaves_col", "flatten_payload_dynamic", "dynamic_to_records"]

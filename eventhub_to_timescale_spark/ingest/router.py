@@ -179,10 +179,10 @@ def route_to_records(
 
     arrays = [glow_arr, homie_arr, emon_arr]
     if dynamic_fallback:
-        from eventhub_to_timescale_spark.ingest.dynamic import leaves_expr
+        from eventhub_to_timescale_spark.ingest.dynamic import leaves_col
 
-        leaves = F.expr(
-            leaves_expr("payload", dynamic_max_depth, tuple(dynamic_ignore_keys))
+        leaves = leaves_col(
+            F.col("payload"), dynamic_max_depth, tuple(dynamic_ignore_keys)
         )
         arrays.append(
             F.when(

@@ -11,11 +11,11 @@ comparison is by type: numbers numerically (text renderings may
 differ in exponent form), everything else exactly.
 
 Known representational exclusions (documented in ingest/dynamic.py):
-keys containing a single quote (not addressable via the bracket JSON
-path) and empty-string keys (collide with the root sentinel) are not
-generated; nor are strings that jsonparse to scalars with non-minimal
-renderings ("1.50"), where the engine keeps the original text and
-json.loads canonicalizes.
+empty-string keys (collide with the root sentinel) are not generated;
+nor are strings that jsonparse to scalars with non-minimal renderings
+("1.50"), where the engine keeps the original text and json.loads
+canonicalizes. Keys with quotes/spaces ARE generated — the map-based
+walk has no key-character restrictions.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 KEYS = st.text(
-    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-", min_size=1, max_size=8
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-'\" $", min_size=1, max_size=8
 )
 
 _SCALAR = st.one_of(
