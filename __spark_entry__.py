@@ -467,6 +467,17 @@ def _pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(_docs(spark, sf_dir), min_quality=0.5)
 
 
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (stubbed codec, real mapInPandas
+    plumbing): each blob fans out to n evenly-split byte chunks."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        documents_as_blobs,
+        frame_samples_sql_checkable,
+    )
+
+    return frame_samples_sql_checkable(documents_as_blobs(_docs(spark, sf_dir)))
+
+
 def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.multimodal import (
         blob_features_sql_checkable,
@@ -519,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "mm_blob_features": _mm_blob_features,
+        "mm_frame_sample": _mm_frame_sample,
     }
 
 
@@ -799,4 +811,5 @@ ORDER BY measurement_publisher, measurement_of
         "text_fingerprint": oc.text_fingerprint_oracle(8),
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "mm_blob_features": oc.mm_blob_oracle(),
+        "mm_frame_sample": oc.mm_frame_oracle(4),
     }

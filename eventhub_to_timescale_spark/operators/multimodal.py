@@ -172,3 +172,17 @@ def blob_features_sql_checkable(blobs: DataFrame) -> DataFrame:
     return extract_blob_features(blobs, fake=True).select(
         "doc_id", "n_bytes", "sha256"
     )
+
+
+def frame_samples_sql_checkable(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Oracle-comparable projection of ``sample_frames``: the raw frame
+    bytes become an md5 hex digest so the cross-engine compare never
+    touches binary representations (document texts are ASCII, so the
+    DuckDB oracle can slice the VARCHAR and md5 it byte-identically)."""
+    frames = sample_frames(blobs, n_frames=n_frames, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_bytes",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )

@@ -636,3 +636,24 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
 ORDER BY d.doc_id
 """
+
+
+def mm_frame_oracle(n_frames: int = 4) -> str:
+    """sample_frames stub replayed in SQL: evenly-split byte chunks of
+    the utf-8 payload (document texts are pure ASCII at every sf —
+    checked — so VARCHAR slicing equals byte slicing and md5(VARCHAR)
+    equals Spark's md5(binary))."""
+    return f"""
+WITH b AS (
+  SELECT doc_id, text AS p, length(text) AS n FROM documents
+)
+SELECT doc_id,
+       i AS frame_idx,
+       CAST(CASE WHEN substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1)) = ''
+            THEN 1 ELSE length(substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1)))
+       END AS BIGINT) AS n_bytes,
+       md5(CASE WHEN substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1)) = ''
+            THEN chr(0) ELSE substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1))
+       END) AS frame_md5
+FROM b, range({n_frames}) t(i)
+"""
