@@ -285,6 +285,29 @@ def _ingest_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_records_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 sink wire format fed back through the S3 source with
+    strict JSON-Schema validation: every 10th message smuggles an
+    undeclared field and must land in dead letters
+    (additionalProperties: false, reference timeseries.json:78)."""
+    from eventhub_to_timescale_spark.ingest.records import (
+        parse_record_messages,
+        validate_records,
+    )
+    from eventhub_to_timescale_spark.sources.synth import (
+        events_to_record_messages,
+    )
+
+    wire = events_to_record_messages(_events(spark, sf_dir))
+    valid, _rejects = validate_records(parse_record_messages(wire), strict=True)
+    return valid.select(
+        "timestamp",
+        "measurement_subject",
+        F.col("measurement_value").cast("double").alias("measurement_number"),
+        "correlation_id",
+    )
+
+
 def _ingest_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-less publisher through the arbitrary-depth dynamic
     flatten (reference create_record_recursive + recursively
@@ -514,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_emon": _ingest_emon,
         "ingest_bmw": _ingest_bmw,
         "ingest_dynamic": _ingest_dynamic,
+        "ingest_records_strict": _ingest_records_strict,
         "ingest_router_union": _ingest_router,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -542,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         EMON_ORACLE,
         GLOW_ORACLE,
         HOMIE_ORACLE,
+        RECORDS_STRICT_ORACLE,
     )
     from eventhub_to_timescale_spark.sources.testdata import (
         EVENTS_AS_CONDITIONS_ORACLE,
@@ -786,6 +811,7 @@ ORDER BY measurement_publisher, measurement_of
         "ingest_emon": EMON_ORACLE,
         "ingest_bmw": BMW_ORACLE,
         "ingest_dynamic": DYNAMIC_ORACLE,
+        "ingest_records_strict": RECORDS_STRICT_ORACLE,
         "ingest_router_union": router,
         "dedup_exact": oc.dedup_exact_oracle(),
         "dedup_minhash_lsh": oc.dedup_minhash_oracle(12, 6, 0.5),

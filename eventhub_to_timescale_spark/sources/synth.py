@@ -391,3 +391,40 @@ SELECT ts AS timestamp,
        b AS measurement_bool
 FROM recs
 """
+
+
+# ---------------------------------------------------------------------------
+# Normalized-record wire messages (S3/S5 format) with schema violations
+# ---------------------------------------------------------------------------
+
+
+def events_to_record_messages(events: DataFrame) -> DataFrame:
+    """→ v2 single-record wire messages (the S5 sink's format, fed
+    back through the S3 source). Every 10th event smuggles an
+    undeclared ``smuggled`` field — an ``additionalProperties: false``
+    violation the strict validator must reject (``to_json`` omits the
+    null field on conforming rows, so only violators carry it)."""
+    events = _parallel(events)
+    rec = F.struct(
+        _iso(F.col("ts")).alias("timestamp"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+            "measurement_subject"
+        ),
+        F.lit("events").alias("measurement_publisher"),
+        F.lit("value").alias("measurement_of"),
+        F.col("value").cast("string").alias("measurement_value"),
+        F.lit("number").alias("measurement_data_type"),
+        F.col("event_id").cast("string").alias("correlation_id"),
+        F.when(F.col("event_id") % 10 == 0, F.lit(1)).alias("smuggled"),
+    )
+    return events.select(F.to_json(rec).alias("value"))
+
+
+RECORDS_STRICT_ORACLE = """
+SELECT ts AS timestamp,
+       'user_' || CAST(user_id AS VARCHAR) AS measurement_subject,
+       value AS measurement_number,
+       CAST(event_id AS VARCHAR) AS correlation_id
+FROM events
+WHERE event_id % 10 <> 0
+"""
