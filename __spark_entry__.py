@@ -501,6 +501,17 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_samples_sql_checkable(documents_as_blobs(_docs(spark, sf_dir)))
 
 
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (stubbed codec): payload cycled to the
+    target byte count through the Arrow-batched mapInPandas stage."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        documents_as_blobs,
+        resized_sql_checkable,
+    )
+
+    return resized_sql_checkable(documents_as_blobs(_docs(spark, sf_dir)))
+
+
 def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.multimodal import (
         blob_features_sql_checkable,
@@ -555,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "mm_blob_features": _mm_blob_features,
         "mm_frame_sample": _mm_frame_sample,
+        "mm_resize": _mm_resize,
     }
 
 
@@ -838,4 +850,5 @@ ORDER BY measurement_publisher, measurement_of
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "mm_blob_features": oc.mm_blob_oracle(),
         "mm_frame_sample": oc.mm_frame_oracle(4),
+        "mm_resize": oc.mm_resize_oracle(64, 64),
     }

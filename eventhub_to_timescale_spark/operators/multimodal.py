@@ -186,3 +186,18 @@ def frame_samples_sql_checkable(blobs: DataFrame, n_frames: int = 4) -> DataFram
         "n_bytes",
         F.md5(F.col("frame")).alias("frame_md5"),
     )
+
+
+def resized_sql_checkable(
+    blobs: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Oracle-comparable projection of ``resize_images``: the resized
+    payload becomes an md5 hex digest (ASCII texts → the DuckDB oracle
+    rebuilds the byte-cycling with repeat+substring on the VARCHAR)."""
+    resized = resize_images(blobs, width=width, height=height, fake=True)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )

@@ -657,3 +657,18 @@ SELECT doc_id,
        END) AS frame_md5
 FROM b, range({n_frames}) t(i)
 """
+
+
+def mm_resize_oracle(width: int = 64, height: int = 64) -> str:
+    """resize_images stub replayed in SQL: payload cycled/truncated to
+    width*height bytes (ASCII texts, same byte/char equivalence as
+    mm_frame_oracle)."""
+    target = width * height
+    return f"""
+SELECT doc_id,
+       {width} AS width,
+       {height} AS height,
+       md5(substring(repeat(text, {target} // length(text) + 1), 1, {target}))
+         AS payload_md5
+FROM documents
+"""
