@@ -269,3 +269,34 @@ def write_conditions_jdbc_idempotent(
             stmt.close()
     finally:
         conn.close()
+
+
+def write_conditions_bucketed(
+    conditions: DataFrame,
+    table_name: str = "conditions_bucketed",
+    buckets: int = 64,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted conditions store for subject-keyed workloads.
+
+    ``bucketBy(measurement_subject)`` pre-shuffles the table ONCE at
+    write time; subject-grouped aggregations and subject-keyed joins
+    against any same-bucketed table then run with NO Exchange (pinned
+    by ``tests/test_bucketed_store.py``). At 100 TB this converts the
+    per-query subject shuffle of Q7/Q8/Q9-style workloads into a
+    one-time write cost — the Spark analogue of the reference's
+    (subject, of) secondary indexes. ``sortBy(subject, timestamp)``
+    additionally hands the window operators presorted runs.
+
+    Bucketing requires the session catalog (``saveAsTable``); pass
+    ``path`` to keep the data external.
+    """
+    writer = (
+        conditions.write.mode(mode)
+        .bucketBy(buckets, "measurement_subject")
+        .sortBy("measurement_subject", "timestamp")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
