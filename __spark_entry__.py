@@ -405,6 +405,22 @@ def _dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_filter(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connected-components duplicate clustering over the MinHash
+    pair graph (min-label propagation; oracle = recursive-CTE
+    transitive closure)."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=12, bands=6, shingle_n=3,
+        jaccard_threshold=0.5,
+    )
+    return near_dedup_components(pairs).orderBy("doc_id")
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
 
@@ -553,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_minhash_keep": _dedup_minhash_keep,
+        "dedup_components": _dedup_components,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
@@ -828,6 +845,7 @@ ORDER BY measurement_publisher, measurement_of
         "dedup_exact": oc.dedup_exact_oracle(),
         "dedup_minhash_lsh": oc.dedup_minhash_oracle(12, 6, 0.5),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
+        "dedup_components": oc.dedup_components_oracle(12, 6, 0.5),
         "dedup_simhash": oc.dedup_simhash_oracle(3),
         "dedup_ngram_jaccard": oc.dedup_ngram_oracle(5, 0.3, 100),
         "dedup_embedding_cosine": oc.embedding_neardup_oracle(0.3, 8, 64),

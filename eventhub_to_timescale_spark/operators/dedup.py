@@ -358,3 +358,81 @@ def near_dedup_filter(
     """
     dupes = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(dupes, on=id_col, how="left_anti")
+
+
+def near_dedup_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: → (doc_id, cluster_id)
+    where cluster_id is the smallest doc_id reachable through the pair
+    graph — full connected components, the exact semantics keep-first
+    (`near_dedup_filter`) approximates.
+
+    Iterative min-label propagation: each round joins every node's
+    label against its neighbors' and keeps the minimum, converging in
+    O(component diameter) rounds (bounded by ``max_iters``; duplicate
+    clusters in real corpora are shallow — a star around a popular
+    page, a chain of revisions). Each round is one broadcast-able
+    equi-join + groupBy over the PAIR graph only — corpus size never
+    enters; the driver-side convergence check counts changed labels,
+    an action over the (small) label frame, not the corpus.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "cluster_id", "nbr_label"
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components_keep(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster-canonical survivor set: keep exactly ONE document per
+    duplicate cluster (the smallest id) plus every unpaired document —
+    the exact-clustering upgrade of ``near_dedup_filter``'s keep-first
+    heuristic."""
+    comps = near_dedup_components(pairs)
+    drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, on=id_col, how="left_anti")

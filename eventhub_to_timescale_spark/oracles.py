@@ -672,3 +672,29 @@ SELECT doc_id,
          AS payload_md5
 FROM documents
 """
+
+
+def dedup_components_oracle(
+    num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
+) -> str:
+    """Connected components of the MinHash pair graph as a recursive
+    CTE: cluster_id = smallest doc_id reachable through undirected
+    pair edges (transitive closure is fine at oracle scale — the pair
+    graph is tiny relative to the corpus)."""
+    pairs = dedup_minhash_oracle(num_hashes, bands, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a
+ORDER BY doc_id
+"""

@@ -183,3 +183,30 @@ def test_near_dedup_filter_keep_first_chain(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     kept = sorted(r.doc_id for r in near_dedup_filter(docs, pairs).collect())
     assert kept == [1, 4]
+
+
+def test_near_dedup_components_chain_and_star(spark):
+    """Chain 1-2-3 collapses to one cluster labeled 1 even though
+    (1,3) was never a pair — the transitive semantics keep-first
+    approximates; disjoint star 10-(11,12) labels 10."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        dedup_components_keep,
+        near_dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12)], "doc_a long, doc_b long"
+    )
+    comps = {
+        r.doc_id: r.cluster_id for r in near_dedup_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (1, 2, 3, 7, 10, 11, 12)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_components_keep(docs, pairs).collect()
+    )
+    # one canonical doc per cluster + the unpaired doc 7
+    assert kept == [1, 7, 10]
