@@ -32,6 +32,7 @@ Reproduces the reference's ``recursively_deserialize``
 Recursion is unrolled to ``max_depth`` object levels (default 6 — the
 deepest reference payload, BMW, is 3). Deeper objects are dropped,
 not mis-emitted; raise ``max_depth`` to onboard deeper publishers.
+Empty-string keys are legal and survive (the root sentinel is NULL).
 
 Scale shape: everything is one codegen'd expression per row — no
 shuffle, no Python, no driver involvement; the leaf fan-out happens
@@ -84,7 +85,9 @@ def leaves_col(
     """payload JSON text → ``array<struct<k, js>>`` of leaf (key,
     raw-text value) pairs via the unrolled frontier. Compose with
     ``explode`` for row fan-out."""
-    frontier = F.array(_node(F.lit(""), payload))
+    # NULL sentinel for the root key (not "" — an empty string is a
+    # legal JSON key whose leaf must survive, map keys are never null)
+    frontier = F.array(_node(F.lit(None).cast("string"), payload))
     for _ in range(max_depth):
 
         def _expand(n):
@@ -99,7 +102,7 @@ def leaves_col(
 
         frontier = F.flatten(F.transform(frontier, _expand))
     leaves = F.filter(
-        frontier, lambda x: x["m"].isNull() & (x["k"] != F.lit(""))
+        frontier, lambda x: x["m"].isNull() & x["k"].isNotNull()
     )
     return F.transform(
         leaves, lambda x: F.struct(x["k"].alias("k"), x["js"].alias("js"))

@@ -94,6 +94,17 @@ def route_to_records(
     expression only evaluates on unknown-publisher rows (CaseWhen
     short-circuit). This is the onboarding path for a sensor nobody
     has written a declared-struct converter for yet."""
+    from eventhub_to_timescale_spark.ingest import emon as _emon
+
+    if _emon.USE_VARIANT_PATH:
+        # the single-pass plan inlines the emon map parse; honoring the
+        # variant knob here would silently desynchronize the two
+        # routers, so refuse loudly instead
+        raise NotImplementedError(
+            "route_to_records inlines the emon map<string,string> parse; "
+            "with emon.USE_VARIANT_PATH=True use route_to_records_union "
+            "(per-converter plan) for byte-faithful emon leaf text"
+        )
     pub = F.lower(F.col("publisher"))
     has_payload = F.col("payload").isNotNull()
     base = (

@@ -368,15 +368,18 @@ def near_dedup_components(
     graph — full connected components, the exact semantics keep-first
     (`near_dedup_filter`) approximates.
 
-    Iterative min-label propagation: each round joins every node's
-    label against its neighbors' and keeps the minimum, converging in
-    O(component diameter) rounds (bounded by ``max_iters``; duplicate
-    clusters in real corpora are shallow — a star around a popular
-    page, a chain of revisions). Each round is one broadcast-able
-    equi-join + groupBy over the PAIR graph only — corpus size never
-    enters; the driver-side convergence check counts changed labels,
-    an action over the (small) label frame, not the corpus.
+    Iterative min-label propagation WITH path compression: each round
+    first takes the minimum over neighbors' labels, then replaces each
+    label by its label's label (pointer jumping), so convergence is
+    O(log diameter) rounds — a 2^20-long chain converges within the
+    default ``max_iters``. Each round is two broadcast-able equi-joins
+    + a groupBy over the PAIR graph only — corpus size never enters;
+    the driver-side convergence check counts changed labels, an action
+    over the (small) label frame, not the corpus. If ``max_iters`` is
+    still exhausted without convergence a ``RuntimeWarning`` is issued
+    rather than silently returning partial clusters.
     """
+    import warnings
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -391,6 +394,7 @@ def near_dedup_components(
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -402,12 +406,28 @@ def near_dedup_components(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, on="doc_id", how="left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # path compression (pointer jumping): label := label's label,
+        # turning linear chains into logarithmic convergence
+        parents = stepped.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("grand"),
+        )
+        updated = (
+            stepped.join(parents, on="cluster_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("grand"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
@@ -420,7 +440,15 @@ def near_dedup_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"near_dedup_components did not converge within {max_iters} "
+            "rounds — cluster ids may be partial; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

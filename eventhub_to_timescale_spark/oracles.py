@@ -668,7 +668,8 @@ def mm_resize_oracle(width: int = 64, height: int = 64) -> str:
 SELECT doc_id,
        {width} AS width,
        {height} AS height,
-       md5(substring(repeat(text, {target} // length(text) + 1), 1, {target}))
+       md5(substring(repeat(text, {target} // greatest(length(text), 1) + 1),
+                     1, {target}))
          AS payload_md5
 FROM documents
 """

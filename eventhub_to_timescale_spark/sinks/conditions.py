@@ -230,7 +230,14 @@ def write_conditions_jdbc_idempotent(
     props = dict(properties or {})
     if create_table_column_types:
         props["createTableColumnTypes"] = create_table_column_types
-    staged = conditions.drop("measurement_unique_id")
+    # intra-batch dedup BEFORE staging: the ANSI NOT EXISTS merge only
+    # checks the pre-statement target snapshot, so a message delivered
+    # twice within one batch would insert twice (ON CONFLICT dedups it
+    # server-side on PG; dropDuplicates gives both dialects the same
+    # arbitrary-survivor-per-key semantics)
+    staged = conditions.drop("measurement_unique_id").dropDuplicates(
+        list(IDEMPOTENCY_KEY)
+    )
     staged.write.jdbc(url, staging, mode="overwrite", properties=props)
     if dialect is None:
         dialect = "postgres" if "postgresql" in url else "ansi"
@@ -239,7 +246,9 @@ def write_conditions_jdbc_idempotent(
     key_casts = None
     if dialect == "ansi":
         key_casts = {
-            f.name: "VARCHAR(512)"
+            # Derby's VARCHAR max — a truncating cast would make long
+            # keys collide and silently drop distinct rows
+            f.name: "VARCHAR(32672)"
             for f in staged.schema.fields
             if f.name in IDEMPOTENCY_KEY and f.dataType.simpleString() == "string"
         }

@@ -169,3 +169,16 @@ def test_glow_goldens_reproduced_via_dynamic_path(spark, case):
         for r in glow_to_records(env).collect()
     }
     assert dynamic == declared and len(dynamic) > 0
+
+
+def test_empty_string_keys_survive(spark):
+    # "" is a legal JSON key; the root sentinel is NULL so these leaves
+    # must NOT be confused with the root and dropped
+    df = spark.createDataFrame(
+        [(json.dumps({"": 42, "outer": {"": "x"}}),)], "payload string"
+    )
+    rows = flatten_payload_dynamic(df, "payload").collect()
+    assert sorted(
+        (r.measurement_of, r.measurement_value, r.measurement_data_type)
+        for r in rows
+    ) == [("", "42", "number"), ("", "x", "string")]

@@ -10,12 +10,11 @@ must match the model's (key, value, type) multiset exactly. Value
 comparison is by type: numbers numerically (text renderings may
 differ in exponent form), everything else exactly.
 
-Known representational exclusions (documented in ingest/dynamic.py):
-empty-string keys (collide with the root sentinel) are not generated;
-nor are strings that jsonparse to scalars with non-minimal renderings
-("1.50"), where the engine keeps the original text and json.loads
-canonicalizes. Keys with quotes/spaces ARE generated — the map-based
-walk has no key-character restrictions.
+Known representational exclusions: strings that jsonparse to scalars
+with non-minimal renderings ("1.50") are not generated — the engine
+keeps the original text where json.loads canonicalizes. Keys have no
+restrictions: quotes, spaces and even the empty string are generated
+(the root sentinel is NULL, not "").
 """
 
 from __future__ import annotations
@@ -30,7 +29,7 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 KEYS = st.text(
-    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-'\" $", min_size=1, max_size=8
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-'\" $", min_size=0, max_size=8
 )
 
 _SCALAR = st.one_of(

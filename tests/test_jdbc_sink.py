@@ -106,3 +106,17 @@ def test_jdbc_idempotent_merge_skips_landed_rows(spark, derby_url):
             spark.read.jdbc(
                 derby_url, f"conditions_staging_{batch_id}", properties=DERBY_PROPS
             ).collect()
+
+
+def test_jdbc_idempotent_dedups_within_batch(spark, derby_url):
+    """A message delivered twice INSIDE one batch must land once: the
+    ANSI NOT EXISTS merge only sees the pre-statement target snapshot,
+    so the dedup happens Spark-side before staging."""
+    dup = _conditions(spark, [_row(1, "c1"), _row(1, "c1"), _row(2, "c2")])
+    first = _conditions(spark, [_row(9, "c9")])
+    write_conditions_jdbc(first, derby_url, properties=DERBY_PROPS)
+    write_conditions_jdbc_idempotent(
+        dup, derby_url, batch_id=3, properties=DERBY_PROPS
+    )
+    back = spark.read.jdbc(derby_url, "conditions", properties=DERBY_PROPS)
+    assert sorted(r.correlation_id for r in back.collect()) == ["c1", "c2", "c9"]

@@ -210,3 +210,18 @@ def test_near_dedup_components_chain_and_star(spark):
     )
     # one canonical doc per cluster + the unpaired doc 7
     assert kept == [1, 7, 10]
+
+
+def test_near_dedup_components_long_chain_converges(spark):
+    """A 30-node chain needs >20 neighbor-only rounds; path compression
+    (pointer jumping) must converge it within the default max_iters."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        near_dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    comps = near_dedup_components(pairs, max_iters=8).collect()
+    assert {r.cluster_id for r in comps} == {0}
+    assert len(comps) == 31
