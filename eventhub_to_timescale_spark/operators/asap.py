@@ -36,8 +36,14 @@ def _acf(x: np.ndarray, max_lag: int) -> np.ndarray:
     x = x - x.mean()
     n = len(x)
     denom = float((x * x).sum()) or 1.0
-    return np.array(
-        [float((x[: n - k] * x[k:]).sum()) / denom for k in range(1, max_lag + 1)]
+    # 9dp rounding: the ACF values only feed >-comparisons (peak
+    # detection) that the DuckDB oracle replays with its own summation
+    # order; collapsing sub-1e-9 differences keeps a last-ulp near-tie
+    # from flipping a peak on one engine only (|acf| ≤ 1, so 9dp is
+    # far coarser than ulp noise)
+    return np.round(
+        [float((x[: n - k] * x[k:]).sum()) / denom for k in range(1, max_lag + 1)],
+        9,
     )
 
 
@@ -49,13 +55,17 @@ def _kurtosis(x: np.ndarray) -> float:
     s2 = float(((x - m) ** 2).mean())
     if s2 == 0:
         return 0.0
-    return float(((x - m) ** 4).mean()) / (s2 * s2)
+    # 9dp: comparison-only metric, mirrored in the oracle (see _acf)
+    return round(float(((x - m) ** 4).mean()) / (s2 * s2), 9)
 
 
 def _roughness(x: np.ndarray) -> float:
     if len(x) < 2:
         return 0.0
-    return float(np.std(np.diff(x)))
+    # 9dp: comparison-only metric, mirrored in the oracle (see _acf);
+    # grid values are 6dp-rounded series averages, so roughness stays
+    # O(value scale) where a 1e-9 bin is far above ulp noise
+    return round(float(np.std(np.diff(x))), 9)
 
 
 def _sma(x: np.ndarray, w: int) -> np.ndarray:

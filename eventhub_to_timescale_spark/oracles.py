@@ -456,22 +456,22 @@ p AS (
   FROM g
 ),
 stats AS (
-  SELECT CASE WHEN n < 2 THEN 0.0
+  SELECT ROUND(CASE WHEN n < 2 THEN 0.0
               WHEN SUM((v - mu) * (v - mu)) / n = 0 THEN 0.0
               ELSE (SUM(POW(v - mu, 4)) / n)
-                   / POW(SUM((v - mu) * (v - mu)) / n, 2) END AS orig_kurt
+                   / POW(SUM((v - mu) * (v - mu)) / n, 2) END, 9) AS orig_kurt
   FROM g, p GROUP BY n, mu
 ),
 diffs AS (SELECT v - lag(v) OVER (ORDER BY rn) AS d FROM g),
 orig_rough AS (
-  SELECT COALESCE(STDDEV_POP(d), 0.0) AS r FROM diffs WHERE d IS NOT NULL
+  SELECT ROUND(COALESCE(STDDEV_POP(d), 0.0), 9) AS r FROM diffs WHERE d IS NOT NULL
 ),
 acf AS (
   SELECT k.k AS lag,
-         SUM((a.v - p.mu) * (b.v - p.mu)) /
+         ROUND(SUM((a.v - p.mu) * (b.v - p.mu)) /
            (SELECT CASE WHEN SUM((v - mu) * (v - mu)) = 0 THEN 1.0
                         ELSE SUM((v - mu) * (v - mu)) END
-            FROM g, p GROUP BY mu) AS c
+            FROM g, p GROUP BY mu), 9) AS c
   FROM p, range(1, 4096) k(k)
   JOIN g a ON true
   JOIN g b ON b.rn = a.rn + k.k
@@ -509,10 +509,10 @@ sm AS (
 smstats AS (SELECT w, count(*) AS nsm, AVG(s) AS msm FROM sm GROUP BY w),
 smkurt AS (
   SELECT sm.w,
-         CASE WHEN ss.nsm < 2 THEN 0.0
+         ROUND(CASE WHEN ss.nsm < 2 THEN 0.0
               WHEN SUM((s - msm) * (s - msm)) / ss.nsm = 0 THEN 0.0
               ELSE (SUM(POW(s - msm, 4)) / ss.nsm)
-                   / POW(SUM((s - msm) * (s - msm)) / ss.nsm, 2) END AS kurt
+                   / POW(SUM((s - msm) * (s - msm)) / ss.nsm, 2) END, 9) AS kurt
   FROM sm JOIN smstats ss ON ss.w = sm.w
   GROUP BY sm.w, ss.nsm, ss.msm
 ),
@@ -520,7 +520,7 @@ smdiff AS (
   SELECT w, s - lag(s) OVER (PARTITION BY w ORDER BY j) AS d FROM sm
 ),
 smrough AS (
-  SELECT w, COALESCE(STDDEV_POP(d), 0.0) AS rough
+  SELECT w, ROUND(COALESCE(STDDEV_POP(d), 0.0), 9) AS rough
   FROM smdiff WHERE d IS NOT NULL GROUP BY w
 ),
 best AS (
