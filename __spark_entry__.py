@@ -680,14 +680,15 @@ ORDER BY time
 WITH pts AS (
   SELECT {bucket.format(w=7200)} AS dt,
          epoch(timestamp) AS t,
-         measurement_number AS v
+         measurement_number AS v,
+         measurement_unique_id AS uid
   FROM {cond} c
   WHERE measurement_subject = 'user_7' AND measurement_of = 'value'
     AND measurement_number IS NOT NULL AND {in_range}
 ), win AS (
   SELECT dt, t, v,
-         lead(t) OVER (PARTITION BY dt ORDER BY t) AS next_t,
-         lead(v) OVER (PARTITION BY dt ORDER BY t) AS next_v
+         lead(t) OVER (PARTITION BY dt ORDER BY t, uid) AS next_t,
+         lead(v) OVER (PARTITION BY dt ORDER BY t, uid) AS next_v
   FROM pts
 )
 """
@@ -773,13 +774,14 @@ WITH sliced AS (
   WINDOW w AS (PARTITION BY measurement_subject
                ORDER BY timestamp, measurement_unique_id)
 ), changes AS (
-  SELECT timestamp, measurement_subject, measurement_string AS value
+  SELECT timestamp, measurement_subject, measurement_string AS value,
+         measurement_unique_id
   FROM lagged
   WHERE measurement_string IS DISTINCT FROM prev_value
 )
 SELECT timestamp AS time,
        COALESCE(lead(timestamp) OVER (PARTITION BY measurement_subject
-                                      ORDER BY timestamp),
+                                      ORDER BY timestamp, measurement_unique_id),
                 {_SQL_END}) AS time_end,
        measurement_subject,
        value

@@ -35,6 +35,14 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _finite_vec(col: Column) -> Column:
+    """NULL or all-zero embeddings have no cosine (0/0): Spark folds
+    the division to NULL while SQL engines yield NaN that sorts FIRST
+    under DESC — so such vectors are excluded on BOTH sides (oracles
+    carry the matching ``list_dot_product(v, v) > 0`` filter)."""
+    return col.isNotNull() & (_dot(col, col) > 0)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     query_max_id: int = 8,
@@ -46,14 +54,18 @@ def cosine_topk_bruteforce(
     Ordering ties are broken on (rounded cosine DESC, neighbor_id ASC)
     so ranks are deterministic across engines/float-fold orders.
     """
-    q = embeddings.filter(F.col("vec_id") < query_max_id).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("qv"),
+    q = (
+        embeddings.filter(F.col("vec_id") < query_max_id)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .filter(_finite_vec(F.col("qv")))
     )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("cv"),
-    )
+    ).filter(_finite_vec(F.col("cv")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -107,12 +119,17 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cosine, rank): approximate top-k via
     hyperplane-LSH bucket pruning, exact cosine within the bucket."""
-    sk = embeddings.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-        hyperplane_sketch(_as_double(F.col("embedding")), num_planes, dim).alias(
-            "sketch"
-        ),
+    sk = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        # wrong-length vectors would NULL-pad the plane dot (zip_with)
+        # and silently collapse every sketch to bucket 0 → an O(n²)
+        # join; route them out with the zero-norm/null rejects instead
+        .filter((F.size("v") == dim) & _finite_vec(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            hyperplane_sketch(F.col("v"), num_planes, dim).alias("sketch"),
+        )
     )
     q = sk.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
@@ -149,6 +166,12 @@ def _lloyd(x, n_centroids: int, iters: int):
     """Deterministic Lloyd iterations (shared by the Spark trainer and
     the DuckDB-oracle trainer, so both sides see bit-identical
     centroids). Init = the first ``n_centroids`` rows; no RNG."""
+    if len(x) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    # fewer rows than requested centroids → train what exists (both
+    # the Spark trainer and the oracle trainer share this rule, so
+    # the embedded centroid literals always match)
+    n_centroids = min(n_centroids, len(x))
     cents = x[:n_centroids].copy()
     for _ in range(iters):
         d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -175,12 +198,20 @@ def train_ivf_centroids(
     import numpy as np
 
     sample = (
-        embeddings.orderBy("vec_id")
+        embeddings.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
         .limit(sample_size)
         .select(_as_double(F.col("embedding")).alias("v"))
         .collect()
     )
-    x = np.array([r.v for r in sample], dtype=float)
+    vecs = [r.v for r in sample]
+    # ragged rows (wrong dimensionality) would break the numpy array;
+    # keep rows matching the first vector's length — the same rule the
+    # oracle trainer applies, so centroids stay bit-identical
+    if vecs:
+        d = len(vecs[0])
+        vecs = [v for v in vecs if len(v) == d]
+    x = np.array(vecs, dtype=float)
     cents = _lloyd(x, n_centroids, iters)
     return [[float(v) for v in c] for c in cents]
 
@@ -204,11 +235,15 @@ def ivf_centroids_from_parquet(
     con = duckdb.connect()
     rows = con.execute(
         "SELECT embedding::DOUBLE[] FROM read_parquet(?) "
-        "ORDER BY vec_id LIMIT ?",
+        "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT ?",
         [parquet_path, sample_size],
     ).fetchall()
     con.close()
-    x = np.array([r[0] for r in rows], dtype=float)
+    vecs = [r[0] for r in rows]
+    if vecs:
+        d = len(vecs[0])
+        vecs = [v for v in vecs if len(v) == d]  # match the Spark trainer
+    x = np.array(vecs, dtype=float)
     cents = _lloyd(x, n_centroids, iters)
     return cents, (cents * cents).sum(axis=1)
 
@@ -228,8 +263,12 @@ def _cell_id_udf(centroids: list[list[float]]):
 
     def assign(vecs: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=float)  # (n, dim)
-        # argmin ||x-c||^2 = argmin (c·c - 2 x·c)
-        d = c_sq[None, :] - 2.0 * (x @ c.T)
+        # argmin ||x-c||^2 = argmin (c·c - 2 x·c); 6dp rounding before
+        # the argmin mirrors the oracle's ROUND so BLAS-vs-SQL
+        # summation-order noise can't flip a near-tie cell (ties then
+        # break to the lower cell on both sides: np first-min ↔
+        # ORDER BY dist, cell)
+        d = np.round(c_sq[None, :] - 2.0 * (x @ c.T), 6)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     return pandas_udf(assign, "int")
@@ -253,22 +292,36 @@ def ivf_topk(
     import numpy as np
 
     cents = train_ivf_centroids(embeddings, n_centroids)
+    dim = len(cents[0])
     assign = _cell_id_udf(cents)
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double(F.col("embedding")).alias("cv"),
-    ).withColumn("cell", assign(F.col("cv")))
+    corpus = (
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double(F.col("embedding")).alias("cv"),
+        )
+        # NULL / wrong-length vectors would crash the vectorized
+        # assignment batch (ragged np.array); zero-norm ones have no
+        # cosine — route all of them out up front
+        .filter((F.size("cv") == dim) & _finite_vec(F.col("cv")))
+        .withColumn("cell", assign(F.col("cv")))
+    )
 
     # driver-side probe list per query (queries are a bounded set)
     qrows = (
         embeddings.filter(F.col("vec_id") < query_max_id)
         .select("vec_id", _as_double(F.col("embedding")).alias("qv"))
+        .filter((F.size("qv") == dim) & _finite_vec(F.col("qv")))
         .collect()
     )
     c = np.array(cents)
+    c_sq = (c * c).sum(axis=1)
     probe_rows = []
     for r in qrows:
-        d = ((np.array(r.qv)[None, :] - c) ** 2).sum(axis=1)
+        # same c·c − 2 x·c form and 6dp rounding as the assignment UDF
+        # and the oracle's probe CTE — the dropped x·x constant can't
+        # change the ordering, and rounding the SAME quantity on both
+        # engines keeps near-tie probes from flipping
+        d = np.round(c_sq - 2.0 * (np.array(r.qv) @ c.T), 6)
         # stable sort: distance ties break toward the lower cell id,
         # matching the oracle's row_number(ORDER BY dist, cell)
         for cell in np.argsort(d, kind="stable")[:nprobe]:
@@ -289,7 +342,10 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: each neighbor lives in exactly one cell and
+        # a query's probe cells are distinct, so (query, neighbor)
+        # pairs are already unique — a dropDuplicates here was a full
+        # extra shuffle buying nothing
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -307,12 +363,14 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """→ (vec_a, vec_b, cosine): embedding-cosine near-duplicate pairs,
     LSH-bucketed candidates (same sign sketch), exact cosine filter."""
-    sk = embeddings.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-        hyperplane_sketch(_as_double(F.col("embedding")), num_planes, dim).alias(
-            "sketch"
-        ),
+    sk = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .filter((F.size("v") == dim) & _finite_vec(F.col("v")))  # see cosine_topk_lsh
+        .select(
+            "vec_id",
+            "v",
+            hyperplane_sketch(F.col("v"), num_planes, dim).alias("sketch"),
+        )
     )
     a, b = sk.alias("a"), sk.alias("b")
     pairs = (

@@ -116,7 +116,12 @@ def aggregated_by_day(
 ) -> DataFrame:
     """span ≤ 1 day → day-anchored floor buckets + AVG
     (reference :25: ``date_trunc('day',ts) + floor(sec_of_day/W)*W``);
-    span > 1 day → daily MAX (reference :44-47)."""
+    span > 1 day → daily MAX (reference :44-47).
+
+    CAUTION: the output column NAME follows the branch (``avg_value``
+    intraday, ``max_value`` multi-day) — mirroring the reference
+    function's two RETURN TABLE shapes. Callers spanning both regimes
+    must branch on the span the same way ``__spark_entry__`` does."""
     sliced = _slice(conditions, subject, of, start, end)
     bucket = daily_branch_bucket_seconds(start, end)
     if bucket is None:
@@ -224,6 +229,7 @@ def changed_rows(
     of: str,
     start: datetime,
     end: datetime,
+    keep_order_col: bool = False,
 ) -> DataFrame:
     """Keep rows whose ``measurement_string`` differs (null-safely) from
     the previous row of the same subject (reference LAG :23-26 +
@@ -240,15 +246,20 @@ def changed_rows(
         order_cols.append("measurement_unique_id")
     w = Window.partitionBy("measurement_subject").orderBy(*order_cols)
     prev = F.lag("measurement_string").over(w)
+    keep = [
+        "timestamp",
+        "measurement_subject",
+        "measurement_of",
+        F.col("measurement_string").alias("value"),
+    ]
+    if keep_order_col and len(order_cols) > 1:
+        # expose the tie-break column so downstream windows (Q9's
+        # lead) can order identically when timestamps collide
+        keep.append(F.col(order_cols[1]).alias("_ord"))
     return (
         sliced.withColumn("prev_value", prev)
         .filter(~F.col("measurement_string").eqNullSafe(F.col("prev_value")))
-        .select(
-            "timestamp",
-            "measurement_subject",
-            "measurement_of",
-            F.col("measurement_string").alias("value"),
-        )
+        .select(*keep)
         .orderBy("measurement_subject", "timestamp")
     )
 
@@ -273,11 +284,16 @@ def state_intervals(
     ``close_at`` (reference uses ``now()`` :36 — parameterized here so
     results are deterministic/testable; None → current_timestamp).
     """
-    changes = changed_rows(conditions, subject, of, start, end)
-    w = Window.partitionBy("measurement_subject").orderBy("timestamp")
+    changes = changed_rows(conditions, subject, of, start, end, keep_order_col=True)
+    # order the lead by (timestamp, uid) when available: change rows
+    # sharing a timestamp otherwise pair (value, timeEnd)
+    # nondeterministically
+    order_cols = ["timestamp", "_ord"] if "_ord" in changes.columns else ["timestamp"]
+    w = Window.partitionBy("measurement_subject").orderBy(*order_cols)
     close = F.lit(close_at) if close_at is not None else F.current_timestamp()
     return (
         changes.withColumn("timeEnd", F.coalesce(F.lead("timestamp").over(w), close))
+        .drop("_ord")
         .select(
             F.col("timestamp").alias("time"),
             "timeEnd",

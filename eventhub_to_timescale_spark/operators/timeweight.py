@@ -62,12 +62,19 @@ def time_weighted_average(
         .filter(F.col("measurement_number").isNotNull())
     )
     epoch = F.unix_micros(F.col("timestamp")) / F.lit(1_000_000.0)
-    df = sliced.select(
+    cols = [
         epoch_bucket(F.col("timestamp"), bucket_s).alias("dt"),
         epoch.alias("t"),
         F.col("measurement_number").alias("v"),
-    )
-    w = Window.partitionBy("dt").orderBy("t")
+    ]
+    # duplicate timestamps: order by (t, uid) so LOCF weight
+    # assignment is deterministic and mirrors the oracle exactly
+    order_cols = ["t"]
+    if "measurement_unique_id" in conditions.columns:
+        cols.append(F.col("measurement_unique_id").alias("uid"))
+        order_cols.append("uid")
+    df = sliced.select(*cols)
+    w = Window.partitionBy("dt").orderBy(*order_cols)
     next_t = F.lead("t").over(w)
     next_v = F.lead("v").over(w)
 
@@ -92,7 +99,10 @@ def time_weighted_average(
             .agg(
                 F.sum("seg").alias("area"),
                 (F.max("t") - F.min("t")).alias("span"),
-                F.min_by("v", "t").alias("first_v"),
+                # span==0 ⇒ every sample shares one timestamp; MIN(v)
+                # is the deterministic, engine-portable pick (min_by
+                # on a tied key is arbitrary)
+                F.min("v").alias("first_v"),
             )
             .select(
                 "dt",

@@ -142,7 +142,8 @@ _COSINE = (
 
 def sim_topk_oracle(query_max_id: int = 8, k: int = 5) -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {query_max_id}),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id, e.v AS cv, qv
@@ -180,6 +181,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          CAST({sketch_terms} AS BIGINT) AS sketch
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, sketch AS qsketch
       FROM e WHERE vec_id < {query_max_id}),
@@ -216,6 +218,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          CAST({sketch_terms} AS BIGINT) AS sketch
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cosine
 FROM e a JOIN e b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
@@ -581,14 +584,15 @@ def sim_ivf_oracle(
     )
     return f"""
 WITH cents(cell, cvec, c_sq) AS (VALUES {cent_vals}),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 assigned AS (
   SELECT vec_id AS neighbor_id, v AS cv, cell
   FROM (
     SELECT e.vec_id, e.v, c.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY c.c_sq - 2.0 * list_dot_product(e.v, c.cvec), c.cell
+             ORDER BY ROUND(c.c_sq - 2.0 * list_dot_product(e.v, c.cvec), 6), c.cell
            ) AS rnk
     FROM e, cents c
   ) WHERE rnk = 1
@@ -600,7 +604,7 @@ probes AS (
     SELECT q.query_id, q.qv, c.cell,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_distance(q.qv, c.cvec), c.cell
+             ORDER BY ROUND(c.c_sq - 2.0 * list_dot_product(q.qv, c.cvec), 6), c.cell
            ) AS rnk
     FROM q, cents c
   ) WHERE rnk <= {nprobe}

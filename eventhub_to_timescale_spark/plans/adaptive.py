@@ -32,7 +32,10 @@ def resolution_bucket_seconds(
     """Q2: bucket width so the span yields ``max_result_size`` buckets."""
     if max_result_size <= 0:
         raise ValueError(f"max_result_size must be positive: {max_result_size}")
-    return span_seconds(start, end) / max_result_size
+    b = span_seconds(start, end) / max_result_size
+    # a zero-width bucket (start == end) would NULL every bucket key
+    # downstream (epoch/0); clamp to 1 s for degenerate spans
+    return b if b > 0 else 1.0
 
 
 def daily_branch_bucket_seconds(start: datetime, end: datetime) -> float | None:
@@ -47,7 +50,8 @@ def daily_branch_bucket_seconds(start: datetime, end: datetime) -> float | None:
     n_buckets = min(360.0, span / 900.0)
     if n_buckets <= 0:
         n_buckets = 1.0
-    return span / n_buckets
+    b = span / n_buckets
+    return b if b > 0 else 1.0  # degenerate span guard (see above)
 
 
 def adaptive_mode_bucket_seconds(matching_count: int, start: datetime, end: datetime) -> float:
@@ -59,5 +63,7 @@ def adaptive_mode_bucket_seconds(matching_count: int, start: datetime, end: date
     from zero) — so bucket width is a whole second; fractional spans
     round the same way here."""
     if matching_count > 360:
-        return float(int(span_seconds(start, end) / 360.0 + 0.5))
+        # max(1,...): dense sub-6-minute slices would otherwise round
+        # the width to 0 and NULL every bucket key
+        return float(max(1, int(span_seconds(start, end) / 360.0 + 0.5)))
     return 60.0

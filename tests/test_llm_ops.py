@@ -225,3 +225,44 @@ def test_near_dedup_components_long_chain_converges(spark):
     comps = near_dedup_components(pairs, max_iters=8).collect()
     assert {r.cluster_id for r in comps} == {0}
     assert len(comps) == 31
+
+
+def test_similarity_excludes_zero_norm_and_null_embeddings(spark):
+    """A NULL or all-zero embedding has no cosine (0/0): it must be
+    routed out, not ranked (Spark NULL sorts last; SQL NaN sorts FIRST
+    — the silent parity break), and must not crash the IVF assignment
+    batch (ragged numpy array)."""
+    from eventhub_to_timescale_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero norm
+        (3, None),  # null embedding
+        (4, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(emb, query_max_id=1, k=10).collect()
+    assert all(r.cosine is not None for r in out)
+    assert {r.neighbor_id for r in out} == {1, 4}
+
+    ivf = ivf_topk(emb, query_max_id=1, k=10, n_centroids=2, nprobe=2).collect()
+    assert all(r.cosine is not None for r in ivf)
+    assert 2 not in {r.neighbor_id for r in ivf}
+    assert 3 not in {r.neighbor_id for r in ivf}
+
+
+def test_ivf_trains_on_corpora_smaller_than_n_centroids(spark):
+    from eventhub_to_timescale_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    assert len(cents) == 3  # trains what exists instead of crashing

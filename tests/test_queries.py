@@ -300,3 +300,38 @@ def test_asap_lttb_pandas_stage_is_grid_bounded(spark):
         # trees print top-down, so "below" = later in the string)
         assert "HashAggregate" in plan[pandas_pos:]
         assert df.count() <= res
+
+
+def test_degenerate_spans_never_zero_bucket():
+    from eventhub_to_timescale_spark.plans.adaptive import (
+        adaptive_mode_bucket_seconds,
+        daily_branch_bucket_seconds,
+        resolution_bucket_seconds,
+    )
+
+    t = datetime(2024, 1, 1)
+    # start == end → every helper must clamp, not emit a 0-width
+    # bucket (epoch/0 would NULL every bucket key downstream)
+    assert resolution_bucket_seconds(t, t, 200) == 1.0
+    assert daily_branch_bucket_seconds(t, t) == 1.0
+    # dense short slice: >360 rows over <180 s rounded to 0 before
+    assert adaptive_mode_bucket_seconds(500, t, datetime(2024, 1, 1, 0, 2)) == 1.0
+
+
+def test_q9_tied_timestamps_pair_deterministically(spark):
+    # two change rows at the SAME timestamp: the (value, timeEnd)
+    # pairing must follow the uid tie-break, not partition luck
+    rows = [
+        _row(datetime(2024, 1, 1, 0), of="state", s="a", uid=1),
+        _row(datetime(2024, 1, 1, 0), of="state", s="b", uid=2),
+        _row(datetime(2024, 1, 1, 2), of="state", s="c", uid=3),
+    ]
+    close = datetime(2024, 1, 2)
+    out = state_intervals(
+        _cond(spark, rows), "s1", "state", T0, close, close_at=close
+    ).collect()
+    assert [(r.value, r.time.hour, r.timeEnd) for r in out] == [
+        ("a", 0, datetime(2024, 1, 1, 0)),  # zero-length, uid 1 first
+        ("b", 0, datetime(2024, 1, 1, 2)),
+        ("c", 2, close),
+    ]
