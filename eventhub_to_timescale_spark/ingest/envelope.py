@@ -84,7 +84,14 @@ def parse_envelope(
             F.col("env.timestamp").alias("timestamp"),
         )
         .withColumn(
-            "corrupt", F.col("topic").isNull() & F.col("payload").isNull()
+            # corrupt = unprocessable by ANY converter: unparseable
+            # JSON nulls both fields, but a half-formed envelope
+            # (valid JSON missing topic OR payload) is equally
+            # unroutable — the reference raises on either
+            # (is_topic_of_interest(None) / validate_message_body).
+            # Flagging only the both-null case let half-formed rows
+            # vanish from every channel.
+            "corrupt", F.col("topic").isNull() | F.col("payload").isNull()
         )
         .withColumn("publisher", topic_publisher(F.col("topic")))
     )
@@ -92,7 +99,8 @@ def parse_envelope(
 
 
 def envelope_errors(df: DataFrame) -> DataFrame:
-    """The dead-letter channel: rows that failed envelope parsing."""
+    """The dead-letter channel: rows that failed envelope parsing OR
+    arrived without a topic/payload (unroutable either way)."""
     return df.filter(F.col("corrupt"))
 
 

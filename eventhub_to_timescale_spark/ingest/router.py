@@ -250,6 +250,13 @@ def unrouted(envelope_df: DataFrame) -> DataFrame:
     ``route_to_records(dynamic_fallback=True)`` these messages are
     instead converted via the dynamic flatten; this channel then only
     matters for auditing what WOULD have been dropped."""
-    return envelope_df.filter(
-        ~F.lower(F.col("publisher")).isin(*KNOWN_PUBLISHERS)
+    # coalesce: a NULL publisher (no topic) makes ~isin(...) NULL and
+    # the filter would silently drop the row from THIS channel too —
+    # such rows belong to the corrupt channel, everything else with an
+    # unknown publisher belongs here
+    unknown = ~F.coalesce(
+        F.lower(F.col("publisher")).isin(*KNOWN_PUBLISHERS), F.lit(False)
     )
+    if "corrupt" in envelope_df.columns:
+        unknown = unknown & ~F.col("corrupt")
+    return envelope_df.filter(unknown)

@@ -55,11 +55,10 @@ def char_shingles(text: Column, n: int = 5) -> Column:
 
 
 def _hash32(col: Column, seed: str) -> Column:
-    # identical to functions.scalars.portable_hash32 (inlined for
-    # lambda use): first 8 md5 hex chars as unsigned 32-bit
-    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast(
-        "long"
-    )
+    # the ONE oracle-critical portable hash lives in functions.scalars
+    from eventhub_to_timescale_spark.functions.scalars import portable_hash32
+
+    return portable_hash32(col, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -96,16 +95,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = 12, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` minhashes over word shingles."""
-    sh = word_shingles(text, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda x, i=i: _hash32(x, f"mh{i}:")))
-            for i in range(num_hashes)
-        ]
-    )
-
 
 def minhash_lsh_pairs(
     docs: DataFrame,
@@ -123,11 +112,18 @@ def minhash_lsh_pairs(
     on (band_id, band_key) — broadcast-able when the bucketed side is
     small, shuffle-partitioned otherwise; AQE handles skewed buckets.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # a bare assert vanishes under python -O and would silently
+        # truncate the signature
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
     rows_per_band = num_hashes // bands
     # materialize shingles once, then derive the signature from the
-    # materialized column (avoids re-computing the shingling per hash)
-    sh = docs.select(
+    # materialized column (avoids re-computing the shingling per hash).
+    # NULL texts are excluded: the slice/concat_ws path would shingle
+    # them as [''] — identical to an empty document — and emit
+    # jaccard-1.0 pairs the oracle (whose NULL band keys never join)
+    # doesn't produce
+    sh = docs.filter(F.col(text_col).isNotNull()).select(
         F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
     sig = sh.select(
@@ -246,9 +242,17 @@ def simhash_pairs(
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs within Hamming distance
     ``max_hamming`` of their SimHash. Candidates via byte-block
-    banding (4 blocks of 8 bits; pigeonhole guarantees recall for
-    distance ≤ 3)."""
-    sig = docs.select(F.col("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    banding (4 blocks of 8 bits; pigeonhole guarantees recall only for
+    distance < 4, hence the guard — a larger radius needs more/smaller
+    blocks). NULL texts are excluded (see minhash_lsh_pairs)."""
+    if max_hamming >= 4:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-block banding only guarantees "
+            "recall for Hamming <= 3"
+        )
+    sig = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), simhash(F.col(text_col)).alias("sh")
+    )
     blocks = sig.select(
         "doc_id",
         "sh",
@@ -313,7 +317,7 @@ def ngram_jaccard_pairs(
     which the MinHash plan's recall is judged. The 100 TB path is
     ``minhash_lsh_pairs``.
     """
-    d = docs
+    d = docs.filter(F.col(text_col).isNotNull())  # see minhash_lsh_pairs
     if max_doc_id is not None:
         d = d.filter(F.col("doc_id") < max_doc_id)
     g = d.select(

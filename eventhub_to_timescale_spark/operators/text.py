@@ -65,7 +65,9 @@ def quality_col(t: Column) -> Column:
     n_chars = F.length(t)
     n_words = F.size(ws)
     n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
-    punct_ratio = n_punct / n_chars
+    # greatest(n_chars, 1): empty text would 0/0 → NULL in Spark but
+    # NaN in SQL engines (sorting first!) — both sides guard identically
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     sw = F.size(
         F.filter(
             _words(F.lower(t)),
@@ -91,7 +93,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(ws)
     avg_wlen = (n_chars - (n_words - 1)) / n_words  # chars excl. separators
     n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
-    punct_ratio = n_punct / n_chars
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))  # see quality_col
     sw = F.size(
         F.filter(
             _words(F.lower(t)),
@@ -99,11 +101,6 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     stop_ratio = sw / n_words
-    quality = (
-        F.lit(0.4) * F.least(n_words / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
-    )
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -111,7 +108,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(avg_wlen, 6).alias("avg_word_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        # the ONE pinned quality formula — oracle-critical weights live
+        # only in quality_col
+        quality_col(t).alias("quality"),
     )
 
 
@@ -169,12 +168,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 8) -> Data
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (ngram - 1), F.lit(1))),
         lambda i: F.substring(norm, i, ngram),
     )
-    min_gram = F.array_min(
-        F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-        )
-    )
+    from eventhub_to_timescale_spark.functions.scalars import portable_hash32
+
+    # explicit 1-arg lambda: transform would otherwise feed the array
+    # INDEX into portable_hash32's optional seed parameter
+    min_gram = F.array_min(F.transform(grams, lambda g: portable_hash32(g)))
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fp_md5"),

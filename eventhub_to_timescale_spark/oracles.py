@@ -266,11 +266,11 @@ SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_words AS BIGINT) AS n_words,
        ROUND((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
-       ROUND(n_punct / n_chars, 6) AS punct_ratio,
+       ROUND(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
        ROUND(n_stop / n_words, 6) AS stopword_ratio,
        ROUND(0.4 * least(n_words / 50.0, 1.0)
              + 0.3 * least(n_stop / n_words * 5, 1.0)
-             + 0.3 * (1.0 - least(n_punct / n_chars * 10, 1.0)), 6) AS quality
+             + 0.3 * (1.0 - least(n_punct / greatest(n_chars, 1) * 10, 1.0)), 6) AS quality
 FROM base
 """
 
@@ -332,7 +332,7 @@ WITH deduped AS (
                              / len(string_split(text, ' ')) * 5, 1.0)
                + 0.3 * (1.0 - least((length(text)
                    - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')))
-                   / length(text) * 10, 1.0)), 6) AS quality
+                   / greatest(length(text), 1) * 10, 1.0)), 6) AS quality
   FROM deduped
 )
 SELECT doc_id, lang_pred, quality FROM scored

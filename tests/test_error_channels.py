@@ -64,3 +64,31 @@ def test_upsert_sql_shape():
         'INSERT INTO t ("a") SELECT s."a" FROM t_s s '
         'WHERE NOT EXISTS (SELECT 1 FROM t t WHERE t."a" = s."a")'
     )
+
+
+def test_half_formed_envelopes_reach_dead_letters(spark):
+    """Valid JSON missing topic OR payload previously vanished from
+    EVERY channel (corrupt required both null; unrouted's NULL
+    publisher predicate dropped the row too)."""
+    import json
+
+    from eventhub_to_timescale_spark.ingest.envelope import (
+        envelope_errors,
+        parse_envelope,
+    )
+    from eventhub_to_timescale_spark.ingest.router import (
+        route_to_records,
+        unrouted,
+    )
+
+    raws = [
+        json.dumps({"payload": json.dumps({"power": 1}), "qos": 0}),  # no topic
+        json.dumps({"topic": "glow/x/SENSOR/electricitymeter", "qos": 0}),  # no payload
+        "complete garbage",
+        json.dumps({"topic": "acme/dev", "payload": "1", "qos": 0}),  # unknown pub
+    ]
+    env = parse_envelope(spark.createDataFrame([(r,) for r in raws], "value string"))
+    dead = envelope_errors(env).collect()
+    assert len(dead) == 3  # both half-formed rows + the garbage
+    assert unrouted(env).count() == 1  # the unknown publisher, exactly once
+    assert route_to_records(env).count() == 0  # nothing silently converted

@@ -266,3 +266,22 @@ def test_ivf_trains_on_corpora_smaller_than_n_centroids(spark):
     )
     cents = train_ivf_centroids(emb, n_centroids=16)
     assert len(cents) == 3  # trains what exists instead of crashing
+
+
+def test_empty_and_null_text_edge_paths(spark):
+    """Empty text: quality must be a NUMBER (0/0 punct would be NULL in
+    Spark vs NaN in SQL). NULL text: must not shingle as [''] and
+    near-dup-pair with genuinely empty docs."""
+    from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
+    from eventhub_to_timescale_spark.operators.text import quality_score
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, ""), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[0].quality is not None and q[0].punct_ratio == 0.0
+
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.0).collect()
+    ids = {x for r in pairs for x in (r.doc_a, r.doc_b)}
+    assert 1 not in ids  # NULL text generates no candidates
