@@ -50,19 +50,30 @@ def iso_utc_string(ts: Column) -> Column:
     Renders the instant's UTC wall time regardless of the session
     timezone — ``date_format`` alone renders session-local time, which
     under a non-UTC host session would pair local wall clock with a
-    literal 'Z' and shift every consumed timestamp by the offset."""
+    literal 'Z' and shift every consumed timestamp by the offset.
+
+    Known edge: ``to_utc_timestamp`` treats its input as wall time in
+    the given zone, so an instant whose session-local rendering falls
+    inside a DST transition window is shifted by the DST delta for
+    that one hour per year. The engine's own sessions pin UTC
+    (ensure_session_confs), where the edge cannot occur; only a
+    foreign non-UTC session during a transition hour is affected."""
     utc = F.to_utc_timestamp(ts, F.current_timezone())
     return F.date_format(utc, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
 
 def parse_bool(col: Column) -> Column:
     """Boolean coercion: real booleans, or case-insensitive
-    'true'/'false' strings (reference timescale.py:196-205); anything
-    else → NULL."""
+    'true'/'yes'/'on' ↔ 'false'/'no'/'off' strings (superset of
+    reference timescale.py:196-205, which only accepts true/false —
+    but its callers' bool() made EVERY non-empty string truthy, so
+    'no' meant True there; the documented narrowing maps negative
+    words to False and routes anything else → NULL → reject
+    channel)."""
     s = F.lower(F.trim(col.cast("string")))
     return (
-        F.when(s == "true", F.lit(True))
-        .when(s == "false", F.lit(False))
+        F.when(s.isin("true", "yes", "on"), F.lit(True))
+        .when(s.isin("false", "no", "off"), F.lit(False))
         .otherwise(F.lit(None).cast("boolean"))
     )
 
@@ -71,7 +82,14 @@ def wkt_point(lat: Column, lon: Column) -> Column:
     """(lat, lon) → WKT ``SRID=4326;POINT(lon lat)`` — lon FIRST in the
     output (reference timescale.py:270) with range validation
     lat∈[-90,90], lon∈[-180,180] (timescale.py:260-263); out-of-range →
-    NULL."""
+    NULL.
+
+    Documented rendering divergence: JVM double→string uses Java
+    ``Double.toString``, which switches to scientific notation below
+    1e-3 ("5.0E-4") where Python's str() keeps "0.0005" — coordinate
+    bytes can differ from the reference for sub-milli-degree values
+    (~100 m precision region; none occur in the goldens). Consumers
+    parsing WKT numerically are unaffected."""
     ok = lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
     # %s of a double renders shortest-repr like Python's str(float).
     return F.when(

@@ -19,6 +19,8 @@ def records_to_messages(records: DataFrame) -> DataFrame:
     """Canonical atomic records → one JSON string per record (column
     ``value``) — the payload written to the ``timescale`` hub. For a
     live hub: ``df.writeStream.format("kafka")`` over this column."""
+    # ignoreNullFields=false: the reference's json.dumps emits
+    # "correlation_id": null rather than omitting the key
     return records.select(
         F.to_json(
             F.struct(
@@ -30,7 +32,7 @@ def records_to_messages(records: DataFrame) -> DataFrame:
                 F.col("measurement_data_type"),
                 F.col("correlation_id"),
             )
-        ).alias("value")
+        , options={"ignoreNullFields": "false"}).alias("value")
     )
 
 
@@ -50,6 +52,10 @@ def write_with_monitor_tap(
     to both ``timescale`` and ``bmw_monitor`` hubs). Inside a
     streaming ``foreachBatch`` both writes see the same batch
     exactly-once per checkpoint commit."""
-    msgs = records_to_messages(records)
+    # materialize ONCE: the plan may be nondeterministic (uuid()
+    # correlation ids, dropDuplicates' arbitrary survivor) and two
+    # independent actions would hand the two sinks different rows —
+    # the reference sends byte-identical messages to both hubs
+    msgs = records_to_messages(records).localCheckpoint(eager=True)
     primary_write(msgs)
     monitor_write(msgs)

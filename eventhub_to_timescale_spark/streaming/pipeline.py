@@ -31,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eventhub_to_timescale_spark.functions.scalars import epoch_bucket
 from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
 from eventhub_to_timescale_spark.ingest.router import route_to_records
 from eventhub_to_timescale_spark.sinks.conditions import records_to_conditions
@@ -56,10 +55,17 @@ def stream_to_conditions(
     raw: DataFrame,
     watermark: str = "10 minutes",
     event_time_col: str = "timestamp",
+    deterministic_ids: bool = False,
 ) -> DataFrame:
     """raw envelope strings → canonical wide conditions rows
-    (continuous version of the batch ingest DAG)."""
-    env = parse_envelope(raw)
+    (continuous version of the batch ingest DAG).
+
+    ``deterministic_ids=True`` derives correlation_id from the message
+    bytes (md5) instead of uuid() — REQUIRED when the sink keys
+    idempotency on correlation_id (write_conditions_jdbc_idempotent):
+    a retried micro-batch recomputes the plan, and fresh uuids would
+    defeat the merge's duplicate detection."""
+    env = parse_envelope(raw, deterministic_ids=deterministic_ids)
     records = route_to_records(env)
     wide = records_to_conditions(records, with_unique_id=False)
     return wide.withWatermark(event_time_col, watermark)

@@ -40,9 +40,12 @@ def test_timestamp_out_of_range_epoch_rejected(spark):
 
 
 def test_bool_parse_case_insensitive(spark):
-    # reference timescale.py:196-205
-    out = _eval(spark, parse_bool, ["true", "TRUE", "False", "yes", None])
-    assert out == [True, True, False, None, None]
+    # reference timescale.py:196-205 (true/false), plus the documented
+    # yes/no/on/off extension — unparseable words reject as NULL
+    out = _eval(
+        spark, parse_bool, ["true", "TRUE", "False", "yes", "no", "maybe", None]
+    )
+    assert out == [True, True, False, True, False, None, None]
 
 
 def test_wkt_point_lon_first_and_validation(spark):
