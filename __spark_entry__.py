@@ -507,25 +507,27 @@ def _pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling (stubbed codec, real mapInPandas
-    plumbing): each blob fans out to n evenly-split byte chunks."""
+    """REAL video frame sampling: VID0 containers of BMP frames are
+    parsed and decoded on executors; sampled frames are checksummed at
+    the pixel level and verified against an analytic oracle."""
     from eventhub_to_timescale_spark.operators.multimodal import (
-        documents_as_blobs,
+        document_video_blobs,
         frame_samples_sql_checkable,
     )
 
-    return frame_samples_sql_checkable(documents_as_blobs(_docs(spark, sf_dir)))
+    return frame_samples_sql_checkable(document_video_blobs(_docs(spark, sf_dir)))
 
 
 def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (stubbed codec): payload cycled to the
-    target byte count through the Arrow-batched mapInPandas stage."""
+    """REAL image resize: BMP decode → nearest-neighbor resize →
+    re-encode → decode, reduced to a position-weighted pixel checksum
+    and verified against an analytic oracle."""
     from eventhub_to_timescale_spark.operators.multimodal import (
-        documents_as_blobs,
+        document_image_blobs,
         resized_sql_checkable,
     )
 
-    return resized_sql_checkable(documents_as_blobs(_docs(spark, sf_dir)))
+    return resized_sql_checkable(document_image_blobs(_docs(spark, sf_dir)))
 
 
 def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,5 +881,5 @@ ORDER BY measurement_publisher, measurement_of
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "mm_blob_features": oc.mm_blob_oracle(),
         "mm_frame_sample": oc.mm_frame_oracle(4),
-        "mm_resize": oc.mm_resize_oracle(64, 64),
+        "mm_resize": oc.mm_resize_oracle(16, 12),
     }

@@ -7,13 +7,15 @@ right shape for 100 TB: batches stream through Python workers without
 ever materializing a partition, and the binary column never leaves the
 executor.
 
-The actual codec step is STUBBED (image/audio libraries are not in
-this container): ``decode_image_batch`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic byte-level
-"feature extractor" (length, sha256, byte entropy) stands in. The
-Spark-side plumbing — schema, batch iteration, partition behavior —
-is real and tested; swap `_decode_one` for PIL/ffmpeg in a real
-deployment.
+The image/video codec is the vendored pure-Python BMP + VID0
+implementation in ``operators/imagecodec.py`` — ``resize_images`` and
+``sample_frames`` default to REAL pixel work (decode → numpy
+transform → re-encode) with no external libraries. ``fake=True``
+remains as a byte-level test shim for plumbing-only tests, and the
+generic ``extract_blob_features`` byte featurizer (length, sha256,
+entropy) applies to any opaque payload. A production deployment
+would swap the vendored codec for PIL/ffmpeg behind the same
+signatures; the mapInPandas schemas and batch shapes are identical.
 """
 
 from __future__ import annotations
@@ -22,10 +24,13 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from eventhub_to_timescale_spark.operators import imagecodec as ic
 
 BLOB_METADATA_SCHEMA = T.StructType(
     [
@@ -51,6 +56,68 @@ def documents_as_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit("text").alias("modality"),
             F.lit("text/plain").alias("mime"),
             F.col("source").alias("source"),
+        ).alias("metadata"),
+    )
+
+
+def document_image_blobs(docs: DataFrame) -> DataFrame:
+    """Real-image blob table: each document id maps to a deterministic
+    24-bit BMP (dimensions and pixel content are closed-form functions
+    of doc_id — see ``imagecodec.synth_image_bytes``). The encode runs
+    Arrow-batched on executors, so blob synthesis scales with the
+    corpus exactly like a real object-store read would."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        ic.synth_image_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+    return blobs.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/bmp").alias("mime"),
+            F.lit("synthetic").alias("source"),
+        ).alias("metadata"),
+    )
+
+
+def document_video_blobs(docs: DataFrame) -> DataFrame:
+    """Real-video blob table: each document id maps to a deterministic
+    VID0 container of BMP frames (frame count, dimensions, and pixel
+    content are closed-form in doc_id and frame index)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        ic.synth_video_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+    return blobs.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/x-vid0").alias("mime"),
+            F.lit("synthetic").alias("source"),
         ).alias("metadata"),
     )
 
@@ -100,51 +167,75 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes long"
 
 
 def resize_images(
-    blobs: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+    blobs: DataFrame, width: int = 64, height: int = 64, fake: bool = False
 ) -> DataFrame:
     """Image resize as an Arrow-batched ``mapInPandas`` stage.
 
-    Real deployment: PIL decode → resize → re-encode. Here the codec is
-    stubbed with a deterministic byte-level stand-in (truncate/cycle the
-    payload to width×height bytes) so the Spark plumbing — schema,
-    batch shape, binary round-trip — is real and tested."""
+    Default (``fake=False``) does REAL pixel work with the vendored
+    24-bit BMP codec: decode → nearest-neighbor resize → re-encode,
+    all inside the Python worker, binary never leaving the executor.
+    ``fake=True`` keeps the old byte-cycling stand-in for
+    plumbing-only tests."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable; pass fake=True"
-                )
-            out = pd.DataFrame(
+            if fake:
+                payloads = [
+                    bytes((p * (target // max(len(p), 1) + 1))[:target])
+                    for p in pdf["payload"]
+                ]
+            else:
+                payloads = [
+                    ic.encode_bmp(
+                        ic.resize_nearest(ic.decode_bmp(bytes(p)), width, height)
+                    )
+                    for p in pdf["payload"]
+                ]
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "payload": [
-                        bytes((p * (target // max(len(p), 1) + 1))[:target])
-                        for p in pdf["payload"]
-                    ],
+                    "payload": payloads,
                     "width": width,
                     "height": height,
                 }
             )
-            yield out
 
     return blobs.select("doc_id", "payload").mapInPandas(
         batches, schema=RESIZED_SCHEMA
     )
 
 
-def sample_frames(blobs: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+def sample_frames(blobs: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
     """Video frame-sampling as a one-to-many ``mapInPandas`` stage
-    (each blob row yields ``n_frames`` rows). Stub: evenly-split byte
-    chunks stand in for decoded frames; swap for ffmpeg in deployment."""
+    (each blob row yields ``n_frames`` rows).
+
+    Default (``fake=False``) parses the VID0 container and extracts
+    ``n_frames`` evenly-spaced REAL BMP frames: sample position ``i``
+    selects source frame ``(i * F) // n_frames`` of an F-frame video
+    (duplicates allowed when F < n_frames, mirroring fixed-budget
+    frame sampling in training pipelines). ``fake=True`` keeps the
+    byte-chunk stand-in for plumbing-only tests."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not fake:
-                raise NotImplementedError(
-                    "video codecs unavailable; pass fake=True"
-                )
+                rows = []
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                    p = bytes(p)
+                    total = ic.video_frame_count(p)
+                    for i in range(n_frames):
+                        frame = ic.decode_video_frame(p, (i * total) // n_frames)
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "frame_idx": i,
+                                "frame": frame,
+                                "n_bytes": len(frame),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+                continue
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(p)
@@ -174,30 +265,62 @@ def blob_features_sql_checkable(blobs: DataFrame) -> DataFrame:
     )
 
 
-def frame_samples_sql_checkable(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Oracle-comparable projection of ``sample_frames``: the raw frame
-    bytes become an md5 hex digest so the cross-engine compare never
-    touches binary representations (document texts are ASCII, so the
-    DuckDB oracle can slice the VARCHAR and md5 it byte-identically)."""
-    frames = sample_frames(blobs, n_frames=n_frames, fake=True)
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        "n_bytes",
-        F.md5(F.col("frame")).alias("frame_md5"),
-    )
+CHECKSUM_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, pixel_sum long"
+)
+FRAME_CHECKSUM_SCHEMA = (
+    "doc_id long, frame_idx int, n_bytes long, pixel_sum long"
+)
 
 
 def resized_sql_checkable(
-    blobs: DataFrame, width: int = 64, height: int = 64
+    blobs: DataFrame, width: int = 16, height: int = 12
 ) -> DataFrame:
-    """Oracle-comparable projection of ``resize_images``: the resized
-    payload becomes an md5 hex digest (ASCII texts → the DuckDB oracle
-    rebuilds the byte-cycling with repeat+substring on the VARCHAR)."""
-    resized = resize_images(blobs, width=width, height=height, fake=True)
-    return resized.select(
-        "doc_id",
-        "width",
-        "height",
-        F.md5(F.col("payload")).alias("payload_md5"),
+    """Oracle-comparable projection of the REAL resize chain: the
+    re-encoded BMP payload is decoded AGAIN and reduced to a
+    position-weighted pixel checksum, so the compared value witnesses
+    the full encode → decode → resize → re-encode → decode path. The
+    DuckDB oracle recomputes the checksum analytically from the
+    synthetic pixel formula (closed form in doc_id/x/y)."""
+    resized = resize_images(blobs, width=width, height=height, fake=False)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [ic.decode_bmp(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": np.int32([a.shape[1] for a in arrs]),
+                    "height": np.int32([a.shape[0] for a in arrs]),
+                    "n_bytes": np.int64([len(bytes(p)) for p in pdf["payload"]]),
+                    "pixel_sum": np.int64([ic.pixel_checksum(a) for a in arrs]),
+                }
+            )
+
+    return resized.select("doc_id", "payload").mapInPandas(
+        batches, schema=CHECKSUM_SCHEMA
+    )
+
+
+def frame_samples_sql_checkable(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Oracle-comparable projection of REAL frame sampling: each
+    sampled frame's BMP bytes are decoded and reduced to the same
+    position-weighted pixel checksum, recomputed analytically by the
+    DuckDB oracle from the per-frame pixel formula."""
+    frames = sample_frames(blobs, n_frames=n_frames, fake=False)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [ic.decode_bmp(bytes(p)) for p in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "pixel_sum": np.int64([ic.pixel_checksum(a) for a in arrs]),
+                }
+            )
+
+    return frames.select("doc_id", "frame_idx", "frame", "n_bytes").mapInPandas(
+        batches, schema=FRAME_CHECKSUM_SCHEMA
     )

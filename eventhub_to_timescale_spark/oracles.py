@@ -643,39 +643,82 @@ ORDER BY d.doc_id
 
 
 def mm_frame_oracle(n_frames: int = 4) -> str:
-    """sample_frames stub replayed in SQL: evenly-split byte chunks of
-    the utf-8 payload (document texts are pure ASCII at every sf —
-    checked — so VARCHAR slicing equals byte slicing and md5(VARCHAR)
-    equals Spark's md5(binary))."""
+    """REAL frame sampling verified analytically: the engine decodes a
+    VID0 container of BMP frames and checksums actual decoded pixels;
+    this oracle recomputes the expected checksum from the synthetic
+    pixel formula (closed form in doc_id/x/y/frame — constants
+    mirrored from operators/imagecodec.py) without touching any
+    binary. Frame geometry: F = 2 + doc_id%7 frames of
+    (16 + doc_id%9) × (12 + doc_id%7); sample i selects source frame
+    (i*F)//n; n_bytes is the 24-bit BMP size 54 + h*stride(w)."""
     return f"""
-WITH b AS (
-  SELECT doc_id, text AS p, length(text) AS n FROM documents
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 7 AS nf,
+         16 + doc_id % 9 AS w,
+         12 + doc_id % 7 AS h
+  FROM documents
+),
+f AS (
+  SELECT d.doc_id, d.w, d.h, fi.i AS frame_idx,
+         (fi.i * d.nf) // {n_frames} AS t,
+         54 + d.h * (((3 * d.w + 3) // 4) * 4) AS n_bytes
+  FROM d, range({n_frames}) fi(i)
+),
+px AS (
+  SELECT f.doc_id, f.frame_idx, f.n_bytes,
+         ((19 * f.doc_id + 7 * xs.x + 13 * ys.y + 3 * f.t) % 256
+          + 2 * ((23 * f.doc_id + 5 * xs.x + 11 * ys.y + 7 * f.t) % 256)
+          + 3 * ((29 * f.doc_id + 3 * xs.x + 17 * ys.y + 11 * f.t) % 256))
+         * (1 + (ys.y * f.w + xs.x) % 97) AS wv
+  FROM f
+  JOIN range(32) xs(x) ON xs.x < f.w
+  JOIN range(32) ys(y) ON ys.y < f.h
 )
 SELECT doc_id,
-       i AS frame_idx,
-       CAST(CASE WHEN substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1)) = ''
-            THEN 1 ELSE length(substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1)))
-       END AS BIGINT) AS n_bytes,
-       md5(CASE WHEN substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1)) = ''
-            THEN chr(0) ELSE substring(p, i*greatest(n//{n_frames},1)+1, greatest(n//{n_frames},1))
-       END) AS frame_md5
-FROM b, range({n_frames}) t(i)
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(SUM(wv) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY doc_id, frame_idx, n_bytes
 """
 
 
-def mm_resize_oracle(width: int = 64, height: int = 64) -> str:
-    """resize_images stub replayed in SQL: payload cycled/truncated to
-    width*height bytes (ASCII texts, same byte/char equivalence as
-    mm_frame_oracle)."""
-    target = width * height
+def mm_resize_oracle(width: int = 16, height: int = 12) -> str:
+    """REAL image resize verified analytically: the engine decodes a
+    synthetic BMP (source dims 24 + doc_id%17 × 16 + doc_id%13),
+    nearest-neighbor-resizes to {width}×{height}, re-encodes, decodes
+    again, and checksums the pixels; this oracle recomputes the
+    checksum from the pixel formula with the same integer source map
+    sx = (x*W)//w, sy = (y*H)//h. Any channel swap, row flip, stride
+    bug, or off-by-one in the resize changes the position-weighted
+    sum."""
+    n_bytes = 54 + height * (((3 * width + 3) // 4) * 4)
     return f"""
+WITH d AS (
+  SELECT doc_id,
+         24 + doc_id % 17 AS sw,
+         16 + doc_id % 13 AS sh
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         ((19 * d.doc_id + 7 * ((xs.x * d.sw) // {width})
+           + 13 * ((ys.y * d.sh) // {height})) % 256
+          + 2 * ((23 * d.doc_id + 5 * ((xs.x * d.sw) // {width})
+                  + 11 * ((ys.y * d.sh) // {height})) % 256)
+          + 3 * ((29 * d.doc_id + 3 * ((xs.x * d.sw) // {width})
+                  + 17 * ((ys.y * d.sh) // {height})) % 256))
+         * (1 + (ys.y * {width} + xs.x) % 97) AS wv
+  FROM d, range({width}) xs(x), range({height}) ys(y)
+)
 SELECT doc_id,
-       {width} AS width,
-       {height} AS height,
-       md5(substring(repeat(text, {target} // greatest(length(text), 1) + 1),
-                     1, {target}))
-         AS payload_md5
-FROM documents
+       CAST({width} AS INTEGER) AS width,
+       CAST({height} AS INTEGER) AS height,
+       CAST({n_bytes} AS BIGINT) AS n_bytes,
+       CAST(SUM(wv) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY doc_id
 """
 
 

@@ -65,7 +65,10 @@ def test_resize_images_plumbing(spark):
         [(1, "abc", "s"), (2, "a much longer text body for the blob", "s")],
         "doc_id long, text string, source string",
     )
-    out = {r.doc_id: r for r in resize_images(documents_as_blobs(docs), 8, 4).collect()}
+    out = {
+        r.doc_id: r
+        for r in resize_images(documents_as_blobs(docs), 8, 4, fake=True).collect()
+    }
     assert all(len(r.payload) == 32 for r in out.values())
     assert out[1].width == 8 and out[1].height == 4
     # deterministic: short payloads cycle
@@ -81,7 +84,7 @@ def test_sample_frames_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "0123456789abcdef", "s")], "doc_id long, text string, source string"
     )
-    rows = sample_frames(documents_as_blobs(docs), n_frames=4).collect()
+    rows = sample_frames(documents_as_blobs(docs), n_frames=4, fake=True).collect()
     assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
     assert b"".join(bytes(r.frame) for r in rows) == b"0123456789abcdef"
     assert all(r.n_bytes == 4 for r in rows)
