@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -45,6 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         meta = field.metadata or {}
+        # The conversion only applies when the column physically arrived
+        # as a long (nanos written by pandas + nanosAsLong read). Data
+        # regenerated with a native timestamp type must pass through
+        # untouched — applying `div` to a timestamp is a plan-time error.
+        # Parquet written without timezone annotation arrives as
+        # TIMESTAMP_NTZ, which `unix_micros`/window functions reject.
+        # With the session timezone pinned UTC the cast is
+        # value-preserving and matches DuckDB's naive-timestamp read.
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            continue
+        if not isinstance(field.dataType, LongType):
+            continue
         if meta.get("__nanos_as_long", False) or (
             name == "events" and field.name == "ts"
         ):

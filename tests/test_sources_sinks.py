@@ -103,3 +103,54 @@ def test_ddl_provision_and_cleanup(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(date" in out._jdf.queryExecution().executedPlan().toString() or out.count() == 1
     cleanup_conditions_table(spark, "test_conditions")
     assert "test_conditions" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_load_table_accepts_both_ts_encodings(spark, tmp_path):
+    """Round-4 regression: the driver regenerated events.parquet with
+    native timestamp[us] where it previously wrote int64 nanos.
+    `load_table` must normalize BOTH physical encodings to the same
+    TIMESTAMP column so downstream plans (unix_micros etc.) build."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eventhub_to_timescale_spark.sources.testdata import (
+        events_as_conditions,
+        load_table,
+    )
+
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 11],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ['{"k": 3.0}', '{"k": 4.0}'],
+    }
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-02 12:34:56"])
+
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    for d in (nanos_dir, micros_dir):
+        d.mkdir()
+
+    # encoding 1: int64 nanos-since-epoch (pandas legacy write)
+    t_nanos = pa.table({**rows, "ts": ts.asi8})
+    pq.write_table(t_nanos, nanos_dir / "events.parquet")
+    # encoding 2: native timestamp[us], no timezone (driver's new write)
+    t_micros = pa.table({**rows, "ts": pa.array(ts, type=pa.timestamp("us"))})
+    pq.write_table(t_micros, micros_dir / "events.parquet")
+
+    out = []
+    for d in (nanos_dir, micros_dir):
+        df = load_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        cond = events_as_conditions(spark, str(d))
+        out.append(
+            sorted(
+                (r.timestamp.isoformat(), r.measurement_of,
+                 r.measurement_number, r.measurement_unique_id)
+                for r in cond.collect()
+            )
+        )
+    assert out[0] == out[1]
+    assert len(out[0]) == 6  # 2 events x 3 unpivot branches
