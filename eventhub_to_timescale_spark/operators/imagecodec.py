@@ -152,21 +152,32 @@ def encode_video(frames: list[bytes]) -> bytes:
 
 
 def video_frame_count(data: bytes) -> int:
+    # malformed containers consistently raise ValueError (a truncated
+    # header would otherwise surface as struct.error)
     if data[:4] != _VIDEO_MAGIC:
         raise ValueError("not a VID0 container")
+    if len(data) < 8:
+        raise ValueError("truncated VID0 container")
     return struct.unpack_from("<I", data, 4)[0]
 
 
 def decode_video_frame(data: bytes, index: int) -> bytes:
-    """Return frame `index`'s BMP bytes without materializing others."""
+    """Return frame `index`'s BMP bytes without materializing others.
+
+    Malformed input raises ValueError; only an out-of-range frame
+    index raises IndexError."""
     n = video_frame_count(data)
     if not 0 <= index < n:
         raise IndexError(f"frame {index} out of range (container has {n})")
     pos = 8
     for i in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("corrupt VID0 container")
         (length,) = struct.unpack_from("<I", data, pos)
         pos += 4
         if i == index:
+            if pos + length > len(data):
+                raise ValueError("corrupt VID0 container")
             return data[pos : pos + length]
         pos += length
     raise ValueError("corrupt VID0 container")  # pragma: no cover

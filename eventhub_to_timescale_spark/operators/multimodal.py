@@ -153,7 +153,7 @@ def extract_blob_features(blobs: DataFrame, fake: bool = True) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [_decode_one(p, fake) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
+            out = pd.DataFrame(feats, columns=["n_bytes", "sha256", "entropy"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
@@ -164,6 +164,10 @@ def extract_blob_features(blobs: DataFrame, fake: bool = True) -> DataFrame:
 
 RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes long"
+# mapInPandas requires every yielded batch to carry the schema's
+# columns; a row-list built from an empty partition would otherwise
+# produce a column-less DataFrame and fail the whole stage.
+FRAMES_COLUMNS = ["doc_id", "frame_idx", "frame", "n_bytes"]
 
 
 def resize_images(
@@ -234,7 +238,7 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4, fake: bool = False) -> Da
                                 "n_bytes": len(frame),
                             }
                         )
-                yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows, columns=FRAMES_COLUMNS)
                 continue
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -250,7 +254,7 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4, fake: bool = False) -> Da
                             "n_bytes": len(chunk),
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=FRAMES_COLUMNS)
 
     return blobs.select("doc_id", "payload").mapInPandas(
         batches, schema=FRAMES_SCHEMA

@@ -99,7 +99,7 @@ WITH docs AS (
 ), blocks AS (
   SELECT doc_id, sh, i,
          CAST(floor(sh / pow(2, 8 * i)) AS BIGINT) % 256 AS block_key
-  FROM sh, range(4) t(i)
+  FROM sh, range({SIMHASH_BITS // 8}) t(i)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          a.sh AS sh_a, b2.sh AS sh_b
@@ -650,7 +650,15 @@ def mm_frame_oracle(n_frames: int = 4) -> str:
     mirrored from operators/imagecodec.py) without touching any
     binary. Frame geometry: F = 2 + doc_id%7 frames of
     (16 + doc_id%9) × (12 + doc_id%7); sample i selects source frame
-    (i*F)//n; n_bytes is the 24-bit BMP size 54 + h*stride(w)."""
+    (i*F)//n; n_bytes is the 24-bit BMP size 54 + h*stride(w).
+
+    The pixel-enumeration ``range()`` bounds are derived from the
+    codec geometry constants, not hard-coded, so growing VID frame
+    dims in imagecodec.py cannot silently truncate the oracle."""
+    from eventhub_to_timescale_spark.operators import imagecodec as ic
+
+    max_w = ic.VID_W_BASE + ic.VID_W_MOD - 1
+    max_h = ic.VID_H_BASE + ic.VID_H_MOD - 1
     return f"""
 WITH d AS (
   SELECT doc_id,
@@ -672,8 +680,8 @@ px AS (
           + 3 * ((29 * f.doc_id + 3 * xs.x + 17 * ys.y + 11 * f.t) % 256))
          * (1 + (ys.y * f.w + xs.x) % 97) AS wv
   FROM f
-  JOIN range(32) xs(x) ON xs.x < f.w
-  JOIN range(32) ys(y) ON ys.y < f.h
+  JOIN range({max_w}) xs(x) ON xs.x < f.w
+  JOIN range({max_h}) ys(y) ON ys.y < f.h
 )
 SELECT doc_id,
        CAST(frame_idx AS INTEGER) AS frame_idx,

@@ -54,6 +54,13 @@ def get_spark(
         # test parquet carries TIMESTAMP(NANOS) (pandas-written); Spark
         # has no nanos type — read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timezone-less parquet timestamps read as TIMESTAMP (LTZ, UTC
+        # session) rather than TIMESTAMP_NTZ: keeps the whole engine on
+        # one timestamp type AND lets time-range predicates push into
+        # the parquet scan (a cast-normalizing projection would block
+        # row-group pruning — the difference between scanning a day and
+        # scanning 100 TB)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

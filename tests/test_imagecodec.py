@@ -182,3 +182,17 @@ class TestRealMultimodalStages:
         )
         with pytest.raises(Exception):
             resize_images(documents_as_blobs(docs), 8, 4).collect()
+
+
+class TestMalformedContainers:
+    def test_malformed_vid0_raises_value_error_consistently(self):
+        # bad magic, truncated header, truncated frame table, truncated
+        # frame body: all ValueError — struct.error must never escape
+        good = ic.synth_video_bytes(1)
+        for bad in (b"NOPE", b"VID0", b"VID0\x00", good[:9], good[:20]):
+            with pytest.raises(ValueError):
+                ic.video_frame_count(bad) and ic.decode_video_frame(bad, 0)
+        with pytest.raises(ValueError):
+            ic.decode_video_frame(good[: len(good) - 5], ic.video_frame_count(good) - 1)
+        with pytest.raises(IndexError):
+            ic.decode_video_frame(good, 99)

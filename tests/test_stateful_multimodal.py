@@ -146,3 +146,31 @@ def test_changes_fn_data_rearms_timer():
     assert len(out) == 1 and list(out[0]["value"]) == ["auto"]
     assert state.get == ("auto", True)
     assert state.timeout_set == 24 * 3600 * 1000
+
+
+def test_empty_partitions_pass_through_map_in_pandas(spark):
+    """mapInPandas stages must tolerate zero-row pandas batches: an
+    empty partition's row-list would otherwise build a column-less
+    DataFrame that Spark rejects against the declared schema."""
+    from eventhub_to_timescale_spark.operators import imagecodec as ic
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        extract_blob_features,
+        resize_images,
+        sample_frames,
+    )
+
+    one_row = spark.createDataFrame(
+        [(7, ic.synth_video_bytes(7))], "doc_id long, payload binary"
+    ).repartition(8)  # 1 row over 8 partitions -> 7 empty partitions
+    assert sample_frames(one_row, n_frames=2).count() == 2
+
+    img = spark.createDataFrame(
+        [(3, ic.synth_image_bytes(3))], "doc_id long, payload binary"
+    ).repartition(8)
+    assert resize_images(img, width=4, height=4).count() == 1
+    assert extract_blob_features(img, fake=True).count() == 1
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert sample_frames(empty, n_frames=2).count() == 0
+    assert resize_images(empty, width=4, height=4).count() == 0
+    assert extract_blob_features(empty, fake=True).count() == 0
