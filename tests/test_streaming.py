@@ -282,3 +282,94 @@ def test_stream_late_data_watermark_boundary(spark, tmpdir):
     assert len(all_rows) == len(set(w for (w, _) in all_rows))
     batches_by_window = {w: bid for bid, rows in emitted.items() for (w, _) in rows}
     assert batches_by_window["10:00"] < batches_by_window["10:30"]
+
+
+def test_stream_kill_restart_jdbc_idempotent(spark, tmpdir):
+    """End-to-end at-least-once → exactly-once-ish: a checkpointed
+    stream writes each micro-batch to Derby through the idempotent
+    JDBC merge, is KILLED after a batch's sink write succeeds but
+    before its checkpoint commit, and is restarted from the same
+    checkpoint. The redelivered batch must merge to zero new rows
+    (reference store-after-send semantics, timescale.py:31-32)."""
+    from eventhub_to_timescale_spark.sinks.conditions import (
+        records_to_conditions,
+        write_conditions_jdbc,
+        write_conditions_jdbc_idempotent,
+    )
+    from eventhub_to_timescale_spark.streaming.pipeline import (
+        read_raw_stream,
+        stream_to_conditions,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    derby_url = f"jdbc:derby:{tmpdir}/db;create=true"
+    derby_props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    # one file per micro-batch (maxFilesPerTrigger=1): three batches
+    for i in range(3):
+        _write_raw(
+            spark,
+            tmpdir,
+            [make_envelope("emon/emonTx4", {"time": 1706777400 + i, "P1": 100 + i})],
+            subdir=f"raw/part{i}",
+        )
+
+    # pre-create the target table (the merge needs it to exist)
+    empty = records_to_conditions(
+        spark.createDataFrame(
+            [],
+            "timestamp timestamp, measurement_subject string, "
+            "measurement_publisher string, measurement_of string, "
+            "measurement_value string, measurement_data_type string, "
+            "correlation_id string",
+        )
+    )
+    write_conditions_jdbc(empty, derby_url, properties=derby_props)
+
+    def run(sabotage: bool):
+        injected: list[int] = []
+
+        def write_batch(batch_df, batch_id):
+            write_conditions_jdbc_idempotent(
+                batch_df,
+                derby_url,
+                batch_id=batch_id,
+                properties=derby_props,
+            )
+            if sabotage and batch_id == 1 and not injected:
+                injected.append(batch_id)
+                # sink write landed; commit will NOT be recorded →
+                # this batch is redelivered on restart
+                raise RuntimeError("injected post-write crash")
+
+        raw = read_raw_stream(
+            spark, f"{tmpdir}/raw/part*", max_files_per_trigger=1
+        )
+        cond = stream_to_conditions(raw, deterministic_ids=True)
+        q = (
+            cond.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q
+
+    q = run(sabotage=True)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+
+    mid = spark.read.jdbc(derby_url, "conditions", properties=derby_props)
+    assert mid.count() >= 1  # the killed batch's write DID land
+
+    q = run(sabotage=False)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    back = spark.read.jdbc(derby_url, "conditions", properties=derby_props)
+    rows = back.collect()
+    # 3 distinct emon messages x 1 measurement (P1) — and the
+    # redelivered batch added nothing
+    assert back.count() == 3
+    keys = {(r.correlation_id, r.measurement_of) for r in rows}
+    assert len(keys) == 3
