@@ -302,3 +302,140 @@ def state_intervals(
         )
         .orderBy("measurement_subject", "time")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8/Q9 hot-key scale path: chunked (salted) window rewrite
+# ---------------------------------------------------------------------------
+
+
+def _with_chunk(df: DataFrame, chunk_seconds: int) -> DataFrame:
+    """Contiguous time-chunk id — the salt for hot-subject windows."""
+    return df.withColumn(
+        "_chunk",
+        F.floor(
+            F.unix_micros(F.col("timestamp"))
+            / F.lit(int(chunk_seconds) * 1_000_000)
+        ),
+    )
+
+
+def changed_rows_salted(
+    conditions: DataFrame,
+    subject: str | None,
+    of: str,
+    start: datetime,
+    end: datetime,
+    chunk_seconds: int = 86400,
+    keep_order_col: bool = False,
+) -> DataFrame:
+    """``changed_rows`` with the lag window salted by time-chunk.
+
+    ``Window.partitionBy(subject)`` concentrates a hot subject's whole
+    history in ONE task, and AQE cannot split a window exchange (its
+    skew handling is join-only — measured in scripts/skew_evidence.py).
+    Rewrite: lag within (subject, chunk) partitions — parallelism =
+    subjects x chunks regardless of key skew — then repair each
+    chunk's first row from a per-chunk summary (one row per non-empty
+    (subject, chunk)): the previous chunk's last value via a window
+    over the TINY summary frame, joined back on (subject, chunk).
+    Semantics are proven identical to ``changed_rows`` in
+    tests/test_queries.py including NULL runs and timestamp ties."""
+    sliced = _slice(conditions, subject, of, start, end)
+    order_cols = ["timestamp"]
+    if "measurement_unique_id" in conditions.columns:
+        order_cols.append("measurement_unique_id")
+    df = _with_chunk(sliced, chunk_seconds)
+    w_chunk = Window.partitionBy("measurement_subject", "_chunk").orderBy(
+        *order_cols
+    )
+    # row_number, not lag IS NULL, marks chunk-first rows: a lag that
+    # returns NULL is ambiguous when the previous VALUE is NULL
+    df = df.withColumn("_rn", F.row_number().over(w_chunk)).withColumn(
+        "_prev_in", F.lag("measurement_string").over(w_chunk)
+    )
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    summary = df.groupBy("measurement_subject", "_chunk").agg(
+        F.max_by("measurement_string", ordk).alias("_last")
+    )
+    w_sum = Window.partitionBy("measurement_subject").orderBy("_chunk")
+    boundary = summary.select(
+        "measurement_subject",
+        "_chunk",
+        F.lag("_last").over(w_sum).alias("_prev_chunk_last"),
+    )
+    joined = df.join(boundary, ["measurement_subject", "_chunk"], "left")
+    prev = F.when(F.col("_rn") == 1, F.col("_prev_chunk_last")).otherwise(
+        F.col("_prev_in")
+    )
+    keep = [
+        "timestamp",
+        "measurement_subject",
+        "measurement_of",
+        F.col("measurement_string").alias("value"),
+    ]
+    if keep_order_col and len(order_cols) > 1:
+        keep.append(F.col(order_cols[1]).alias("_ord"))
+    return (
+        joined.withColumn("prev_value", prev)
+        .filter(~F.col("measurement_string").eqNullSafe(F.col("prev_value")))
+        .select(*keep)
+        .orderBy("measurement_subject", "timestamp")
+    )
+
+
+def state_intervals_salted(
+    conditions: DataFrame,
+    subject: str | None,
+    of: str,
+    start: datetime,
+    end: datetime,
+    close_at: datetime | None = None,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """``state_intervals`` on the salted change stream: the lead that
+    closes each interval is likewise computed within (subject, chunk)
+    and chunk-last rows take their end from the next non-empty chunk's
+    first change (summary join, same shape as the lag repair)."""
+    changes = changed_rows_salted(
+        conditions,
+        subject,
+        of,
+        start,
+        end,
+        chunk_seconds=chunk_seconds,
+        keep_order_col=True,
+    )
+    order_cols = ["timestamp", "_ord"] if "_ord" in changes.columns else [
+        "timestamp"
+    ]
+    df = _with_chunk(changes, chunk_seconds)
+    w_chunk = Window.partitionBy("measurement_subject", "_chunk").orderBy(
+        *order_cols
+    )
+    df = df.withColumn("_next_in", F.lead("timestamp").over(w_chunk))
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    summary = df.groupBy("measurement_subject", "_chunk").agg(
+        F.min_by("timestamp", ordk).alias("_first")
+    )
+    w_sum = Window.partitionBy("measurement_subject").orderBy("_chunk")
+    boundary = summary.select(
+        "measurement_subject",
+        "_chunk",
+        F.lead("_first").over(w_sum).alias("_next_chunk_first"),
+    )
+    joined = df.join(boundary, ["measurement_subject", "_chunk"], "left")
+    close = F.lit(close_at) if close_at is not None else F.current_timestamp()
+    return (
+        joined.withColumn(
+            "timeEnd",
+            F.coalesce(F.col("_next_in"), F.col("_next_chunk_first"), close),
+        )
+        .select(
+            F.col("timestamp").alias("time"),
+            "timeEnd",
+            "measurement_subject",
+            "value",
+        )
+        .orderBy("measurement_subject", "time")
+    )

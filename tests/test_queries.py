@@ -4,7 +4,7 @@ this is the strict upgrade promised in SURVEY §5)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -335,3 +335,59 @@ def test_q9_tied_timestamps_pair_deterministically(spark):
         ("b", 0, datetime(2024, 1, 1, 2)),
         ("c", 2, close),
     ]
+
+
+def test_q8_q9_salted_equivalence_property(spark):
+    """The chunked (salted) window rewrite must be row-identical to the
+    vanilla subject-partitioned window — including a hot subject that
+    dominates the data, NULL-value runs, timestamp ties, and chunk
+    sizes that force many boundary repairs (chunk_seconds=1 puts
+    nearly every row in its own chunk)."""
+    import random
+
+    from eventhub_to_timescale_spark.operators.timeseries import (
+        changed_rows,
+        changed_rows_salted,
+        state_intervals,
+        state_intervals_salted,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    uid = 0
+    for i in range(400):
+        subj = "hot" if rng.random() < 0.5 else f"s{rng.randrange(5)}"
+        # coarse timestamps force ties; values include NULL runs
+        ts = datetime(2024, 3, 1, 0, 0) + timedelta(seconds=rng.randrange(120))
+        val = rng.choice(["a", "b", "b", None, None, "c"])
+        rows.append((ts, subj, "state", val, str(uid), uid))
+        uid += 1
+    cond = spark.createDataFrame(
+        rows,
+        "timestamp timestamp, measurement_subject string, "
+        "measurement_of string, measurement_string string, "
+        "correlation_id string, measurement_unique_id long",
+    )
+    start, end = datetime(2024, 3, 1), datetime(2024, 3, 2)
+    close = datetime(2024, 3, 2)
+
+    for chunk_seconds in (1, 7, 86400):
+        a = changed_rows(cond, None, "state", start, end).collect()
+        b = changed_rows_salted(
+            cond, None, "state", start, end, chunk_seconds=chunk_seconds
+        ).collect()
+        key = lambda t: tuple(map(repr, t))
+        assert sorted(map(tuple, a), key=key) == sorted(
+            map(tuple, b), key=key
+        ), chunk_seconds
+
+        ia = state_intervals(
+            cond, None, "state", start, end, close_at=close
+        ).collect()
+        ib = state_intervals_salted(
+            cond, None, "state", start, end, close_at=close,
+            chunk_seconds=chunk_seconds,
+        ).collect()
+        assert sorted(map(tuple, ia), key=key) == sorted(
+            map(tuple, ib), key=key
+        ), chunk_seconds
