@@ -18,6 +18,10 @@ Reproduces the reference's ``recursively_deserialize``
   text and ``json_object_keys`` then sees an object; scalar strings
   like ``"1.5"``/``"true"`` fall through to type inference, which tags
   them number/boolean just as ``json.loads`` would re-type them.
+  The object-probe parse is gated on the text starting with ``{``
+  (modulo leading whitespace) — JSON object text cannot start any
+  other way, so scalar/array leaves skip the Jackson invocation
+  entirely instead of paying for a parse that is defined to fail.
 - arrays are leaves (``create_record_recursive`` never iterates
   lists); a 2-numeric array is tagged GEOGRAPHY by ``infer_type_tag``
   (timeseries.py:120-124), any other array STRING (the reference
@@ -68,13 +72,17 @@ def _node(k: Column, v: Column) -> Column:
     field access would re-parse; same no-CSE hazard materialize()
     exists for, solved with a lambda binding since we're inside an
     array)."""
+    probe = F.when(F.ltrim(v).startswith("{"), F.from_json(v, _MAP))
     return F.element_at(
         F.transform(
-            F.array(F.from_json(v, _MAP)),
+            F.array(probe),
             lambda m: F.struct(k.alias("k"), v.alias("js"), m.alias("m")),
         ),
         1,
     )
+
+
+_NODE_ARRAY = "array<struct<k:string,js:string,m:map<string,string>>>"
 
 
 def leaves_col(
@@ -84,26 +92,63 @@ def leaves_col(
 ) -> Column:
     """payload JSON text → ``array<struct<k, js>>`` of leaf (key,
     raw-text value) pairs via the unrolled frontier. Compose with
-    ``explode`` for row fan-out."""
+    ``explode`` for row fan-out.
+
+    Leaves are PRUNED from the frontier the depth they appear
+    (VERDICT r4 #8): each round carries ``struct(leaves, frontier)``
+    where only still-object nodes stay in the frontier — a scalar
+    resolved at depth 1 is appended to ``leaves`` once and never
+    re-walked by the remaining depth rounds (the old shape re-wrapped
+    and re-flattened every settled leaf at every depth, so shallow
+    payloads paid the full ``max_depth`` tax). Rounds deeper than the
+    actual nesting iterate an empty frontier for free. The state is
+    threaded through the same single-element ``transform`` binding as
+    ``_node`` so referencing it twice (leaf split + child expansion)
+    cannot re-evaluate the previous round."""
     # NULL sentinel for the root key (not "" — an empty string is a
     # legal JSON key whose leaf must survive, map keys are never null)
-    frontier = F.array(_node(F.lit(None).cast("string"), payload))
-    for _ in range(max_depth):
-
-        def _expand(n):
-            entries = F.map_entries(n["m"])
-            if ignore_keys:
-                entries = F.filter(
-                    entries, lambda e: ~e["key"].isin(*ignore_keys)
-                )
-            return F.when(n["m"].isNull(), F.array(n)).otherwise(
-                F.transform(entries, lambda e: _node(e["key"], e["value"]))
-            )
-
-        frontier = F.flatten(F.transform(frontier, _expand))
-    leaves = F.filter(
-        frontier, lambda x: x["m"].isNull() & x["k"].isNotNull()
+    state = F.struct(
+        F.array().cast(_NODE_ARRAY).alias("leaves"),
+        F.array(_node(F.lit(None).cast("string"), payload)).alias("frontier"),
     )
+
+    def _children(n):
+        entries = F.map_entries(n["m"])
+        if ignore_keys:
+            entries = F.filter(entries, lambda e: ~e["key"].isin(*ignore_keys))
+        return F.transform(entries, lambda e: _node(e["key"], e["value"]))
+
+    def _step(s):
+        return F.struct(
+            F.concat(
+                s["leaves"],
+                F.filter(s["frontier"], lambda n: n["m"].isNull()),
+            ).alias("leaves"),
+            F.flatten(
+                F.transform(
+                    F.filter(s["frontier"], lambda n: n["m"].isNotNull()),
+                    _children,
+                )
+            ).alias("frontier"),
+        )
+
+    def _step_if_active(s):
+        # If evaluates only the taken branch: rounds deeper than the
+        # payload's actual nesting cost one size() probe per row, not
+        # four array ops over empty frontiers
+        return F.when(F.size(s["frontier"]) == 0, s).otherwise(_step(s))
+
+    for _ in range(max_depth):
+        state = F.element_at(
+            F.transform(F.array(state), _step_if_active), 1
+        )
+    # objects still unexpanded after max_depth rounds are dropped, not
+    # mis-emitted; depth-max scalars in the final frontier are leaves
+    leaves = F.concat(
+        state["leaves"],
+        F.filter(state["frontier"], lambda n: n["m"].isNull()),
+    )
+    leaves = F.filter(leaves, lambda x: x["k"].isNotNull())
     return F.transform(
         leaves, lambda x: F.struct(x["k"].alias("k"), x["js"].alias("js"))
     )
