@@ -195,6 +195,35 @@ def _q9_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q8_changes_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key scale path for Q8 (chunked lag, SCALE.md "Windows");
+    row-identical to q8_changed_rows, so it shares that oracle —
+    6-hour chunks force many boundary repairs at this data density."""
+    from eventhub_to_timescale_spark.operators.timeseries import (
+        changed_rows_salted,
+    )
+
+    return changed_rows_salted(
+        _conditions(spark, sf_dir), None, "event_type", START, END,
+        chunk_seconds=21600,
+    )
+
+
+def _q9_intervals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key scale path for Q9; shares q9_state_intervals' oracle."""
+    from eventhub_to_timescale_spark.operators.timeseries import (
+        state_intervals_salted,
+    )
+
+    df = state_intervals_salted(
+        _conditions(spark, sf_dir), None, "event_type", START, END,
+        close_at=END, chunk_seconds=21600,
+    )
+    return df.select(
+        "time", F.col("timeEnd").alias("time_end"), "measurement_subject", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ingest pipeline (envelope → converter → conditions pivot)
 # ---------------------------------------------------------------------------
@@ -560,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_unique_subjects": _q7_subjects,
         "q8_changed_rows": _q8_changes,
         "q9_state_intervals": _q9_intervals,
+        "q8_changed_rows_salted": _q8_changes_salted,
+        "q9_state_intervals_salted": _q9_intervals_salted,
         "ingest_events_unpivot": _ingest_conditions,
         "ingest_glow": _ingest_glow,
         "ingest_homie": _ingest_homie,
@@ -849,6 +880,10 @@ ORDER BY measurement_publisher, measurement_of
         "q7_unique_subjects": q7,
         "q8_changed_rows": q8,
         "q9_state_intervals": q9,
+        # the salted rewrites are proven row-identical to the vanilla
+        # windows (tests/test_queries.py), so they share the oracles
+        "q8_changed_rows_salted": q8,
+        "q9_state_intervals_salted": q9,
         "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,
         "ingest_glow": GLOW_ORACLE,
         "ingest_homie": HOMIE_ORACLE,
