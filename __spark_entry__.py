@@ -573,6 +573,48 @@ def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+STRATIFIED_FRACTIONS = {
+    "click": 1.0,
+    "view": 0.25,
+    "error": 0.5,
+    "purchase": 1.0,
+    "signup": 0.0,
+}
+
+
+def _sample_docs_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample keyed on md5(doc_id || salt) —
+    rerun-stable and growth-stable, unlike seeded-RNG df.sample
+    (operators/sampling.py; the curation primitive every training
+    pipeline re-runs)."""
+    from eventhub_to_timescale_spark.operators.sampling import sample_fraction
+
+    return sample_fraction(
+        _docs(spark, sf_dir), "doc_id", 0.25, salt="corpus-v1"
+    ).select("doc_id", "lang", "source")
+
+
+def _sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class keep-fractions as one codegen'd CASE filter."""
+    from eventhub_to_timescale_spark.operators.sampling import sample_stratified
+
+    ev = _events(spark, sf_dir)
+    return sample_stratified(
+        ev, "event_id", "event_type", STRATIFIED_FRACTIONS, salt="strat-v1"
+    ).select("event_id", "event_type")
+
+
+def _sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split labels aggregated to per-split counts."""
+    from eventhub_to_timescale_spark.operators.sampling import train_test_split
+
+    return (
+        train_test_split(_docs(spark, sf_dir), "doc_id", 0.1, salt="split-v1")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_bucket_avg": _q1,
@@ -614,6 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_tokens,
         "text_fingerprint": _text_fingerprint,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
+        "sample_docs_fraction": _sample_docs_fraction,
+        "sample_events_stratified": _sample_events_stratified,
+        "sample_split_counts": _sample_split_counts,
         "mm_blob_features": _mm_blob_features,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize": _mm_resize,
@@ -630,6 +675,31 @@ def _ivf_oracle_entry(oc) -> dict[str, str]:
     except Exception:
         return {}
 
+
+
+def _sampling_oracles():
+    from eventhub_to_timescale_spark.operators.sampling import (
+        sampling_oracle_predicate,
+        stratified_oracle_predicate,
+    )
+
+    docs_pred = sampling_oracle_predicate("doc_id", 0.25, salt="corpus-v1")
+    strat_pred = stratified_oracle_predicate(
+        "event_id", "event_type", STRATIFIED_FRACTIONS, salt="strat-v1"
+    )
+    split_pred = sampling_oracle_predicate("doc_id", 0.1, salt="split-v1")
+    return (
+        f"SELECT doc_id, lang, source FROM documents WHERE {docs_pred}",
+        f"SELECT event_id, event_type FROM events WHERE {strat_pred}",
+        "SELECT CASE WHEN " + split_pred
+        + " THEN 'test' ELSE 'train' END AS split, COUNT(*) AS n_docs "
+        + "FROM documents GROUP BY 1",
+    )
+
+
+_SAMPLE_DOCS_ORACLE, _SAMPLE_STRAT_ORACLE, _SAMPLE_SPLIT_ORACLE = (
+    _sampling_oracles()
+)
 
 def oracle_sql() -> dict[str, str]:
     from eventhub_to_timescale_spark import oracles as oc
@@ -914,6 +984,9 @@ ORDER BY measurement_publisher, measurement_of
         "text_token_stats": oc.text_tokens_oracle(),
         "text_fingerprint": oc.text_fingerprint_oracle(8),
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
+        "sample_docs_fraction": _SAMPLE_DOCS_ORACLE,
+        "sample_events_stratified": _SAMPLE_STRAT_ORACLE,
+        "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "mm_blob_features": oc.mm_blob_oracle(),
         "mm_frame_sample": oc.mm_frame_oracle(4),
         "mm_resize": oc.mm_resize_oracle(16, 12),

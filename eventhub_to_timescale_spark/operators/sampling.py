@@ -1,0 +1,156 @@
+"""Deterministic sampling for training-data pipelines.
+
+At 100 TB you cannot afford nondeterministic ``df.sample`` for corpus
+curation: re-runs must select the SAME rows (resumable pipelines,
+reproducible ablations, stable train/test membership across
+incremental rebuilds). Everything here keys selection on a
+cryptographic hash of a stable row key + a caller salt:
+
+- ``sample_fraction`` — keep ~fraction of rows, membership decided by
+  ``md5(key || salt)``: a pure, codegen'd filter. No shuffle, no RNG
+  state, pushdown-friendly (the filter sits directly on the scan),
+  and adding/removing OTHER rows never changes a row's membership —
+  unlike reservoir or row_number()-based sampling, which both need a
+  global pass.
+- ``sample_stratified`` — per-class fractions as one CASE chain over
+  the class column (single pass; the reference for the shape is
+  ``DataFrame.sampleBy``, which is seeded-RNG rather than
+  content-keyed and so not rerun-stable across partitioning changes).
+- ``train_test_split`` — complementary-threshold variant: every row
+  gets a split label, the test set is exactly the ``sample_fraction``
+  set for the same (key, salt), so split membership is stable under
+  corpus growth.
+
+Hash-prefix semantics: the first 4 hex chars of the md5 are compared
+AS A STRING against the 4-hex rendering of ``floor(fraction *
+16**4)``. Fixed-length lowercase-hex string comparison is identical
+in every engine with an md5() (the DuckDB oracles use the same
+expression), sidestepping cross-engine hex-to-int quirks. Resolution
+is 1/65536 — curation fractions below 0.01% should widen the prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 4
+_SPACE = 16 ** _PREFIX_LEN
+
+
+def _bucket_hex(key: Column, salt: str) -> Column:
+    """First 4 hex chars of md5(key || salt) — the row's sampling
+    coordinate in [0x0000, 0xffff], uniform for any reasonable key."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(salt)).cast("binary")),
+        1,
+        _PREFIX_LEN,
+    )
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # 'g' sorts after every hex char, so `bucket < 'g'` keeps all
+        # rows — no special-casing at the call sites
+        return "g"
+    return format(int(fraction * _SPACE), f"0{_PREFIX_LEN}x")
+
+
+def sample_fraction(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically in the row key."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
+    return df.filter(
+        _bucket_hex(F.col(key_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-class keep-fractions (e.g. downsample boilerplate-heavy web
+    text, keep all books) as one codegen'd CASE chain — no join, no
+    shuffle, one scan."""
+    threshold = F.lit(_threshold_hex(default_fraction))
+    for cls, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(class_col) == cls, F.lit(_threshold_hex(frac))
+        ).otherwise(threshold)
+    return df.filter(_bucket_hex(F.col(key_col), salt) < threshold)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'test' or 'train'; the test set is exactly
+    ``sample_fraction(df, key_col, test_fraction, salt)``, so
+    membership never flips as the corpus grows."""
+    is_test = _bucket_hex(F.col(key_col), salt) < F.lit(
+        _threshold_hex(test_fraction)
+    )
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def sampling_oracle_predicate(
+    key_expr: str, fraction: float, salt: str = ""
+) -> str:
+    """The DuckDB-side rendering of the same membership test — kept
+    next to the Spark expression so the two evolve together."""
+    thr = _threshold_hex(fraction)
+    return (
+        f"substring(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, "
+        f"{_PREFIX_LEN}) < '{thr}'"
+    )
+
+
+def stratified_oracle_predicate(
+    key_expr: str,
+    class_expr: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> str:
+    """DuckDB rendering of ``sample_stratified``'s membership test."""
+    cases = " ".join(
+        f"WHEN '{cls}' THEN '{_threshold_hex(frac)}'"
+        for cls, frac in sorted(fractions.items())
+    )
+    thr = (
+        f"(CASE {class_expr} {cases} "
+        f"ELSE '{_threshold_hex(default_fraction)}' END)"
+    )
+    return (
+        f"substring(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, "
+        f"{_PREFIX_LEN}) < {thr}"
+    )
+
+
+__all__ = [
+    "sample_fraction",
+    "sample_stratified",
+    "train_test_split",
+    "sampling_oracle_predicate",
+    "stratified_oracle_predicate",
+]

@@ -285,3 +285,72 @@ def test_empty_and_null_text_edge_paths(spark):
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.0).collect()
     ids = {x for r in pairs for x in (r.doc_a, r.doc_b)}
     assert 1 not in ids  # NULL text generates no candidates
+
+
+class TestDeterministicSampling:
+    def test_fraction_is_deterministic_and_growth_stable(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            sample_fraction,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(4000)], "id long"
+        )
+        kept1 = {r.id for r in sample_fraction(df, "id", 0.3, "s").collect()}
+        kept2 = {r.id for r in sample_fraction(df, "id", 0.3, "s").collect()}
+        assert kept1 == kept2  # rerun-stable
+        # ~30% within sampling tolerance
+        assert 0.25 < len(kept1) / 4000 < 0.35
+        # growth-stable: restricting the corpus never flips membership
+        half = df.filter("id < 2000")
+        kept_half = {
+            r.id for r in sample_fraction(half, "id", 0.3, "s").collect()
+        }
+        assert kept_half == {i for i in kept1 if i < 2000}
+        # different salt = independent draw
+        kept_salt = {r.id for r in sample_fraction(df, "id", 0.3, "t").collect()}
+        assert kept_salt != kept1
+
+    def test_fraction_edges(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            sample_fraction,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+        assert sample_fraction(df, "id", 1.0).count() == 50
+        assert sample_fraction(df, "id", 0.0).count() == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sample_fraction(df, "id", 1.5)
+
+    def test_stratified_respects_per_class_rates(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            sample_stratified,
+        )
+
+        rows = [(i, ["keep", "down", "drop"][i % 3]) for i in range(3000)]
+        df = spark.createDataFrame(rows, "id long, cls string")
+        out = sample_stratified(
+            df, "id", "cls", {"keep": 1.0, "down": 0.2}, default_fraction=0.0
+        )
+        counts = {r.cls: r["count"] for r in out.groupBy("cls").count().collect()}
+        assert counts["keep"] == 1000  # fraction 1.0 keeps every row
+        assert "drop" not in counts  # default 0.0 removes the class
+        assert 120 < counts["down"] < 280
+
+    def test_split_partitions_exactly(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            sample_fraction,
+            train_test_split,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+        sp = train_test_split(df, "id", 0.1, salt="v1")
+        assert sp.count() == 2000  # every row labeled
+        test_ids = {r.id for r in sp.filter("split = 'test'").collect()}
+        # the test set IS the sample_fraction set for the same key+salt
+        frac_ids = {
+            r.id for r in sample_fraction(df, "id", 0.1, salt="v1").collect()
+        }
+        assert test_ids == frac_ids
