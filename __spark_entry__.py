@@ -574,6 +574,15 @@ def _mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary table (term_freq/doc_freq/idf), top 200 by
+    frequency with a deterministic tie-break — two map-side-combinable
+    aggregations, no countDistinct (operators/text.py:vocabulary)."""
+    from eventhub_to_timescale_spark.operators.text import vocabulary
+
+    return vocabulary(_docs(spark, sf_dir), top_k=200)
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -656,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_tokens,
         "text_fingerprint": _text_fingerprint,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
+        "text_vocab_topk": _text_vocab_topk,
         "sample_docs_fraction": _sample_docs_fraction,
         "sample_events_stratified": _sample_events_stratified,
         "sample_split_counts": _sample_split_counts,
@@ -700,6 +710,24 @@ def _sampling_oracles():
 _SAMPLE_DOCS_ORACLE, _SAMPLE_STRAT_ORACLE, _SAMPLE_SPLIT_ORACLE = (
     _sampling_oracles()
 )
+
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)) AS token
+  FROM documents
+), per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf_doc FROM toks GROUP BY 1, 2
+)
+SELECT token,
+       CAST(SUM(tf_doc) AS BIGINT) AS term_freq,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       ROUND(LN(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0)),
+             6) AS idf
+FROM per_doc GROUP BY token
+ORDER BY term_freq DESC, token LIMIT 200
+"""
 
 def oracle_sql() -> dict[str, str]:
     from eventhub_to_timescale_spark import oracles as oc
@@ -984,6 +1012,7 @@ ORDER BY measurement_publisher, measurement_of
         "text_token_stats": oc.text_tokens_oracle(),
         "text_fingerprint": oc.text_fingerprint_oracle(8),
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
+        "text_vocab_topk": _VOCAB_ORACLE,
         "sample_docs_fraction": _SAMPLE_DOCS_ORACLE,
         "sample_events_stratified": _SAMPLE_STRAT_ORACLE,
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,

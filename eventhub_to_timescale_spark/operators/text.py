@@ -178,3 +178,50 @@ def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 8) -> Data
         F.md5(norm).alias("fp_md5"),
         min_gram.alias("fp_min_gram"),
     )
+
+
+def vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary statistics → (token, term_freq, doc_freq,
+    idf): the global token table a training pipeline derives for
+    tokenizer training, stop-list construction and tf-idf weighting.
+
+    Shape, chosen for 100 TB: tokens explode from the same
+    ``_TOKEN_RE`` lexer as ``token_stats``, then TWO hash
+    aggregations — per (token, doc) partials first, token totals
+    second. Both are map-side combinable; ``doc_freq`` falls out of
+    the second groupBy as a plain ``count`` so no ``countDistinct``
+    (which would force per-token distinct state) appears anywhere.
+    ``idf = ln((N+1)/(df+1))``, rounded to 6 dp for cross-engine
+    comparison; N is one driver-side scalar (bounded collect).
+    ``top_k`` orders by (term_freq DESC, token) — a total order, so
+    the cut is deterministic."""
+    t = F.col(text_col)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(t), F.lit(_TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count("*").alias("tf_doc")
+    )
+    n_docs = docs.count()
+    out = per_doc.groupBy("token").agg(
+        F.sum("tf_doc").alias("term_freq"),
+        F.count("*").alias("doc_freq"),
+    )
+    out = out.withColumn(
+        "idf",
+        F.round(
+            F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)),
+            6,
+        ),
+    )
+    out = out.orderBy(F.col("term_freq").desc(), "token")
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out

@@ -354,3 +354,26 @@ class TestDeterministicSampling:
             r.id for r in sample_fraction(df, "id", 0.1, salt="v1").collect()
         }
         assert test_ids == frac_ids
+
+
+def test_vocabulary_counts_and_determinism(spark):
+    from eventhub_to_timescale_spark.operators.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog sat sat"),
+            (3, "THE end 42"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in vocabulary(docs).collect()}
+    assert rows["the"].term_freq == 3 and rows["the"].doc_freq == 3
+    assert rows["sat"].term_freq == 3 and rows["sat"].doc_freq == 2
+    assert rows["42"].term_freq == 1  # numeric tokens lex separately
+    import math
+
+    assert rows["sat"].idf == round(math.log((3 + 1) / (2 + 1)), 6)
+    # top-k cut is deterministic under ties (term_freq desc, token asc)
+    top = vocabulary(docs, top_k=3).collect()
+    assert [r.token for r in top] == ["sat", "the", "42"]
