@@ -583,6 +583,18 @@ def _text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(_docs(spark, sf_dir), top_k=200)
 
 
+def _text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-60% quality cut (operators/text.py:
+    filter_quality_percentile) — deterministic percent_rank window;
+    the broadcast-threshold variant is the 100 TB path."""
+    from eventhub_to_timescale_spark.operators.text import (
+        filter_quality_percentile,
+    )
+
+    df = filter_quality_percentile(_docs(spark, sf_dir), keep_frac=0.6)
+    return df.select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -666,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "text_vocab_topk": _text_vocab_topk,
+        "text_quality_percentile": _text_quality_percentile,
         "sample_docs_fraction": _sample_docs_fraction,
         "sample_events_stratified": _sample_events_stratified,
         "sample_split_counts": _sample_split_counts,
@@ -712,6 +725,9 @@ _SAMPLE_DOCS_ORACLE, _SAMPLE_STRAT_ORACLE, _SAMPLE_SPLIT_ORACLE = (
 )
 
 
+_QUALITY_PCT_ORACLE = None  # bound below, after oracles import
+
+
 _VOCAB_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
@@ -731,6 +747,8 @@ ORDER BY term_freq DESC, token LIMIT 200
 
 def oracle_sql() -> dict[str, str]:
     from eventhub_to_timescale_spark import oracles as oc
+
+    quality_pct = oc.quality_percentile_oracle(0.6)
     from eventhub_to_timescale_spark.sources.synth import (
         BMW_ORACLE,
         DYNAMIC_ORACLE,
@@ -1013,6 +1031,7 @@ ORDER BY measurement_publisher, measurement_of
         "text_fingerprint": oc.text_fingerprint_oracle(8),
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "text_vocab_topk": _VOCAB_ORACLE,
+        "text_quality_percentile": quality_pct,
         "sample_docs_fraction": _SAMPLE_DOCS_ORACLE,
         "sample_events_stratified": _SAMPLE_STRAT_ORACLE,
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,

@@ -10,7 +10,7 @@ deterministic, auditable filters, not model-quality language ID.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword-overlap
@@ -225,3 +225,68 @@ def vocabulary(
     if top_k is not None:
         out = out.limit(top_k)
     return out
+
+
+def filter_quality_percentile(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    by: str | None = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality score within
+    each ``by`` group (per-language curation cut) →
+    (doc_id, lang, quality).
+
+    Exact semantics: ``percent_rank`` over (group, quality DESC,
+    doc_id) — the doc_id tie-break makes the cut deterministic, and
+    ``percent_rank <= keep_frac`` keeps exactly the top fraction of
+    the rank range. One shuffle on the group key. A group here is a
+    LANGUAGE, so cardinality is tiny and rows-per-group huge — at
+    100 TB use ``quality_threshold_by_group`` below: one aggregation
+    pass computes per-group quantile thresholds that broadcast-join
+    back, trading exact rank for a near-identical cut with no
+    full-sort window."""
+    w = Window.partitionBy(*( [by] if by else [] )).orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    scored = docs.select(
+        "doc_id",
+        *( [F.col(by)] if by else [] ),
+        quality_col(F.col(text_col)).alias("quality"),
+    )
+    return (
+        scored.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_frac)
+        .drop("_pr")
+        .orderBy(*(([by] if by else []) + ["doc_id"]))
+    )
+
+
+def quality_threshold_by_group(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    by: str = "lang",
+    text_col: str = "text",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale path for the percentile cut: per-group approximate
+    quantile thresholds (one map-side-combinable aggregation over a
+    sketch) broadcast back onto the scan — no full-sort window, no
+    single-task language partitions. → filtered (doc_id, lang,
+    quality). Within-sketch-error identical to the exact cut; the
+    exact variant stays the oracle surface."""
+    from pyspark.sql.functions import broadcast
+
+    scored = docs.select(
+        "doc_id", F.col(by), quality_col(F.col(text_col)).alias("quality")
+    )
+    thresholds = scored.groupBy(by).agg(
+        F.percentile_approx(
+            "quality", F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("_thr")
+    )
+    return (
+        scored.join(broadcast(thresholds), by)
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", by, "quality")
+    )

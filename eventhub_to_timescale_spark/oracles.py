@@ -275,6 +275,36 @@ FROM base
 """
 
 
+def quality_percentile_oracle(keep_frac: float = 0.6) -> str:
+    """Per-language top-fraction quality cut, mirroring
+    operators.text.filter_quality_percentile: percent_rank over
+    (lang, quality DESC, doc_id) on the 6dp-rounded score — rounding
+    BEFORE ranking keeps cross-engine ties identical, and the doc_id
+    tie-break resolves them deterministically."""
+    stoplist = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+               + 0.3 * least(len(list_filter(string_split(lower(text), ' '),
+                                 x -> list_contains({stoplist}, x)))
+                             / len(string_split(text, ' ')) * 5, 1.0)
+               + 0.3 * (1.0 - least((length(text)
+                   - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')))
+                   / greatest(length(text), 1) * 10, 1.0)), 6) AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS pr
+  FROM scored
+)
+SELECT doc_id, lang, ROUND(quality, 6) AS quality
+FROM ranked WHERE pr <= {keep_frac}
+ORDER BY lang, doc_id
+"""
+
+
 def text_tokens_oracle() -> str:
     return f"""
 SELECT doc_id,

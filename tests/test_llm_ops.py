@@ -377,3 +377,44 @@ def test_vocabulary_counts_and_determinism(spark):
     # top-k cut is deterministic under ties (term_freq desc, token asc)
     top = vocabulary(docs, top_k=3).collect()
     assert [r.token for r in top] == ["sat", "the", "42"]
+
+
+def test_quality_percentile_filter_exact_and_threshold_paths(spark):
+    from eventhub_to_timescale_spark.operators.text import (
+        filter_quality_percentile,
+        quality_threshold_by_group,
+    )
+
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "fr"
+        # longer, cleaner text scores higher quality
+        good = "the quick brown fox jumps over the lazy dog " * (1 + i % 5)
+        rows.append((i, lang, good if i % 5 else "x!!"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    kept = filter_quality_percentile(docs, keep_frac=0.5, by="lang")
+    out = kept.collect()
+    # per-language cut: ~half of each language survives
+    counts = {r.lang: 0 for r in out}
+    for r in out:
+        counts[r.lang] += 1
+    assert 8 <= counts["en"] <= 12 and 8 <= counts["fr"] <= 12
+    # survivors' minimum quality >= dropped rows' maximum per language
+    all_scored = filter_quality_percentile(docs, keep_frac=1.0, by="lang")
+    per_lang_all = {}
+    for r in all_scored.collect():
+        per_lang_all.setdefault(r.lang, []).append((r.doc_id, r.quality))
+    kept_ids = {r.doc_id for r in out}
+    for lang, pairs in per_lang_all.items():
+        kept_q = [q for d, q in pairs if d in kept_ids]
+        drop_q = [q for d, q in pairs if d not in kept_ids]
+        assert min(kept_q) >= max(drop_q)
+
+    # scale path agrees with the exact cut up to threshold ties
+    approx = {
+        r.doc_id
+        for r in quality_threshold_by_group(docs, keep_frac=0.5).collect()
+    }
+    sym_diff = kept_ids ^ approx
+    assert len(sym_diff) <= 6  # boundary ties only, never a wholesale drift
