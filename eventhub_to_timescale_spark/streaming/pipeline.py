@@ -167,3 +167,89 @@ def bucket_avg_stream_start(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Production source wiring (Kafka / Event Hubs' Kafka surface)
+# ---------------------------------------------------------------------------
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The ``readStream.format("kafka")`` option set the engine deploys
+    with (reference binding: ``json_to_timeseries/function.json:5-14``'s
+    Event Hub trigger). ``failOnDataLoss=false`` mirrors the
+    reference's at-least-once posture (an expired-retention gap should
+    degrade, not kill, the stream); ``maxOffsetsPerTrigger`` is the
+    micro-batch back-pressure knob (≙ the trigger's batch cardinality).
+    Kept as a pure function so the wiring is unit-testable in
+    environments without the Kafka connector jar."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def eventhubs_kafka_options(
+    namespace: str,
+    eventhub: str,
+    connection_string: str,
+    consumer_group: str = "$Default",
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Event Hubs speaks the Kafka protocol on port 9093 (public
+    Azure surface): SASL_SSL / PLAIN with username ``$ConnectionString``
+    and the connection string as the password. This maps the
+    reference's connection-string binding
+    (``bmw_to_timescale/function.json:5-27``) onto the plain Kafka
+    connector — no Azure-specific Spark package needed."""
+    jaas_pw = connection_string.replace("\\", "\\\\").replace('"', '\\"')
+    jaas = (
+        "org.apache.kafka.common.security.plain.PlainLoginModule required "
+        'username="$ConnectionString" '
+        f'password="{jaas_pw}";'
+    )
+    opts = kafka_reader_options(
+        f"{namespace}.servicebus.windows.net:9093",
+        eventhub,
+        starting_offsets=starting_offsets,
+    )
+    opts.update(
+        {
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.sasl.mechanism": "PLAIN",
+            "kafka.sasl.jaas.config": jaas,
+            "kafka.group.id": consumer_group,
+        }
+    )
+    return opts
+
+
+def read_kafka_stream(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """``readStream.format("kafka")`` → the same ``value string``
+    schema the file-source stand-in produces, so every downstream
+    stage (``stream_to_conditions`` …) is source-agnostic. Raises a
+    clear error when the Kafka connector jar isn't on the classpath
+    (this sandbox) — the plan shape is covered by the file-source
+    tests, the option wiring by ``tests/test_sources_sinks.py``."""
+    reader = spark.readStream.format("kafka")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:  # pragma: no cover - environment-specific
+        raise RuntimeError(
+            "Kafka connector unavailable: submit with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        ) from e
+    return raw.selectExpr("CAST(value AS STRING) AS value")

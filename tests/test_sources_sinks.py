@@ -154,3 +154,30 @@ def test_load_table_accepts_both_ts_encodings(spark, tmp_path):
         )
     assert out[0] == out[1]
     assert len(out[0]) == 6  # 2 events x 3 unpivot branches
+
+
+def test_kafka_option_wiring():
+    """Production source wiring is pure-function-testable without the
+    connector jar: option names are the Kafka connector's contract."""
+    from eventhub_to_timescale_spark.streaming.pipeline import (
+        eventhubs_kafka_options,
+        kafka_reader_options,
+    )
+
+    opts = kafka_reader_options(
+        "broker:9092", "telemetry", max_offsets_per_trigger=50000
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "telemetry"
+    assert opts["failOnDataLoss"] == "false"  # at-least-once posture
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+
+    conn = 'Endpoint=sb://ns.servicebus.windows.net/;SharedAccessKey="k"'
+    eh = eventhubs_kafka_options("ns", "hub", conn)
+    assert eh["kafka.bootstrap.servers"] == "ns.servicebus.windows.net:9093"
+    assert eh["kafka.security.protocol"] == "SASL_SSL"
+    assert eh["kafka.sasl.mechanism"] == "PLAIN"
+    assert 'username="$ConnectionString"' in eh["kafka.sasl.jaas.config"]
+    # embedded quotes in the connection string must be JAAS-escaped
+    assert '\\"k\\"' in eh["kafka.sasl.jaas.config"]
+    assert eh["kafka.sasl.jaas.config"].rstrip().endswith(";")
