@@ -595,6 +595,15 @@ def _text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", F.round("quality", 6).alias("quality"))
 
 
+def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: first-fit token-budget bins within hash
+    groups (operators/packing.py) — groups are the scale-out axis,
+    the within-group window is the packing semantics."""
+    from eventhub_to_timescale_spark.operators.packing import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), token_budget=512, n_groups=8)
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -679,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "text_vocab_topk": _text_vocab_topk,
         "text_quality_percentile": _text_quality_percentile,
+        "pack_documents": _pack_documents,
         "sample_docs_fraction": _sample_docs_fraction,
         "sample_events_stratified": _sample_events_stratified,
         "sample_split_counts": _sample_split_counts,
@@ -743,6 +753,27 @@ SELECT token,
              6) AS idf
 FROM per_doc GROUP BY token
 ORDER BY term_freq DESC, token LIMIT 200
+"""
+
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS pack_group,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, pack_group, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS cum_before
+  FROM toks
+)
+SELECT doc_id, pack_group,
+       CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+       n_tokens,
+       CAST(cum_before % 512 AS BIGINT) AS bin_start_offset
+FROM packed
 """
 
 def oracle_sql() -> dict[str, str]:
@@ -1032,6 +1063,7 @@ ORDER BY measurement_publisher, measurement_of
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "text_vocab_topk": _VOCAB_ORACLE,
         "text_quality_percentile": quality_pct,
+        "pack_documents": _PACK_ORACLE,
         "sample_docs_fraction": _SAMPLE_DOCS_ORACLE,
         "sample_events_stratified": _SAMPLE_STRAT_ORACLE,
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,

@@ -418,3 +418,44 @@ def test_quality_percentile_filter_exact_and_threshold_paths(spark):
     }
     sym_diff = kept_ids ^ approx
     assert len(sym_diff) <= 6  # boundary ties only, never a wholesale drift
+
+
+def test_pack_documents_first_fit_semantics(spark):
+    from eventhub_to_timescale_spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+
+    # one group (n_groups=1) so the packing order is just doc_id
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # 3 tokens, cum_before 0  -> bin 0
+            (1, "d e f g"),        # 4 tokens, cum_before 3  -> bin 0
+            (2, "h i j"),          # 3 tokens, cum_before 7  -> bin 0 (straddles)
+            (3, "k l"),            # 2 tokens, cum_before 10 -> bin 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_documents(docs, token_budget=8, n_groups=1).collect()}
+    assert [out[i].bin_id for i in range(4)] == [0, 0, 0, 1]
+    assert out[2].bin_start_offset == 7  # first token lands in bin 0
+    assert out[3].bin_start_offset == 2  # 10 % 8
+
+    stats = {
+        r.bin_id: r
+        for r in packing_stats(
+            pack_documents(docs, token_budget=8, n_groups=1), token_budget=8
+        ).collect()
+    }
+    assert stats[0].n_docs == 3 and stats[0].n_tokens == 10
+    assert stats[0].fill_ratio == 1.25  # overshoot by the straddler
+    assert stats[1].n_tokens == 2
+
+    # grouping is deterministic and partitions the corpus
+    g = pack_documents(docs, token_budget=8, n_groups=2).collect()
+    assert {r.doc_id % 2 for r in g} == {r.pack_group for r in g}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_documents(docs, token_budget=0)
