@@ -604,6 +604,22 @@ def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(_docs(spark, sf_dir), token_budget=512, n_groups=8)
 
 
+def _q1_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 answered from a 1-hour continuous rollup instead of raw rows
+    (operators/rollup.py) — the 100 TB architecture: additive
+    pre-aggregation + aligned-query rewrite. Shares q1's oracle, so
+    the gate proves rollup == raw-scan every round."""
+    from eventhub_to_timescale_spark.operators.rollup import (
+        bucket_avg_from_rollup,
+        rollup_conditions,
+    )
+
+    fine = rollup_conditions(_conditions(spark, sf_dir), bucket_seconds=3600)
+    return bucket_avg_from_rollup(
+        fine, 3600, "user_7", "value", START, END, 21600
+    )
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -661,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_unique_subjects": _q7_subjects,
         "q8_changed_rows": _q8_changes,
         "q9_state_intervals": _q9_intervals,
+        "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "ingest_events_unpivot": _ingest_conditions,
@@ -1029,6 +1046,8 @@ ORDER BY measurement_publisher, measurement_of
         "q9_state_intervals": q9,
         # the salted rewrites are proven row-identical to the vanilla
         # windows (tests/test_queries.py), so they share the oracles
+        # rollup rewrite shares q1's oracle: rollup == raw-scan
+        "q1_from_rollup": q1,
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,
         "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,

@@ -391,3 +391,53 @@ def test_q8_q9_salted_equivalence_property(spark):
         assert sorted(map(tuple, ia), key=key) == sorted(
             map(tuple, ib), key=key
         ), chunk_seconds
+
+
+def test_rollup_additivity_and_query_rewrite(spark):
+    """Continuous-rollup invariants: (1) cascaded rollups are exactly
+    re-aggregations (additivity), (2) an aligned Q1 answered from the
+    rollup equals the raw-scan answer, (3) misalignment is refused."""
+    import random
+
+    from eventhub_to_timescale_spark.operators.rollup import (
+        bucket_avg_from_rollup,
+        rollup_cascade,
+        rollup_conditions,
+    )
+    from eventhub_to_timescale_spark.operators.timeseries import (
+        aggregated_by_interval,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(2000):
+        ts = datetime(2024, 1, 1) + timedelta(seconds=rng.randrange(4 * 86400))
+        rows.append(
+            (ts, f"s{rng.randrange(3)}", "pub", "temp",
+             round(rng.uniform(-5, 40), 3), None, None, None, str(i), i)
+        )
+    cond = _cond(spark, rows)
+    start, end = datetime(2024, 1, 1), datetime(2024, 1, 5)
+
+    fine = rollup_conditions(cond, bucket_seconds=3600)
+    coarse = rollup_cascade(fine, 3600, 6)
+    direct = rollup_conditions(cond, bucket_seconds=21600)
+    key = lambda r: (r.measurement_subject, r.measurement_of, r.bucket_time)
+    a = {key(r): (r.n, round(r.sum_value, 9), r.min_value, r.max_value)
+         for r in coarse.collect()}
+    b = {key(r): (r.n, round(r.sum_value, 9), r.min_value, r.max_value)
+         for r in direct.collect()}
+    assert a == b  # cascade == direct rollup (additivity)
+
+    got = bucket_avg_from_rollup(
+        fine, 3600, "s1", "temp", start, end, 21600
+    ).collect()
+    want = aggregated_by_interval(
+        cond, "s1", "temp", start, end, 21600
+    ).collect()
+    assert [(r.time, round(r.avg_value, 6)) for r in got] == [
+        (r.time, round(r.avg_value, 6)) for r in want
+    ]
+
+    with pytest.raises(ValueError):
+        bucket_avg_from_rollup(fine, 3600, "s1", "temp", start, end, 5400)
