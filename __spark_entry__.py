@@ -620,6 +620,35 @@ def _q1_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_probe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 20th event probes the latest 'value'
+    measurement of its user at-or-before (event time + 30 s). The
+    measurement side is pre-deduped to (subject, ts) -> max so tie
+    resolution is deterministic in BOTH engines; DuckDB's native ASOF
+    LEFT JOIN is an independent implementation of the semantics."""
+    from eventhub_to_timescale_spark.operators.asof import asof_join
+
+    cond = (
+        _conditions(spark, sf_dir)
+        .filter(
+            (F.col("measurement_of") == "value")
+            & F.col("measurement_number").isNotNull()
+        )
+        .groupBy("measurement_subject", "timestamp")
+        .agg(F.max("measurement_number").alias("measurement_number"))
+        .withColumn("measurement_of", F.lit("value"))
+    )
+    ev = _events(spark, sf_dir)
+    probes = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+            "measurement_subject"
+        ),
+        (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("probe_time"),
+    )
+    return asof_join(probes, cond, "value")
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -678,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_changed_rows": _q8_changes,
         "q9_state_intervals": _q9_intervals,
         "q1_from_rollup": _q1_from_rollup,
+        "asof_probe_value": _asof_probe_value,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "ingest_events_unpivot": _ingest_conditions,
@@ -791,6 +821,25 @@ SELECT doc_id, pack_group,
        n_tokens,
        CAST(cum_before % 512 AS BIGINT) AS bin_start_offset
 FROM packed
+"""
+
+
+_ASOF_ORACLE = """
+WITH cond AS (
+  SELECT 'user_' || CAST(user_id AS VARCHAR) AS subj, ts,
+         MAX(value) AS v
+  FROM events GROUP BY 1, 2
+), probes AS (
+  SELECT event_id AS probe_id,
+         'user_' || CAST(user_id AS VARCHAR) AS measurement_subject,
+         ts + INTERVAL 30 SECOND AS probe_time
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT p.probe_id, p.measurement_subject, p.probe_time,
+       c.ts AS asof_time, c.v AS asof_value
+FROM probes p
+ASOF LEFT JOIN cond c
+  ON p.measurement_subject = c.subj AND p.probe_time >= c.ts
 """
 
 def oracle_sql() -> dict[str, str]:
@@ -1048,6 +1097,7 @@ ORDER BY measurement_publisher, measurement_of
         # windows (tests/test_queries.py), so they share the oracles
         # rollup rewrite shares q1's oracle: rollup == raw-scan
         "q1_from_rollup": q1,
+        "asof_probe_value": _ASOF_ORACLE,
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,
         "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,

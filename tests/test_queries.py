@@ -441,3 +441,39 @@ def test_rollup_additivity_and_query_rewrite(spark):
 
     with pytest.raises(ValueError):
         bucket_avg_from_rollup(fine, 3600, "s1", "temp", start, end, 5400)
+
+
+def test_asof_join_semantics(spark):
+    from eventhub_to_timescale_spark.operators.asof import asof_join
+
+    cond = _cond(
+        spark,
+        [
+            _row(datetime(2024, 1, 1, 0, 0), num=1.0, uid=1),
+            _row(datetime(2024, 1, 1, 0, 10), num=2.0, uid=2),
+            _row(datetime(2024, 1, 1, 0, 20), num=3.0, uid=3),
+            _row(datetime(2024, 1, 1, 0, 5), subj="s2", num=9.0, uid=4),
+        ],
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "s1", datetime(2024, 1, 1, 0, 10)),   # == measurement ts -> 2.0
+            (2, "s1", datetime(2024, 1, 1, 0, 15)),   # between -> 2.0
+            (3, "s1", datetime(2023, 12, 31)),        # before all -> NULL
+            (4, "s2", datetime(2024, 1, 1, 1, 0)),    # other subject -> 9.0
+            (5, "s3", datetime(2024, 1, 1)),          # unknown subject -> NULL
+        ],
+        "probe_id long, measurement_subject string, probe_time timestamp",
+    )
+    out = {r.probe_id: r for r in asof_join(probes, cond, "temp").collect()}
+    assert out[1].asof_value == 2.0  # >= semantics: simultaneous row visible
+    assert out[2].asof_value == 2.0
+    assert out[3].asof_value is None and out[3].asof_time is None
+    assert out[4].asof_value == 9.0
+    assert out[5].asof_value is None
+    assert len(out) == 5  # left-join: every probe survives
+
+    # tolerance: probe 4 is 55 min after its match -> nulled at 600 s
+    tol = {r.probe_id: r for r in asof_join(probes, cond, "temp", 600).collect()}
+    assert tol[4].asof_value is None
+    assert tol[1].asof_value == 2.0  # 0 s stale, kept
