@@ -649,6 +649,30 @@ def _asof_probe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(probes, cond, "value")
 
 
+def _range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-overlap join (operators/rangejoin.py): events
+    become [ts, ts + (1 + event_id%5) min) intervals, evens vs odds
+    per subject. The oracle is DuckDB's inequality join — a different
+    physical strategy computing the same half-open overlap set."""
+    from eventhub_to_timescale_spark.operators.rangejoin import overlap_join
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.col("event_id").alias("interval_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+            "measurement_subject"
+        ),
+        F.col("ts").alias("start"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=(F.lit(1) + F.col("event_id") % 5))
+        ).alias("end"),
+    )
+    left = base.filter(F.col("interval_id") % 2 == 0)
+    right = base.filter(F.col("interval_id") % 2 == 1)
+    return overlap_join(left, right, bucket_seconds=300)
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -708,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_state_intervals": _q9_intervals,
         "q1_from_rollup": _q1_from_rollup,
         "asof_probe_value": _asof_probe_value,
+        "range_overlap_join": _range_overlap,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "ingest_events_unpivot": _ingest_conditions,
@@ -840,6 +865,25 @@ SELECT p.probe_id, p.measurement_subject, p.probe_time,
 FROM probes p
 ASOF LEFT JOIN cond c
   ON p.measurement_subject = c.subj AND p.probe_time >= c.ts
+"""
+
+
+_RANGE_ORACLE = """
+WITH iv AS (
+  SELECT event_id AS interval_id,
+         'user_' || CAST(user_id AS VARCHAR) AS measurement_subject,
+         ts AS s,
+         ts + to_minutes(1 + event_id % 5) AS e
+  FROM events
+)
+SELECT l.measurement_subject,
+       l.interval_id AS l_id, r.interval_id AS r_id,
+       greatest(l.s, r.s) AS overlap_start,
+       least(l.e, r.e) AS overlap_end
+FROM iv l JOIN iv r
+  ON l.measurement_subject = r.measurement_subject
+ AND l.s < r.e AND r.s < l.e
+WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
 def oracle_sql() -> dict[str, str]:
@@ -1098,6 +1142,7 @@ ORDER BY measurement_publisher, measurement_of
         # rollup rewrite shares q1's oracle: rollup == raw-scan
         "q1_from_rollup": q1,
         "asof_probe_value": _ASOF_ORACLE,
+        "range_overlap_join": _RANGE_ORACLE,
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,
         "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,

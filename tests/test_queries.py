@@ -477,3 +477,51 @@ def test_asof_join_semantics(spark):
     tol = {r.probe_id: r for r in asof_join(probes, cond, "temp", 600).collect()}
     assert tol[4].asof_value is None
     assert tol[1].asof_value == 2.0  # 0 s stale, kept
+
+
+def test_overlap_join_blocking_is_exact(spark):
+    """Bucketed range join == brute-force theta join on every edge
+    case: touching endpoints (half-open: no overlap), containment,
+    bucket-boundary straddles, empty intervals, cross-subject."""
+    import random
+
+    from eventhub_to_timescale_spark.operators.rangejoin import overlap_join
+
+    rng = random.Random(5)
+
+    def mk(n, offset):
+        rows = []
+        for i in range(n):
+            s = datetime(2024, 1, 1) + timedelta(
+                seconds=rng.randrange(48 * 3600)
+            )
+            dur = rng.choice([0, 60, 3600, 7200, 86400])
+            rows.append(
+                (offset + i, f"s{rng.randrange(3)}", s, s + timedelta(seconds=dur))
+            )
+        return spark.createDataFrame(
+            rows,
+            "interval_id long, measurement_subject string, "
+            "start timestamp, end timestamp",
+        )
+
+    left, right = mk(120, 0), mk(120, 1000)
+    for bucket_seconds in (600, 3600, 86400):
+        got = {
+            (r.measurement_subject, r.l_id, r.r_id,
+             r.overlap_start, r.overlap_end)
+            for r in overlap_join(left, right, bucket_seconds).collect()
+        }
+        brute = {
+            (l.measurement_subject, l.interval_id, r.interval_id,
+             max(l.start, r.start), min(l.end, r.end))
+            for l in left.collect()
+            for r in right.collect()
+            if l.measurement_subject == r.measurement_subject
+            # [s,s) is the empty set: overlaps nothing (the raw
+            # predicate would treat it as a point)
+            and l.start < l.end and r.start < r.end
+            and l.start < r.end and r.start < l.end
+        }
+        assert got == brute, bucket_seconds
+    assert len(brute) > 50  # the case actually exercises overlaps
