@@ -673,6 +673,29 @@ def _range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_join(left, right, bucket_seconds=300)
 
 
+def _gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 6-h grid over the query window with LOCF fill
+    (operators/gapfill.py — the time_bucket_gapfill + locf() analog
+    the reference's Grafana consumers rely on)."""
+    from eventhub_to_timescale_spark.operators.gapfill import bucket_gapfill
+
+    return bucket_gapfill(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, 21600,
+        fill="locf",
+    )
+
+
+def _gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same grid with interpolate() semantics: NULL outside the
+    observed range, linear between observations."""
+    from eventhub_to_timescale_spark.operators.gapfill import bucket_gapfill
+
+    return bucket_gapfill(
+        _conditions(spark, sf_dir), "user_7", "value", START, END, 21600,
+        fill="linear",
+    )
+
+
 STRATIFIED_FRACTIONS = {
     "click": 1.0,
     "view": 0.25,
@@ -733,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_from_rollup": _q1_from_rollup,
         "asof_probe_value": _asof_probe_value,
         "range_overlap_join": _range_overlap,
+        "gapfill_locf": _gapfill_locf,
+        "gapfill_linear": _gapfill_linear,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "ingest_events_unpivot": _ingest_conditions,
@@ -907,6 +932,52 @@ def oracle_sql() -> dict[str, str]:
         "make_timestamp(CAST(floor(epoch(timestamp) / {w}) * {w} AS BIGINT) * 1000000)"
     )
     in_range = f"timestamp BETWEEN {_SQL_START} AND {_SQL_END}"
+
+    # gapfill: dense 6-h grid over [START, END); obs rounded to 6dp
+    # BEFORE interpolation (same order as the Spark side)
+    gapfill_obs = f"""
+  SELECT {bucket.format(w=21600)} AS time,
+         ROUND(AVG(measurement_number), 6) AS obs
+  FROM {cond} c
+  WHERE measurement_subject = 'user_7' AND measurement_of = 'value'
+    AND {in_range} AND measurement_number IS NOT NULL
+  GROUP BY 1
+"""
+    gapfill_grid = (
+        "SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 21600 SECOND, "
+        "INTERVAL 21600 SECOND)) AS time"
+    )
+    gapfill_locf_sql = f"""
+WITH grid AS ({gapfill_grid}), obs AS ({gapfill_obs})
+SELECT g.time,
+       last_value(o.obs IGNORE NULLS) OVER (ORDER BY g.time
+         ROWS UNBOUNDED PRECEDING) AS value
+FROM grid g LEFT JOIN obs o ON o.time = g.time
+ORDER BY g.time
+"""
+    gapfill_linear_sql = f"""
+WITH grid AS ({gapfill_grid}), obs AS ({gapfill_obs}), j AS (
+  SELECT g.time, o.obs,
+         last_value(o.obs IGNORE NULLS) OVER w_back AS prev_v,
+         first_value(o.obs IGNORE NULLS) OVER w_fwd AS next_v,
+         last_value(CASE WHEN o.obs IS NOT NULL THEN g.time END IGNORE NULLS)
+           OVER w_back AS prev_t,
+         first_value(CASE WHEN o.obs IS NOT NULL THEN g.time END IGNORE NULLS)
+           OVER w_fwd AS next_t
+  FROM grid g LEFT JOIN obs o ON o.time = g.time
+  WINDOW w_back AS (ORDER BY g.time ROWS UNBOUNDED PRECEDING),
+         w_fwd AS (ORDER BY g.time
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT time,
+       ROUND(CASE WHEN obs IS NOT NULL THEN obs
+                  ELSE prev_v + (next_v - prev_v)
+                       * (epoch_us(time) - epoch_us(prev_t))
+                       / (epoch_us(next_t) - epoch_us(prev_t))
+             END, 6) AS value
+FROM j ORDER BY time
+"""
 
     q1 = f"""
 SELECT {bucket.format(w=21600)} AS time,
@@ -1143,6 +1214,8 @@ ORDER BY measurement_publisher, measurement_of
         "q1_from_rollup": q1,
         "asof_probe_value": _ASOF_ORACLE,
         "range_overlap_join": _RANGE_ORACLE,
+        "gapfill_locf": gapfill_locf_sql,
+        "gapfill_linear": gapfill_linear_sql,
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,
         "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,

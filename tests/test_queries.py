@@ -525,3 +525,39 @@ def test_overlap_join_blocking_is_exact(spark):
         }
         assert got == brute, bucket_seconds
     assert len(brute) > 50  # the case actually exercises overlaps
+
+
+def test_bucket_gapfill_policies(spark):
+    from eventhub_to_timescale_spark.operators.gapfill import bucket_gapfill
+
+    cond = _cond(
+        spark,
+        [
+            _row(datetime(2024, 1, 1, 1, 10), num=10.0, uid=1),
+            _row(datetime(2024, 1, 1, 1, 20), num=20.0, uid=2),  # same bucket
+            _row(datetime(2024, 1, 1, 4, 5), num=40.0, uid=3),
+        ],
+    )
+    start, end = datetime(2024, 1, 1), datetime(2024, 1, 1, 6)
+
+    dense = bucket_gapfill(cond, "s1", "temp", start, end, 3600, fill=None)
+    rows = dense.collect()
+    assert len(rows) == 6  # every bucket of [start, end) present
+    vals = [r.value for r in rows]
+    assert vals == [None, 15.0, None, None, 40.0, None]
+
+    locf = [r.value for r in bucket_gapfill(
+        cond, "s1", "temp", start, end, 3600, fill="locf").collect()]
+    assert locf == [None, 15.0, 15.0, 15.0, 40.0, 40.0]
+
+    lin = [r.value for r in bucket_gapfill(
+        cond, "s1", "temp", start, end, 3600, fill="linear").collect()]
+    # between observations at buckets 1 (15.0) and 4 (40.0):
+    # bucket 2 -> 15 + 25/3, bucket 3 -> 15 + 50/3; outside -> NULL
+    assert lin[0] is None and lin[5] is None
+    assert lin[1] == 15.0 and lin[4] == 40.0
+    assert lin[2] == pytest.approx(23.333333, abs=1e-6)
+    assert lin[3] == pytest.approx(31.666667, abs=1e-6)
+
+    with pytest.raises(ValueError):
+        bucket_gapfill(cond, "s1", "temp", start, end, 3600, fill="cubic")
