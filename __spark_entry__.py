@@ -649,6 +649,34 @@ def _asof_probe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(probes, cond, "value")
 
 
+def _asof_probe_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_probe_value through the time-chunk-salted carry
+    (operators/asof.py asof_join_salted) — the hot-subject scale path.
+    Row-identity to the vanilla carry is pinned by
+    tests/test_asof_salted.py, so it shares the DuckDB ASOF oracle."""
+    from eventhub_to_timescale_spark.operators.asof import asof_join_salted
+
+    cond = (
+        _conditions(spark, sf_dir)
+        .filter(
+            (F.col("measurement_of") == "value")
+            & F.col("measurement_number").isNotNull()
+        )
+        .groupBy("measurement_subject", "timestamp")
+        .agg(F.max("measurement_number").alias("measurement_number"))
+        .withColumn("measurement_of", F.lit("value"))
+    )
+    ev = _events(spark, sf_dir)
+    probes = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+            "measurement_subject"
+        ),
+        (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("probe_time"),
+    )
+    return asof_join_salted(probes, cond, "value", chunk_seconds=86400)
+
+
 def _range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed interval-overlap join (operators/rangejoin.py): events
     become [ts, ts + (1 + event_id%5) min) intervals, evens vs odds
@@ -800,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
+        "asof_probe_value_salted": _asof_probe_value_salted,
     }
 
 
@@ -886,7 +915,11 @@ _ASOF_ORACLE = """
 WITH cond AS (
   SELECT 'user_' || CAST(user_id AS VARCHAR) AS subj, ts,
          MAX(value) AS v
-  FROM events GROUP BY 1, 2
+  -- value IS NOT NULL keeps both engines on the same "latest NON-NULL
+  -- measurement" contract: without it an all-NULL (subj, ts) group
+  -- would produce a row DuckDB's ASOF JOIN matches (asof_value NULL)
+  -- while the Spark side carries the previous non-null reading
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), probes AS (
   SELECT event_id AS probe_id,
          'user_' || CAST(user_id AS VARCHAR) AS measurement_subject,
@@ -1265,4 +1298,5 @@ ORDER BY measurement_publisher, measurement_of
         "q1_from_rollup": q1,
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,
+        "asof_probe_value_salted": _ASOF_ORACLE,
     }

@@ -12,7 +12,7 @@ DataFrame ops — union, one sort, one window:
 
 1. tag measurement rows (side=0) and probe rows (side=1) into one
    frame with a common (subject, ts) key;
-2. one window per subject ordered by (ts, side, uid):
+2. one window per subject ordered by (ts, side, m_time, tie):
    ``last(value, ignorenulls=True)`` over rows-unbounded-preceding
    carries the latest measurement forward INTO the probe rows —
    measurements sort before probes at the same timestamp (side 0 < 1),
@@ -21,11 +21,23 @@ DataFrame ops — union, one sort, one window:
 3. keep probe rows; optionally null out matches staler than
    ``tolerance_seconds``.
 
+Duplicate measurement timestamps: when ``conditions`` has several rows
+at the same (subject, ts), the carried value is the one with the
+greatest tie-break — ``measurement_unique_id`` when the column exists,
+else ``measurement_number`` — so results are deterministic (the
+round-5 ordering ended at m_time, which ties for same-ts measurements
+and let ``last`` pick an arbitrary row).
+
 Cost: one shuffle on subject, one sort — identical asymptotics to a
-co-partitioned merge join. Hot subjects: the same time-chunk salting
-as ``changed_rows_salted`` applies (carry each chunk's last
-measurement through the chunk-summary frame); not duplicated here
-because probes are dimension-scoped in every known caller.
+co-partitioned merge join. Hot subjects: ``asof_join_salted`` applies
+the same time-chunk salting as ``changed_rows_salted``
+(timeseries.py): the window runs within (subject, chunk) partitions —
+parallelism = subjects × chunks regardless of key skew — and rows
+whose chunk holds no earlier measurement are repaired from a per-chunk
+last-measurement summary (one row per non-empty (subject, chunk)),
+carried across measurement-less chunks by an ignore-nulls window over
+the tiny summary frame. Row-identity to ``asof_join`` is pinned by a
+hot-subject property test (tests/test_asof_salted.py).
 
 DuckDB's native ``ASOF LEFT JOIN`` is the oracle — an independent
 implementation of the same semantics, so agreement is meaningful.
@@ -35,6 +47,70 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _sides(
+    probes: DataFrame, conditions: DataFrame, of: str
+) -> tuple[DataFrame, DataFrame]:
+    """Measurement (side=0) and probe (side=1) frames with a common
+    shape: (measurement_subject, ts, side, probe_id, m_value, m_time,
+    _tie). ``_tie`` makes same-timestamp measurement ordering total."""
+    if "measurement_unique_id" in conditions.columns:
+        tie_m = F.col("measurement_unique_id").cast("string")
+        tie_p = F.lit(None).cast("string")
+    else:
+        tie_m = F.col("measurement_number")
+        tie_p = F.lit(None).cast("double")
+    meas = conditions.filter(
+        (F.col("measurement_of") == of)
+        & F.col("measurement_number").isNotNull()
+    ).select(
+        "measurement_subject",
+        F.col("timestamp").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col("measurement_number").alias("m_value"),
+        F.col("timestamp").alias("m_time"),
+        tie_m.alias("_tie"),
+    )
+    pr = probes.select(
+        "measurement_subject",
+        F.col("probe_time").alias("ts"),
+        F.lit(1).alias("side"),
+        F.col("probe_id"),
+        F.lit(None).cast("double").alias("m_value"),
+        F.lit(None).cast("timestamp").alias("m_time"),
+        tie_p.alias("_tie"),
+    )
+    return meas, pr
+
+
+def _finish(carried: DataFrame, tolerance_seconds: int | None) -> DataFrame:
+    """Probe-row projection + optional staleness nulling, shared by
+    the vanilla and salted paths."""
+    out = carried.filter(F.col("side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("asof_time").isNotNull()
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_time"))
+                <= tolerance_seconds * 1_000_000
+            )
+        )
+        out = out.select(
+            "measurement_subject",
+            "ts",
+            "probe_id",
+            F.when(fresh, F.col("asof_value")).alias("asof_value"),
+            F.when(fresh, F.col("asof_time")).alias("asof_time"),
+        )
+    return out.select(
+        "probe_id",
+        "measurement_subject",
+        F.col("ts").alias("probe_time"),
+        "asof_time",
+        "asof_value",
+    )
 
 
 def asof_join(
@@ -48,30 +124,14 @@ def asof_join(
     (probe_id, measurement_subject, probe_time, asof_time, asof_value).
 
     Probes with no measurement at-or-before (or outside tolerance)
-    keep NULL asof columns (left-join semantics)."""
-    meas = conditions.filter(
-        (F.col("measurement_of") == of)
-        & F.col("measurement_number").isNotNull()
-    ).select(
-        "measurement_subject",
-        F.col("timestamp").alias("ts"),
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("probe_id"),
-        F.col("measurement_number").alias("m_value"),
-        F.col("timestamp").alias("m_time"),
-    )
-    pr = probes.select(
-        "measurement_subject",
-        F.col("probe_time").alias("ts"),
-        F.lit(1).alias("side"),
-        F.col("probe_id"),
-        F.lit(None).cast("double").alias("m_value"),
-        F.lit(None).cast("timestamp").alias("m_time"),
-    )
+    keep NULL asof columns (left-join semantics). Same-timestamp
+    measurement duplicates resolve to the greatest tie-break (module
+    docstring)."""
+    meas, pr = _sides(probes, conditions, of)
     unioned = meas.unionByName(pr)
     w = (
         Window.partitionBy("measurement_subject")
-        .orderBy("ts", "side", "m_time")
+        .orderBy("ts", "side", "m_time", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -81,29 +141,79 @@ def asof_join(
         "probe_id",
         F.last("m_value", ignorenulls=True).over(w).alias("asof_value"),
         F.last("m_time", ignorenulls=True).over(w).alias("asof_time"),
-    ).filter(F.col("side") == 1)
-    if tolerance_seconds is not None:
-        fresh = (
-            F.col("asof_time").isNotNull()
-            & (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_time"))
-                <= tolerance_seconds * 1_000_000
-            )
-        )
-        carried = carried.select(
-            "measurement_subject",
-            "ts",
-            "probe_id",
-            F.when(fresh, F.col("asof_value")).alias("asof_value"),
-            F.when(fresh, F.col("asof_time")).alias("asof_time"),
-        )
-    return carried.select(
-        "probe_id",
-        "measurement_subject",
-        F.col("ts").alias("probe_time"),
-        "asof_time",
-        "asof_value",
     )
+    return _finish(carried, tolerance_seconds)
 
 
-__all__ = ["asof_join"]
+def asof_join_salted(
+    probes: DataFrame,
+    conditions: DataFrame,
+    of: str,
+    tolerance_seconds: int | None = None,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """``asof_join`` with the carry window salted by time-chunk.
+
+    ``Window.partitionBy(subject)`` concentrates a hot subject's whole
+    history (measurements AND probes) in ONE task; AQE cannot split a
+    window exchange. Rewrite: the ignore-nulls carry runs within
+    (subject, chunk) partitions, then rows whose chunk holds no
+    earlier measurement take the latest measurement of any PREVIOUS
+    chunk from a summary frame — one ``max_by`` row per (subject,
+    chunk), itself carried across measurement-less chunks by an
+    ignore-nulls lag-window over the summary (tiny: one row per
+    non-empty chunk). Cross-chunk ties are impossible (chunks
+    partition the timestamp axis), so within-chunk ordering (ts, side,
+    m_time, _tie) reproduces the global order exactly."""
+    meas, pr = _sides(probes, conditions, of)
+    chunk = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(int(chunk_seconds) * 1_000_000)
+    )
+    unioned = meas.unionByName(pr).withColumn("_chunk", chunk)
+    w_chunk = (
+        Window.partitionBy("measurement_subject", "_chunk")
+        .orderBy("ts", "side", "m_time", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_chunk = unioned.select(
+        "measurement_subject",
+        "ts",
+        "side",
+        "probe_id",
+        "_chunk",
+        F.last("m_value", ignorenulls=True).over(w_chunk).alias("_in_v"),
+        F.last("m_time", ignorenulls=True).over(w_chunk).alias("_in_t"),
+    )
+    # last measurement of each (subject, chunk); NULL struct for
+    # probe-only chunks (the conditional ordering key excludes probes)
+    ordk = F.when(
+        F.col("side") == 0, F.struct(F.col("ts"), F.col("_tie"))
+    )
+    summary = unioned.groupBy("measurement_subject", "_chunk").agg(
+        F.max_by(F.struct("m_value", "m_time"), ordk).alias("_lastm")
+    )
+    w_sum = (
+        Window.partitionBy("measurement_subject")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = summary.select(
+        "measurement_subject",
+        "_chunk",
+        F.last("_lastm", ignorenulls=True).over(w_sum).alias("_prevm"),
+    )
+    carried = (
+        in_chunk.join(boundary, ["measurement_subject", "_chunk"], "left")
+        .withColumn(
+            "asof_value",
+            F.coalesce(F.col("_in_v"), F.col("_prevm.m_value")),
+        )
+        .withColumn(
+            "asof_time",
+            F.coalesce(F.col("_in_t"), F.col("_prevm.m_time")),
+        )
+    )
+    return _finish(carried, tolerance_seconds)
+
+
+__all__ = ["asof_join", "asof_join_salted"]
