@@ -450,6 +450,26 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_components(pairs).orderBy("doc_id")
 
 
+def _dedup_components_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical survivor set (operators/dedup.py
+    dedup_components_keep): one document per connected component of
+    the MinHash pair graph plus every unpaired document — the exact
+    clustering behind the keep-first heuristic. Oracle: recursive-CTE
+    transitive closure + anti-membership."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        dedup_components_keep,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.5
+    )
+    return dedup_components_keep(docs, pairs).select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
 
@@ -595,6 +615,22 @@ def _text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", F.round("quality", 6).alias("quality"))
 
 
+def _text_quality_sample_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-quantile quality cut (operators/text.py
+    quality_threshold_by_sample): per-language thresholds from the
+    exact quantile of an md5-membership sample, broadcast back onto
+    the scan — the deterministic, oracle-able 100 TB path the
+    percent_rank window cannot be (its full sort doesn't scale; the
+    GK-sketch variant isn't engine-reproducible)."""
+    from eventhub_to_timescale_spark.operators.text import (
+        quality_threshold_by_sample,
+    )
+
+    return quality_threshold_by_sample(
+        _docs(spark, sf_dir), keep_frac=0.6, sample_fraction=0.5
+    )
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: first-fit token-budget bins within hash
     groups (operators/packing.py) — groups are the scale-out axis,
@@ -617,6 +653,39 @@ def _q1_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = rollup_conditions(_conditions(spark, sf_dir), bucket_seconds=3600)
     return bucket_avg_from_rollup(
         fine, 3600, "user_7", "value", START, END, 21600
+    )
+
+
+def _q3_daily_from_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-daily answered from an hourly rollup CASCADED to daily
+    (operators/rollup.py rollup_cascade) — max is a monoid, so the
+    daily max re-aggregates exactly from hourly maxes without touching
+    raw rows again. Shares q3_daily's oracle (reference
+    db/get_aggregated_data_by_day.sql:44-47), proving the cascade
+    chain raw → hourly → daily == raw daily scan every round.
+    Half-open [START, END) bucket slice; identical to the oracle's
+    inclusive scan while no event sits at exactly END (the generator
+    keeps January strictly inside the window — the round-end parity
+    rerun guards regeneration)."""
+    from eventhub_to_timescale_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_conditions,
+    )
+
+    hourly = rollup_conditions(_conditions(spark, sf_dir), bucket_seconds=3600)
+    daily = rollup_cascade(hourly, 3600, 24)
+    return (
+        daily.filter(
+            (F.col("measurement_subject") == "user_3")
+            & (F.col("measurement_of") == "value")
+            & (F.col("bucket_time") >= START)
+            & (F.col("bucket_time") < END)
+        )
+        .select(
+            F.col("bucket_time").alias("time"),
+            F.col("max_value").alias("max_value"),
+        )
+        .orderBy("time")
     )
 
 
@@ -783,7 +852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_asap_smooth": _q6_asap,
         "q6_lttb_downsample": _q6_lttb,
         "q6_moving_avg": _q6_moving_avg,
-        "q1_all_subjects": _q1_all_subjects,
         "q7_unique_subjects": _q7_subjects,
         "q8_changed_rows": _q8_changes,
         "q9_state_intervals": _q9_intervals,
@@ -791,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_overlap_join": _range_overlap,
         "gapfill_locf": _gapfill_locf,
         "gapfill_linear": _gapfill_linear,
+        "q3_daily_from_cascade": _q3_daily_from_cascade,
         "ingest_events_unpivot": _ingest_conditions,
         "ingest_glow": _ingest_glow,
         "ingest_homie": _ingest_homie,
@@ -801,8 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_router_union": _ingest_router,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_minhash_keep": _dedup_minhash_keep,
         "dedup_components": _dedup_components,
+        "dedup_components_keep": _dedup_components_keep,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding_cosine": _dedup_embedding,
@@ -816,15 +885,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "text_vocab_topk": _text_vocab_topk,
         "text_quality_percentile": _text_quality_percentile,
+        "text_quality_sample_cut": _text_quality_sample_cut,
         "pack_documents": _pack_documents,
         "sample_docs_fraction": _sample_docs_fraction,
         "sample_events_stratified": _sample_events_stratified,
-        "sample_split_counts": _sample_split_counts,
         "mm_blob_features": _mm_blob_features,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize": _mm_resize,
-        # --- tail: shared-oracle rewrites, property-tested identical to
-        # --- head siblings; may fall outside the driver's 50-entry gate
+        # --- tail: entries past the driver's 50-entry gate window.
+        # First the demoted head entries (each keeps its own oracle —
+        # scripts/check_parity.py still verifies them every run; their
+        # witnessed siblings cover the same mechanism: q1_all_subjects
+        # = q1 + a group key, dedup_minhash_keep = one anti-join atop
+        # witnessed pairs with survivor mechanics witnessed by
+        # dedup_components_keep, sample_split_counts = the
+        # sample_docs_fraction membership test under another salt) —
+        "q1_all_subjects": _q1_all_subjects,
+        "dedup_minhash_keep": _dedup_minhash_keep,
+        "sample_split_counts": _sample_split_counts,
+        # — then shared-oracle rewrites, property-tested row-identical
+        # to head siblings (tests/test_queries.py, test_asof_salted.py)
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
@@ -1245,7 +1325,6 @@ ORDER BY measurement_publisher, measurement_of
             cond, "user_7", bucket.format(w=27000), in_range, 24
         ),
         "q6_moving_avg": q6_moving,
-        "q1_all_subjects": q1_all,
         "q7_unique_subjects": q7,
         "q8_changed_rows": q8,
         "q9_state_intervals": q9,
@@ -1253,6 +1332,9 @@ ORDER BY measurement_publisher, measurement_of
         "range_overlap_join": _RANGE_ORACLE,
         "gapfill_locf": gapfill_locf_sql,
         "gapfill_linear": gapfill_linear_sql,
+        # cascade shares q3_daily's oracle: hourly→daily rollup must
+        # equal the raw daily scan (additivity of max)
+        "q3_daily_from_cascade": q3_daily,
         "ingest_events_unpivot": EVENTS_AS_CONDITIONS_ORACLE,
         "ingest_glow": GLOW_ORACLE,
         "ingest_homie": HOMIE_ORACLE,
@@ -1263,8 +1345,8 @@ ORDER BY measurement_publisher, measurement_of
         "ingest_router_union": router,
         "dedup_exact": oc.dedup_exact_oracle(),
         "dedup_minhash_lsh": oc.dedup_minhash_oracle(12, 6, 0.5),
-        "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "dedup_components": oc.dedup_components_oracle(12, 6, 0.5),
+        "dedup_components_keep": oc.dedup_components_keep_oracle(12, 6, 0.5),
         "dedup_simhash": oc.dedup_simhash_oracle(3),
         "dedup_ngram_jaccard": oc.dedup_ngram_oracle(5, 0.3, 100),
         "dedup_embedding_cosine": oc.embedding_neardup_oracle(0.3, 8, 64),
@@ -1285,16 +1367,21 @@ ORDER BY measurement_publisher, measurement_of
         "pipeline_clean_corpus": oc.clean_corpus_oracle(0.5),
         "text_vocab_topk": _VOCAB_ORACLE,
         "text_quality_percentile": quality_pct,
+        "text_quality_sample_cut": oc.quality_sample_threshold_oracle(
+            0.6, 0.5
+        ),
         "pack_documents": _PACK_ORACLE,
         "sample_docs_fraction": _SAMPLE_DOCS_ORACLE,
         "sample_events_stratified": _SAMPLE_STRAT_ORACLE,
-        "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "mm_blob_features": oc.mm_blob_oracle(),
         "mm_frame_sample": oc.mm_frame_oracle(4),
         "mm_resize": oc.mm_resize_oracle(16, 12),
-        # --- tail: salted/rollup rewrites are proven row-identical to
-        # the vanilla head queries (tests/test_queries.py property
-        # tests), so they share the head oracles verbatim
+        # --- tail (past the driver gate window): demoted entries keep
+        # their own oracles; salted/rollup rewrites share the head
+        # oracles their property tests prove them identical to
+        "q1_all_subjects": q1_all,
+        "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
+        "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,

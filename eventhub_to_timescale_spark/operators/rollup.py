@@ -95,19 +95,36 @@ def bucket_avg_from_rollup(
     bucket_seconds: int,
 ) -> DataFrame:
     """Q1 (time, avg_value) answered from the rollup instead of raw
-    rows. Requires interval alignment — a misaligned request MUST go
-    to the raw path (a rollup bucket straddling the requested edge
-    cannot be split), so this guards instead of silently approximating.
-    """
+    rows, over the HALF-OPEN window [start, end). Requires interval
+    alignment — a misaligned request MUST go to the raw path (a rollup
+    bucket straddling the requested edge cannot be split), so this
+    guards instead of silently approximating.
+
+    Half-open is the only window a rollup can serve exactly: an
+    inclusive end would need the single instant ts == end out of the
+    bucket starting at end, which a pre-aggregated bucket cannot
+    split (the round-5 inclusive slice silently counted that whole
+    bucket once data existed at or past end). Inclusive-end requests
+    belong on the raw path."""
     if bucket_seconds % rollup_bucket_seconds != 0:
         raise ValueError(
             f"requested bucket {bucket_seconds}s is not a multiple of the "
             f"rollup bucket {rollup_bucket_seconds}s — use the raw-scan path"
         )
+    epoch = datetime(1970, 1, 1)
+    for name, edge in (("start", start), ("end", end)):
+        # naive datetimes are UTC by session contract; avoid
+        # .timestamp(), which would re-interpret them in local time
+        if int((edge - epoch).total_seconds()) % rollup_bucket_seconds != 0:
+            raise ValueError(
+                f"{name}={edge} is not aligned to the rollup bucket "
+                f"({rollup_bucket_seconds}s) — use the raw-scan path"
+            )
     sliced = rollup.filter(
         (F.col("measurement_subject") == subject)
         & (F.col("measurement_of") == of)
-        & F.col("bucket_time").between(start, end)
+        & (F.col("bucket_time") >= start)
+        & (F.col("bucket_time") < end)
     )
     return (
         sliced.groupBy(

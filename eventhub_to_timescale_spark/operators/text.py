@@ -290,3 +290,55 @@ def quality_threshold_by_group(
         .filter(F.col("quality") >= F.col("_thr"))
         .select("doc_id", by, "quality")
     )
+
+def quality_threshold_by_sample(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    by: str = "lang",
+    text_col: str = "text",
+    sample_fraction: float = 0.5,
+    salt: str = "qthr-v1",
+) -> DataFrame:
+    """Deterministic scale path for the percentile cut: per-group
+    thresholds from the exact quantile of a CONTENT-KEYED sample
+    (operators/sampling.py md5 membership), broadcast back onto the
+    full scan → filtered (doc_id, lang, quality).
+
+    Unlike ``quality_threshold_by_group``'s Greenwald-Khanna sketch
+    this is reproducible in any engine with an md5() — so it can sit
+    under the DuckDB correctness gate — while keeping the same 100 TB
+    shape: the rank window runs over the sample only (bounded by
+    ``sample_fraction``, tune it so a group's sample fits one task),
+    the corpus itself is touched by one scan + one broadcast join,
+    never a full sort. Quality is rounded to 6dp BEFORE ranking so
+    cross-engine ties resolve identically; groups with no sampled
+    row are dropped (their threshold is unknown — at real scale that
+    means the sample is too thin, not that the group is empty).
+    """
+    from eventhub_to_timescale_spark.operators.sampling import (
+        _bucket_hex,
+        _threshold_hex,
+    )
+
+    scored = docs.select(
+        "doc_id",
+        F.col(by),
+        F.round(quality_col(F.col(text_col)), 6).alias("quality"),
+    )
+    sample = scored.filter(
+        _bucket_hex(F.col("doc_id"), salt)
+        < F.lit(_threshold_hex(sample_fraction))
+    )
+    w = Window.partitionBy(by).orderBy(F.col("quality").desc(), "doc_id")
+    thresholds = (
+        sample.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_frac)
+        .groupBy(by)
+        .agg(F.min("quality").alias("_thr"))
+    )
+    return (
+        scored.join(F.broadcast(thresholds), by)
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", by, "quality")
+        .orderBy(by, "doc_id")
+    )

@@ -275,15 +275,12 @@ FROM base
 """
 
 
-def quality_percentile_oracle(keep_frac: float = 0.6) -> str:
-    """Per-language top-fraction quality cut, mirroring
-    operators.text.filter_quality_percentile: percent_rank over
-    (lang, quality DESC, doc_id) on the 6dp-rounded score — rounding
-    BEFORE ranking keeps cross-engine ties identical, and the doc_id
-    tie-break resolves them deterministically."""
+def _quality_scored_cte() -> str:
+    """The shared ``scored`` CTE body: (doc_id, lang, quality) with
+    the 6dp-rounded quality formula mirrored from
+    operators.text.quality_col."""
     stoplist = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
     return f"""
-WITH scored AS (
   SELECT doc_id, lang,
          ROUND(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
                + 0.3 * least(len(list_filter(string_split(lower(text), ' '),
@@ -293,7 +290,17 @@ WITH scored AS (
                    - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')))
                    / greatest(length(text), 1) * 10, 1.0)), 6) AS quality
   FROM documents
-), ranked AS (
+"""
+
+
+def quality_percentile_oracle(keep_frac: float = 0.6) -> str:
+    """Per-language top-fraction quality cut, mirroring
+    operators.text.filter_quality_percentile: percent_rank over
+    (lang, quality DESC, doc_id) on the 6dp-rounded score — rounding
+    BEFORE ranking keeps cross-engine ties identical, and the doc_id
+    tie-break resolves them deterministically."""
+    return f"""
+WITH scored AS ({_quality_scored_cte()}), ranked AS (
   SELECT doc_id, lang, quality,
          percent_rank() OVER (PARTITION BY lang
                               ORDER BY quality DESC, doc_id) AS pr
@@ -302,6 +309,38 @@ WITH scored AS (
 SELECT doc_id, lang, ROUND(quality, 6) AS quality
 FROM ranked WHERE pr <= {keep_frac}
 ORDER BY lang, doc_id
+"""
+
+
+def quality_sample_threshold_oracle(
+    keep_frac: float = 0.6,
+    sample_fraction: float = 0.5,
+    salt: str = "qthr-v1",
+) -> str:
+    """Mirror of operators.text.quality_threshold_by_sample: per-lang
+    threshold = min quality of the top ``keep_frac`` ranks within the
+    md5-membership sample, applied back to the full corpus."""
+    from eventhub_to_timescale_spark.operators.sampling import (
+        sampling_oracle_predicate,
+    )
+
+    member = sampling_oracle_predicate("doc_id", sample_fraction, salt=salt)
+    return f"""
+WITH scored AS ({_quality_scored_cte()}), samp AS (
+  SELECT * FROM scored WHERE {member}
+), ranked AS (
+  SELECT lang, quality,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS pr
+  FROM samp
+), thr AS (
+  SELECT lang, MIN(quality) AS t
+  FROM ranked WHERE pr <= {keep_frac} GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality
+FROM scored s JOIN thr ON s.lang = thr.lang
+WHERE s.quality >= thr.t
+ORDER BY s.lang, s.doc_id
 """
 
 
@@ -783,4 +822,21 @@ reach(a, b) AS (
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
 FROM reach GROUP BY a
 ORDER BY doc_id
+"""
+
+
+def dedup_components_keep_oracle(
+    num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
+) -> str:
+    """Cluster-canonical survivor set: drop every clustered document
+    except its cluster's smallest id (the transitive-closure upgrade
+    of dedup_minhash_keep_oracle's keep-first set)."""
+    comps = dedup_components_oracle(num_hashes, bands, threshold)
+    return f"""
+WITH comps AS ({comps})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM comps WHERE doc_id <> cluster_id
+)
+ORDER BY d.doc_id
 """
