@@ -42,8 +42,26 @@ def main() -> None:
     raw_path = f"{tmp}/raw"
     ev = load_table(spark, sf_dir, "events")
     # n_files file-source files → n_files micro-batches (one per
-    # trigger), mimicking Event Hub partition drain
-    events_to_emon_envelopes(ev).repartition(n_files).write.parquet(raw_path)
+    # trigger), mimicking Event Hub partition drain. Slices are
+    # CONTIGUOUS TIME RANGES written in order (mtime orders the file
+    # source): a replay that scatters event time across batches would
+    # have the watermark discard most rows as late — an artifact of
+    # random file assignment, not of the engine.
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    lo, hi = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span = (hi - lo).total_seconds() + 1
+    for i in range(n_files):
+        a = lo + timedelta(seconds=span * i / n_files)
+        b = lo + timedelta(seconds=span * (i + 1) / n_files)
+        events_to_emon_envelopes(
+            ev.filter((F.col("ts") >= a) & (F.col("ts") < b))
+        ).coalesce(1).write.mode("append").parquet(raw_path)
+        time.sleep(0.05)
     n_msgs = spark.read.parquet(raw_path).count()
 
     agg = streaming_bucket_avg(
@@ -66,7 +84,56 @@ def main() -> None:
     while q.isActive:
         time.sleep(0.2)
     wall = time.perf_counter() - t0
-    emitted = spark.read.parquet(f"{tmp}/out").count()
+    final_wm = (q.lastProgress.get("eventTime") or {}).get("watermark")
+    emitted_df = spark.read.parquet(f"{tmp}/out")
+    emitted = emitted_df.count()
+
+    # batch-vs-stream parity: the same raw files through the batch DAG
+    # must reproduce every emitted window value; the stream may only
+    # lack windows the final watermark left open (VERDICT r5 #6)
+    from eventhub_to_timescale_spark.ingest.envelope import parse_envelope
+    from eventhub_to_timescale_spark.ingest.router import route_to_records
+    from eventhub_to_timescale_spark.sinks.conditions import (
+        records_to_conditions,
+    )
+
+    wide = records_to_conditions(
+        route_to_records(
+            parse_envelope(spark.read.parquet(raw_path), deterministic_ids=True)
+        ),
+        with_unique_id=False,
+    )
+    batch = (
+        wide.filter(F.col("measurement_of") == "P1")
+        .groupBy(
+            "measurement_subject",
+            F.window(F.col("timestamp"), "900 seconds").alias("w"),
+        )
+        .agg(F.avg("measurement_number").alias("avg_value"))
+        .select(
+            "measurement_subject",
+            F.col("w.start").alias("time"),
+            F.col("w.end").alias("t_end"),
+            "avg_value",
+        )
+        .collect()
+    )
+    cutoff = spark.range(1).select(
+        F.to_timestamp(
+            F.lit((final_wm or "1970-01-01T00:00:00.000Z")
+                  .replace("T", " ").rstrip("Z"))
+        ).alias("wm")
+    ).collect()[0]["wm"]
+    got = {
+        (r["measurement_subject"], r["time"], round(r["avg_value"], 9))
+        for r in emitted_df.collect()
+    }
+    want_closed = {
+        (r["measurement_subject"], r["time"], round(r["avg_value"], 9))
+        for r in batch
+        if r["t_end"] <= cutoff
+    }
+    windows_match = got == want_closed
 
     batch_ms = sorted(
         p["durationMs"]["triggerExecution"]
@@ -91,6 +158,9 @@ def main() -> None:
                 "batches": len(batch_ms),
                 "batch_ms": stats,
                 "emitted_windows": emitted,
+                "batch_windows_total": len(batch),
+                "windows_match": windows_match,
+                "final_watermark": final_wm,
                 "sf_dir": sf_dir,
             }
         )
