@@ -120,3 +120,67 @@ def test_jdbc_idempotent_dedups_within_batch(spark, derby_url):
     )
     back = spark.read.jdbc(derby_url, "conditions", properties=DERBY_PROPS)
     assert sorted(r.correlation_id for r in back.collect()) == ["c1", "c2", "c9"]
+
+
+def test_postgres_upsert_text_executes_on_conflict_engine():
+    """The PostgreSQL-dialect merge text was only string-asserted until
+    round 6 (no live Postgres in this sandbox). DuckDB implements the
+    PostgreSQL ``INSERT ... ON CONFLICT (cols) DO NOTHING`` syntax
+    against a UNIQUE constraint, so executing the EXACT emitted
+    statement there validates grammar and semantics: duplicate-keyed
+    staged rows are skipped, and re-running the merge is a no-op
+    (idempotent at-least-once delivery — reference contract
+    timescale.py:108-124)."""
+    import duckdb
+
+    from eventhub_to_timescale_spark.sinks.conditions import (
+        CONDITIONS_JDBC_COLUMNS,
+        IDEMPOTENCY_KEY,
+        upsert_sql,
+    )
+
+    sql = upsert_sql("conditions", "conditions_staging_7", dialect="postgres")
+    # exact text shape the sink emits (keeps the string contract too)
+    assert sql.startswith('INSERT INTO conditions ("timestamp", ')
+    assert sql.endswith(
+        'ON CONFLICT ("timestamp", "measurement_subject", '
+        '"measurement_of", "correlation_id") DO NOTHING'
+    )
+
+    con = duckdb.connect()
+    cols = ", ".join(
+        f'"{c}" ' + ("TIMESTAMP" if c == "timestamp" else
+                     "DOUBLE" if c == "measurement_number" else
+                     "BOOLEAN" if c == "measurement_bool" else "VARCHAR")
+        for c in CONDITIONS_JDBC_COLUMNS
+    )
+    keylist = ", ".join(f'"{k}"' for k in IDEMPOTENCY_KEY)
+    con.execute(f"CREATE TABLE conditions ({cols}, UNIQUE ({keylist}))")
+    con.execute(f"CREATE TABLE conditions_staging_7 ({cols})")
+
+    def _row(i, corr):
+        return (
+            f"TIMESTAMP '2024-01-01 00:0{i}:00', 'subj', 'pub', 'temp', "
+            f"{i}.5, NULL, NULL, NULL, '{corr}'"
+        )
+
+    # the staged batch is key-unique by construction —
+    # write_conditions_jdbc_idempotent dropDuplicates(IDEMPOTENCY_KEY)
+    # before staging (DuckDB, unlike PostgreSQL, also rejects
+    # intra-statement duplicates under DO NOTHING, so this test would
+    # catch the sink ever dropping that dedup)
+    con.execute(
+        "INSERT INTO conditions_staging_7 VALUES "
+        f"({_row(1, 'a')}), ({_row(2, 'b')})"
+    )
+    con.execute(f"INSERT INTO conditions VALUES ({_row(1, 'a')})")  # landed
+
+    con.execute(sql)
+    assert con.execute("SELECT COUNT(*) FROM conditions").fetchone()[0] == 2
+    con.execute(sql)  # redelivery of the whole batch
+    assert con.execute("SELECT COUNT(*) FROM conditions").fetchone()[0] == 2
+    got = con.execute(
+        'SELECT "correlation_id", "measurement_number" '
+        "FROM conditions ORDER BY 1"
+    ).fetchall()
+    assert got == [("a", 1.5), ("b", 2.5)]
