@@ -631,6 +631,58 @@ def _text_quality_sample_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/curation.py redact_pii): pure codegen
+    regexp work, no shuffle. A known email + IPv4 is injected into
+    every document (mirrored in oracles.PII_INJECT_SQL) so redaction
+    is witnessed on every row, not only on organic matches."""
+    from eventhub_to_timescale_spark.operators.curation import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 250).cast("string"),
+            F.lit(".9"),
+        ).alias("text"),
+    )
+    return redact_pii(injected).orderBy("doc_id")
+
+
+def _curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination flags (operators/curation.py
+    contamination_flags): corpus documents sharing any word 5-gram
+    with the eval slice (doc_id % 97 == 0), eval shingles broadcast —
+    the join direction that holds when the corpus is 100 TB and the
+    benchmark is MBs."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        contamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, eval_docs, shingle_n=5)
+
+
+def _curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal (operators/curation.py
+    repetition_stats): duplicate word-3-gram fraction, array
+    expressions only — the Gopher-class quality filter input."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir), ngram_n=3).orderBy(
+        "doc_id"
+    )
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: first-fit token-budget bins within hash
     groups (operators/packing.py) — groups are the scale-out axis,
@@ -909,6 +961,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "asof_probe_value_salted": _asof_probe_value_salted,
+        # — round-6 curation additions: fully oracled, past the window
+        # only because the head is at capacity (check_parity covers)
+        "curation_pii_redact": _curation_pii_redact,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_repetition": _curation_repetition,
     }
 
 
@@ -1386,4 +1443,7 @@ ORDER BY measurement_publisher, measurement_of
         "q8_changed_rows_salted": q8,
         "q9_state_intervals_salted": q9,
         "asof_probe_value_salted": _ASOF_ORACLE,
+        "curation_pii_redact": oc.curation_pii_oracle(),
+        "curation_decontaminate": oc.curation_contamination_oracle(5, 97),
+        "curation_repetition": oc.curation_repetition_oracle(3),
     }

@@ -1,0 +1,149 @@
+"""Corpus-curation operators a training-data pipeline runs between
+ingest and tokenization: PII redaction, benchmark decontamination, and
+intra-document repetition signals.
+
+All three are standard pre-training stages (C4 removed boilerplate and
+bad lines, GPT-3/PaLM decontaminate against eval n-grams, Gopher's
+quality filters threshold repetition ratios) re-expressed as
+declarative Spark plans:
+
+- ``redact_pii`` — pure per-row ``regexp_replace``/``regexp_extract_all``
+  expression work: JVM codegen, no shuffle, pushdown-friendly. The
+  pattern set is deliberately conservative (no lookaround, no
+  ambiguous alternation) so Java-regex (Spark) and RE2 (DuckDB oracle)
+  agree byte-for-byte on every match.
+- ``contamination_flags`` / ``decontaminate`` — drop corpus documents
+  sharing any word n-gram with an evaluation set. The eval side of the
+  join is exploded shingles of the (small) benchmark corpus and is
+  broadcast; the corpus side explodes to (shingle, doc) pairs —
+  linear, one pass, and the join never shuffles the corpus (broadcast
+  hash join on the shingle key). This is the join direction that
+  holds at 100 TB: benchmarks are MBs, corpora are not.
+- ``repetition_stats`` — per-document duplicate n-gram fraction
+  (Gopher-style quality signal): array expressions only, no UDF, no
+  shuffle.
+
+Shingle construction is shared with the MinHash dedup path
+(operators/dedup.py word_shingles) so the two surfaces cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.dedup import word_shingles
+
+# Conservative, engine-portable PII patterns. No lookaround (RE2 has
+# none), no alternation whose branch order matters (Java backtracking
+# is leftmost-first, RE2 is leftmost-longest — simple greedy runs over
+# disjoint classes agree in both).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+EMAIL_TOKEN = "[EMAIL]"
+IP_TOKEN = "[IP]"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, clean_text, n_emails, n_ipv4): PII occurrences
+    replaced with stable tokens (so downstream tokenization sees a
+    consistent vocabulary item, not a hole) plus per-class counts for
+    corpus auditing. Email first: an address can embed digits-and-dots
+    substrings an IPv4 pass would otherwise mangle mid-token."""
+    t = F.col(text_col)
+    emails_out = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(emails_out, IPV4_RE, IP_TOKEN).alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).alias(
+            "n_ipv4"
+        ),
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_overlapping): corpus documents sharing ≥1 word
+    ``shingle_n``-gram with any eval document, with the count of
+    distinct overlapping shingles. The eval shingle set is broadcast;
+    the corpus never shuffles."""
+    eval_shingles = (
+        eval_docs.select(
+            F.explode(
+                word_shingles(F.col(text_col), shingle_n)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    return (
+        corpus_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+        .orderBy(id_col)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The survivor set: corpus minus every document flagged by
+    ``contamination_flags`` (one broadcast semi-join shape, anti
+    direction)."""
+    flagged = contamination_flags(
+        corpus, eval_docs, shingle_n, text_col, id_col
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
+def repetition_stats(
+    docs: DataFrame,
+    ngram_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_ngrams, n_distinct, repetition_ratio): fraction of
+    word n-gram occurrences that are repeats of an earlier n-gram in
+    the SAME document — the Gopher-class quality signal for looping or
+    boilerplate-stuffed text. ratio = 1 − distinct/total, 6 dp."""
+    w = F.split(F.col(text_col), " ")
+    total = F.greatest(F.size(w) - (ngram_n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", F.slice(w, i, ngram_n)),
+    )
+    return docs.select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+__all__ = [
+    "redact_pii",
+    "contamination_flags",
+    "decontaminate",
+    "repetition_stats",
+    "EMAIL_RE",
+    "IPV4_RE",
+]

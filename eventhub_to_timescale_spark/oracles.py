@@ -34,6 +34,17 @@ _WORD_SHINGLES = (
 )
 
 
+def _word_shingles_sql(n: int, distinct: bool = True) -> str:
+    """Parametric rendering of the same word n-gram construction
+    (mirrors dedup.word_shingles / curation.repetition_stats over a
+    ``w`` token-list column)."""
+    inner = (
+        f"list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(w[i:i+{n - 1}], ' '))"
+    )
+    return f"list_distinct({inner})" if distinct else inner
+
+
 def dedup_exact_oracle() -> str:
     return """
 SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
@@ -839,4 +850,92 @@ WHERE d.doc_id NOT IN (
   SELECT doc_id FROM comps WHERE doc_id <> cluster_id
 )
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation operators (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+# SQL rendering of the deterministic PII injection used by the
+# curation_pii_redact entry (__spark_entry__._curation_pii_redact):
+# every document gains one known email and one known IPv4 so the
+# redaction is witnessed on every row, on top of any organic matches.
+PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 250 AS VARCHAR) || '.9'"
+)
+
+
+def curation_pii_oracle() -> str:
+    """Mirror of curation.redact_pii over the injected text: email
+    pass first, then IPv4, with per-class match counts. Patterns are
+    shared constants — RE2 (here) and Java regex (Spark) agree on
+    them by construction (no lookaround, no ambiguous alternation)."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+    )
+
+    return f"""
+WITH injected AS (
+  SELECT doc_id, {PII_INJECT_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                      '{IPV4_RE}', '{IP_TOKEN}', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INTEGER) AS n_ipv4
+FROM injected
+ORDER BY doc_id
+"""
+
+
+def curation_contamination_oracle(
+    shingle_n: int = 5, eval_mod: int = 97
+) -> str:
+    """Mirror of curation.contamination_flags with the eval set =
+    documents whose id divides by ``eval_mod``: per-document count of
+    distinct word n-grams shared with any eval document."""
+    sh = _word_shingles_sql(shingle_n)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM t
+), es AS (
+  SELECT DISTINCT shingle
+  FROM (SELECT unnest({sh}) AS shingle FROM t WHERE doc_id % {eval_mod} = 0)
+)
+SELECT sh.doc_id, COUNT(*) AS n_overlapping
+FROM sh JOIN es USING (shingle)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+def curation_repetition_oracle(ngram_n: int = 3) -> str:
+    """Mirror of curation.repetition_stats: duplicate word-n-gram
+    fraction per document (non-distinct gram list vs its distinct
+    form)."""
+    grams = _word_shingles_sql(ngram_n, distinct=False)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, greatest(len(w) - {ngram_n - 1}, 1) AS total,
+         {grams} AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - len(list_distinct(grams)) / CAST(total AS DOUBLE), 6)
+         AS repetition_ratio
+FROM g
+ORDER BY doc_id
 """

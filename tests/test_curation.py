@@ -1,0 +1,81 @@
+"""Curation operator semantics: PII redaction, decontamination,
+repetition stats (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.curation import (
+    contamination_flags,
+    decontaminate,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@foo-bar.co.uk and 192.168.0.1 twice 10.0.0.255"),
+            (2, "no pii here, just 1.2 floats and a@b (not an email)"),
+            (3, "ip-like 999.999.999.999 still redacts; 1.2.3.4.5 greedy"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["clean_text"] == "mail [EMAIL] and [IP] twice [IP]"
+    assert (got[1]["n_emails"], got[1]["n_ipv4"]) == (1, 2)
+    assert got[2]["clean_text"] == docs.filter(
+        F.col("doc_id") == 2
+    ).collect()[0]["text"]
+    assert (got[2]["n_emails"], got[2]["n_ipv4"]) == (0, 0)
+    # the conservative pattern redacts ip-shaped strings without range
+    # validation (redaction errs toward removal), and the 5-octet case
+    # matches its first 4 octets
+    assert got[3]["n_ipv4"] == 2
+    assert "[IP]" in got[3]["clean_text"]
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark plans"),
+            (3, "padding words then the quick brown fox appears here"),
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "the quick brown fox ran away")])
+    flags = {
+        r["doc_id"]: r["n_overlapping"]
+        for r in contamination_flags(
+            corpus, eval_docs, shingle_n=4
+        ).collect()
+    }
+    # docs 1 and 3 share the 4-gram "the quick brown fox"
+    assert set(flags) == {1, 3}
+    assert flags[1] >= 1 and flags[3] >= 1
+    kept = {r["doc_id"] for r in decontaminate(
+        corpus, eval_docs, shingle_n=4
+    ).collect()}
+    assert kept == {2}
+
+
+def test_repetition_stats_ratio(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c a b c"),      # heavy 3-gram looping
+            (2, "one two three four five"),  # no repeats
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, 3).collect()}
+    # doc 1: 7 trigrams, 3 distinct ("a b c", "b c a", "c a b")
+    assert (got[1]["n_ngrams"], got[1]["n_distinct"]) == (7, 3)
+    assert abs(got[1]["repetition_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
+    assert (got[2]["n_ngrams"], got[2]["n_distinct"]) == (3, 3)
+    assert got[2]["repetition_ratio"] == 0.0
