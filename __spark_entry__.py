@@ -903,13 +903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_timeweight_linear": _q5_linear,
         "q6_asap_smooth": _q6_asap,
         "q6_lttb_downsample": _q6_lttb,
-        "q6_moving_avg": _q6_moving_avg,
         "q7_unique_subjects": _q7_subjects,
         "q8_changed_rows": _q8_changes,
         "q9_state_intervals": _q9_intervals,
         "asof_probe_value": _asof_probe_value,
         "range_overlap_join": _range_overlap,
-        "gapfill_locf": _gapfill_locf,
         "gapfill_linear": _gapfill_linear,
         "q3_daily_from_cascade": _q3_daily_from_cascade,
         "ingest_events_unpivot": _ingest_conditions,
@@ -940,32 +938,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_sample_cut": _text_quality_sample_cut,
         "pack_documents": _pack_documents,
         "sample_docs_fraction": _sample_docs_fraction,
-        "sample_events_stratified": _sample_events_stratified,
+        "curation_pii_redact": _curation_pii_redact,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_repetition": _curation_repetition,
         "mm_blob_features": _mm_blob_features,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize": _mm_resize,
         # --- tail: entries past the driver's 50-entry gate window.
-        # First the demoted head entries (each keeps its own oracle —
-        # scripts/check_parity.py still verifies them every run; their
-        # witnessed siblings cover the same mechanism: q1_all_subjects
-        # = q1 + a group key, dedup_minhash_keep = one anti-join atop
-        # witnessed pairs with survivor mechanics witnessed by
-        # dedup_components_keep, sample_split_counts = the
-        # sample_docs_fraction membership test under another salt) —
+        # Every tail entry keeps its own oracle — scripts/check_parity.py
+        # and tests/test_gate_tail_parity.py verify them every run.
+        # First the demoted head entries whose gated siblings witness the
+        # same mechanism: q1_all_subjects = q1 + a group key;
+        # dedup_minhash_keep = one anti-join atop witnessed pairs, with
+        # survivor mechanics witnessed by dedup_components_keep;
+        # sample_split_counts / sample_events_stratified = the
+        # sample_docs_fraction md5-threshold membership test under
+        # another salt / strata column; q6_moving_avg = the trivial
+        # rangeBetween fallback beside the gated ASAP/LTTB algorithms;
+        # gapfill_locf = gapfill_linear's grid + the LOCF carry already
+        # witnessed by q5_timeweight_locf and q9_state_intervals —
         "q1_all_subjects": _q1_all_subjects,
         "dedup_minhash_keep": _dedup_minhash_keep,
         "sample_split_counts": _sample_split_counts,
+        "sample_events_stratified": _sample_events_stratified,
+        "q6_moving_avg": _q6_moving_avg,
+        "gapfill_locf": _gapfill_locf,
         # — then shared-oracle rewrites, property-tested row-identical
         # to head siblings (tests/test_queries.py, test_asof_salted.py)
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "asof_probe_value_salted": _asof_probe_value_salted,
-        # — round-6 curation additions: fully oracled, past the window
-        # only because the head is at capacity (check_parity covers)
-        "curation_pii_redact": _curation_pii_redact,
-        "curation_decontaminate": _curation_decontaminate,
-        "curation_repetition": _curation_repetition,
     }
 
 

@@ -1,0 +1,120 @@
+"""Oracle parity for registry entries past the driver's gate window.
+
+The driver's correctness gate records only the first 50 ``queries()``
+entries (observed in round 5: 53 registered, 50 in
+CORRECTNESS_r05.json).  Entries past that window would otherwise go
+unwitnessed between rounds, so this test runs the SAME comparison the
+driver does — row count + column names + order-insensitive value hash
+against the DuckDB oracle — for every tail entry, at sf0.001 so the
+whole sweep stays cheap inside the unit-test suite.
+
+scripts/check_parity.py remains the full-registry harness; this test
+pins the tail subset into ``pytest tests/`` so a regression in a
+demoted query fails CI even though the driver file no longer lists it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DRIVER_GATE_WINDOW = 50
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v!r}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return repr(v)
+
+
+def _tail_names():
+    return list(entrymod.queries())[DRIVER_GATE_WINDOW:]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _tail_names())
+def test_tail_entry_matches_oracle(spark, duck, name):
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    srows = sdf.collect()
+    if name not in oracles:
+        pytest.skip(f"{name} has no SQL oracle (rows-only check)")
+    cur = duck.execute(oracles[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(sdf.columns)} "
+        f"duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
+    )
+    scols = sorted(sdf.columns)
+    sidx = [sdf.columns.index(c) for c in scols]
+    didx = [dcols.index(c) for c in scols]
+    sset = sorted(tuple(_norm(r[i]) for i in sidx) for r in srows)
+    dset = sorted(tuple(_norm(r[i]) for i in didx) for r in drows)
+    assert sset == dset, f"{name}: value mismatch"
+
+
+def test_gate_head_holds_every_unique_mechanism():
+    """The first 50 entries must contain every operator family's primary
+    witness; only sibling-covered variants may sit in the tail."""
+    head = set(list(entrymod.queries())[:DRIVER_GATE_WINDOW])
+    required = {
+        # §2 query surface
+        "q1_bucket_avg", "q2_resolution_avg", "q3_daily_max",
+        "q3_intraday_avg", "q4_mode_adaptive", "q5_timeweight_locf",
+        "q5_timeweight_linear", "q6_asap_smooth", "q6_lttb_downsample",
+        "q7_unique_subjects", "q8_changed_rows", "q9_state_intervals",
+        # temporal extensions
+        "asof_probe_value", "range_overlap_join", "gapfill_linear",
+        "q3_daily_from_cascade",
+        # ingest surface
+        "ingest_events_unpivot", "ingest_glow", "ingest_homie",
+        "ingest_emon", "ingest_bmw", "ingest_dynamic",
+        "ingest_records_strict", "ingest_router_union",
+        # dedup / similarity
+        "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+        "dedup_components_keep", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "sim_cosine_topk", "sim_ann_lsh",
+        "sim_ivf_topk",
+        # text / curation / packing / sampling
+        "text_language_id", "text_quality_score", "text_token_stats",
+        "text_fingerprint", "pipeline_clean_corpus", "text_vocab_topk",
+        "text_quality_percentile", "text_quality_sample_cut",
+        "pack_documents", "sample_docs_fraction",
+        "curation_pii_redact", "curation_decontaminate",
+        "curation_repetition",
+        # multimodal
+        "mm_blob_features", "mm_frame_sample", "mm_resize",
+    }
+    missing = required - head
+    assert not missing, f"gate window lost primary witnesses: {missing}"
