@@ -886,6 +886,60 @@ def _sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
     )
 
+def _toolkit_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware per-(subject, 6-h bucket) increase —
+    Timescale Toolkit counter_agg→delta() parity
+    (operators/toolkit.py)."""
+    from eventhub_to_timescale_spark.operators.toolkit import counter_delta
+
+    return counter_delta(_conditions(spark, sf_dir), "value", 21600)
+
+
+def _toolkit_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close candles per (subject, 6-h bucket) —
+    Timescale candlestick_agg parity, one map-side-combinable
+    aggregate (operators/toolkit.py)."""
+    from eventhub_to_timescale_spark.operators.toolkit import ohlc
+
+    return ohlc(_conditions(spark, sf_dir), "value", 21600)
+
+
+def _toolkit_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(subject, day) least-squares trend via the SQL-standard
+    regr_* aggregates, x centered at the bucket start
+    (operators/toolkit.py)."""
+    from eventhub_to_timescale_spark.operators.toolkit import trend_slope
+
+    return trend_slope(_conditions(spark, sf_dir), "value", 86400)
+
+
+def _emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization of the embedding
+    column — training-storage prep (operators/embeddings.py); codes
+    are exact ints so the hash carries no float-render risk."""
+    from eventhub_to_timescale_spark.operators.embeddings import (
+        normalize_quantize,
+    )
+
+    return normalize_quantize(_embs(spark, sf_dir))
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (512 chars, stride 384) of every
+    document into training sequences (operators/chunking.py)."""
+    from eventhub_to_timescale_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), 512, 384)
+
+
+def _corpus_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffled training order: md5-derived shard +
+    within-shard rank (operators/sampling.py:shard_order)."""
+    from eventhub_to_timescale_spark.operators.sampling import shard_order
+
+    return shard_order(_docs(spark, sf_dir), "doc_id", 64, salt="order-v1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries (observed in round 5: 53 registered, 50 in
@@ -969,7 +1023,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
         "asof_probe_value_salted": _asof_probe_value_salted,
+        # — round-6 additions: new operator families, fully oracled;
+        # they join the tail (witnessed by tests/test_gate_tail_parity
+        # + check_parity) because the head window is at capacity
+        "toolkit_counter_delta": _toolkit_counter_delta,
+        "toolkit_ohlc": _toolkit_ohlc,
+        "toolkit_trend_slope": _toolkit_trend_slope,
+        "emb_normalize_quantize": _emb_normalize_quantize,
+        "doc_chunks": _doc_chunks,
+        "corpus_shard_order": _corpus_shard_order,
     }
+
+
+def _chunking_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.chunking import (
+        chunking_oracle_sql,
+    )
+
+    return chunking_oracle_sql(512, 384)
+
+
+def _shard_order_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        shard_order_oracle_sql,
+    )
+
+    return shard_order_oracle_sql("doc_id", 64, "order-v1")
 
 
 def _ivf_oracle_entry(oc) -> dict[str, str]:
@@ -1449,4 +1528,71 @@ ORDER BY measurement_publisher, measurement_of
         "curation_pii_redact": oc.curation_pii_oracle(),
         "curation_decontaminate": oc.curation_contamination_oracle(5, 97),
         "curation_repetition": oc.curation_repetition_oracle(3),
+        # round-6 tail additions (toolkit aggregates + training prep)
+        "toolkit_counter_delta": f"""
+WITH samples AS (
+  SELECT measurement_subject, timestamp, measurement_unique_id,
+         measurement_number AS v,
+         lag(measurement_number) OVER (
+             PARTITION BY measurement_subject
+             ORDER BY timestamp, measurement_unique_id) AS prev_v
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+)
+SELECT measurement_subject, {bucket.format(w=21600)} AS time,
+       ROUND(SUM(CASE WHEN prev_v IS NULL THEN 0
+                      WHEN v >= prev_v THEN v - prev_v
+                      ELSE v END), 6) AS counter_delta
+FROM samples GROUP BY 1, 2
+""",
+        "toolkit_ohlc": f"""
+WITH s AS (
+  SELECT measurement_subject, {bucket.format(w=21600)} AS time,
+         measurement_number AS v, timestamp, measurement_unique_id
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY measurement_subject, time
+             ORDER BY timestamp, measurement_unique_id) AS ra,
+         row_number() OVER (PARTITION BY measurement_subject, time
+             ORDER BY timestamp DESC, measurement_unique_id DESC) AS rd
+  FROM s
+)
+SELECT measurement_subject, time,
+       MAX(CASE WHEN ra = 1 THEN v END) AS open,
+       MAX(v) AS high, MIN(v) AS low,
+       MAX(CASE WHEN rd = 1 THEN v END) AS close
+FROM r GROUP BY 1, 2
+""",
+        "toolkit_trend_slope": f"""
+SELECT measurement_subject, {bucket.format(w=86400)} AS time,
+       regr_count(measurement_number, x) AS n_samples,
+       ROUND(regr_slope(measurement_number, x), 6) AS slope,
+       ROUND(regr_intercept(measurement_number, x), 6) AS intercept
+FROM (
+  SELECT measurement_subject, timestamp, measurement_number,
+         CAST(CAST(floor(epoch(timestamp)) AS BIGINT) % 86400 AS DOUBLE)
+             AS x
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+) s
+GROUP BY 1, 2
+""",
+        "emb_normalize_quantize": """
+WITH v AS (
+  SELECT vec_id, len(embedding) AS dim,
+         sqrt(list_sum(list_transform(
+             embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             AS raw_norm,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT vec_id, CAST(dim AS INT) AS dim, ROUND(raw_norm, 6) AS norm,
+       list_transform(vv, x -> CAST(round(127 * x / raw_norm) AS INT))
+           AS q
+FROM v WHERE raw_norm > 0
+""",
+        "doc_chunks": _chunking_oracle(),
+        "corpus_shard_order": _shard_order_oracle(),
     }

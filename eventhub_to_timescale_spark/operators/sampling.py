@@ -113,6 +113,72 @@ def train_test_split(
     )
 
 
+def shard_order(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int = 64,
+    salt: str = "order",
+) -> DataFrame:
+    """Deterministic global training order: → (key, shard, pos).
+
+    Training runs need a reproducible data order that (a) looks
+    shuffled, (b) is recomputable from scratch after a crash, and
+    (c) scales — a global ``ORDER BY random()`` is a single total sort
+    with RNG state.  Instead: ``shard = int(md5-prefix) mod N`` and
+    ``pos = row_number`` within the shard ordered by the full md5.
+    The only shuffle is a hash partition on ``shard`` — N uniform
+    partitions by construction (md5 is uniform), so the per-shard sort
+    is balanced and the ordering is stable under corpus growth within
+    a shard-count choice.  Readers consume shard files in (shard, pos)
+    order; any sub-sequence is addressable for resume.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    with_shard = df.select(
+        F.col(key_col),
+        h.alias("_h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_shards)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return with_shard.select(
+        key_col,
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+def shard_order_oracle_sql(
+    key_expr: str,
+    num_shards: int = 64,
+    salt: str = "order",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``shard_order`` (hex-prefix cast via the
+    '0x' literal form, identical value to Spark's ``conv(_, 16, 10)``)."""
+    return f"""
+WITH hashed AS (
+    SELECT {key_expr} AS k,
+           md5(CAST({key_expr} AS VARCHAR) || '{salt}') AS hx
+    FROM {table}
+), sharded AS (
+    SELECT k, hx,
+           CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {num_shards}
+               AS shard
+    FROM hashed
+)
+SELECT k AS {key_expr}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, k)
+            AS INT) AS pos
+FROM sharded
+"""
+
+
 def sampling_oracle_predicate(
     key_expr: str, fraction: float, salt: str = ""
 ) -> str:
@@ -151,6 +217,8 @@ __all__ = [
     "sample_fraction",
     "sample_stratified",
     "train_test_split",
+    "shard_order",
+    "shard_order_oracle_sql",
     "sampling_oracle_predicate",
     "stratified_oracle_predicate",
 ]

@@ -1,0 +1,150 @@
+"""Timescale-Toolkit-parity temporal aggregates the reference's stack
+offers around its own queries (toolkit ``counter_agg``, financial
+``candlestick_agg``/``ohlc``, ``stats_agg`` regression) — re-expressed
+as pure Spark window/aggregate plans.  Extensions beyond the
+reference's own SQL surface (like the as-of and range joins), framed
+as such: a TimescaleDB user migrating to this engine keeps these
+queries.
+
+All three operators are UDF-free — lag/window + groupBy aggregates,
+fully codegen'd, one shuffle each on the natural (subject, bucket)
+grain.
+
+100 TB posture: each plan shuffles once on ``measurement_subject``
+(window) and re-aggregates map-side-combinably on (subject, bucket).
+Hot-subject skew has the same shape as Q8/Q9 and would take the same
+time-chunk salting rewrite (operators/timeseries.py:323) — the window
+carries one row of state (the previous sample), so a per-chunk
+boundary repair is a single broadcastable summary per chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.functions.scalars import epoch_bucket
+
+
+def _measure_order():
+    # deterministic tie-break mirrors the DuckDB oracle ORDER BY
+    return [F.col("timestamp"), F.col("measurement_unique_id")]
+
+
+def counter_delta(
+    conditions: DataFrame,
+    of: str = "value",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Counter-reset-aware increase per (subject, bucket) — Timescale
+    Toolkit ``counter_agg → delta()`` semantics: a monotonic counter
+    that can reset to ~0 (process restart).  For consecutive samples
+    (prev, cur) within a subject, the contribution of ``cur`` is
+    ``cur - prev`` when the counter advanced, else ``cur`` (a reset is
+    assumed to restart from zero).  The first sample of a subject
+    contributes nothing (no baseline).  Contributions are summed into
+    the bucket of the CURRENT sample.
+
+    → (measurement_subject, time, counter_delta) rounded to 6 dp.
+    """
+    w = Window.partitionBy("measurement_subject").orderBy(*_measure_order())
+    samples = (
+        conditions.filter(
+            (F.col("measurement_of") == of)
+            & F.col("measurement_number").isNotNull()
+        )
+        .select(
+            "measurement_subject",
+            "timestamp",
+            "measurement_unique_id",
+            F.col("measurement_number").alias("v"),
+        )
+        .withColumn("prev_v", F.lag("v").over(w))
+    )
+    contrib = F.when(F.col("prev_v").isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col("v") >= F.col("prev_v"), F.col("v") - F.col("prev_v"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        samples.withColumn("contrib", contrib)
+        .groupBy(
+            "measurement_subject",
+            epoch_bucket(F.col("timestamp"), bucket_seconds).alias("time"),
+        )
+        .agg(F.round(F.sum("contrib"), 6).alias("counter_delta"))
+    )
+
+
+def ohlc(
+    conditions: DataFrame,
+    of: str = "value",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Open/high/low/close per (subject, bucket) — Timescale
+    ``candlestick_agg``.  Open/close are the first/last samples by
+    (timestamp, measurement_unique_id); the struct-ordered
+    ``min_by``/``max_by`` keeps the whole thing one map-side-combinable
+    aggregate (no window, no second shuffle).
+
+    → (measurement_subject, time, open, high, low, close).
+    """
+    order_key = F.struct(
+        F.col("timestamp"), F.col("measurement_unique_id")
+    )
+    return (
+        conditions.filter(
+            (F.col("measurement_of") == of)
+            & F.col("measurement_number").isNotNull()
+        )
+        .groupBy(
+            "measurement_subject",
+            epoch_bucket(F.col("timestamp"), bucket_seconds).alias("time"),
+        )
+        .agg(
+            F.min_by(F.col("measurement_number"), order_key).alias("open"),
+            F.max("measurement_number").alias("high"),
+            F.min("measurement_number").alias("low"),
+            F.max_by(F.col("measurement_number"), order_key).alias("close"),
+        )
+    )
+
+
+def trend_slope(
+    conditions: DataFrame,
+    of: str = "value",
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Per-(subject, bucket) least-squares trend — Timescale
+    ``stats_agg → slope()/intercept()``.  Uses the SQL-standard
+    ``regr_slope/regr_intercept/regr_count`` aggregates (identical
+    definitions in Spark and DuckDB) over (x = seconds SINCE BUCKET
+    START, y = measurement).  Centering x at the bucket start keeps
+    x ≤ bucket_seconds so the covariance arithmetic is well-
+    conditioned — raw epoch seconds (~1.7e9) would put Σx² at ~3e18,
+    past exact-double range, making the 6-dp rounding engine-order-
+    sensitive.  The intercept is therefore the fitted value AT the
+    bucket start.  Single-point or zero-variance groups yield NULL
+    slope in both engines.
+
+    → (measurement_subject, time, n_samples, slope, intercept),
+    slope/intercept rounded to 6 dp.
+    """
+    x = (F.unix_timestamp(F.col("timestamp")) % bucket_seconds).cast("double")
+    y = F.col("measurement_number")
+    return (
+        conditions.filter(
+            (F.col("measurement_of") == of) & y.isNotNull()
+        )
+        .groupBy(
+            "measurement_subject",
+            epoch_bucket(F.col("timestamp"), bucket_seconds).alias("time"),
+        )
+        .agg(
+            F.regr_count(y, x).alias("n_samples"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        )
+    )
+
+
+__all__ = ["counter_delta", "ohlc", "trend_slope"]
