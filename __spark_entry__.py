@@ -932,6 +932,23 @@ def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), 512, 384)
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the raw event stream (30-min
+    silence rule) — operators/sessions.py; integer/timestamp output,
+    exact cross-engine parity."""
+    from eventhub_to_timescale_spark.operators.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir), "user_id", "ts", "event_id", 1800)
+
+
+def _text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM fluency score per document (CCNet-style
+    curation signal) — operators/text.py:unigram_lm_score."""
+    from eventhub_to_timescale_spark.operators.text import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir), vocab_top_k=1000)
+
+
 def _corpus_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffled training order: md5-derived shard +
     within-shard rank (operators/sampling.py:shard_order)."""
@@ -1032,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize_quantize": _emb_normalize_quantize,
         "doc_chunks": _doc_chunks,
         "corpus_shard_order": _corpus_shard_order,
+        "events_sessionize": _events_sessionize,
+        "text_unigram_lm": _text_unigram_lm,
     }
 
 
@@ -1049,6 +1068,22 @@ def _shard_order_oracle() -> str:
     )
 
     return shard_order_oracle_sql("doc_id", 64, "order-v1")
+
+
+def _sessionize_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sessions import (
+        sessionize_oracle_sql,
+    )
+
+    return sessionize_oracle_sql(1800)
+
+
+def _unigram_lm_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.text import (
+        unigram_lm_oracle_sql,
+    )
+
+    return unigram_lm_oracle_sql(1000)
 
 
 def _ivf_oracle_entry(oc) -> dict[str, str]:
@@ -1595,4 +1630,6 @@ FROM v WHERE raw_norm > 0
 """,
         "doc_chunks": _chunking_oracle(),
         "corpus_shard_order": _shard_order_oracle(),
+        "events_sessionize": _sessionize_oracle(),
+        "text_unigram_lm": _unigram_lm_oracle(),
     }

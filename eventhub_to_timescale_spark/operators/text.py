@@ -342,3 +342,84 @@ def quality_threshold_by_sample(
         .select("doc_id", by, "quality")
         .orderBy(by, "doc_id")
     )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_top_k: int = 1000,
+) -> DataFrame:
+    """CCNet-style language-model fluency scoring with a corpus-derived
+    unigram model → (doc_id, n_tokens, avg_neg_logprob).  Low score =
+    tokens the corpus considers common = fluent under the model; the
+    curation cut drops the high-score tail (gibberish, boilerplate
+    alphabets, wrong-language fragments).
+
+    Model: p(tok) = corpus_count(tok) / total_tokens for the top-K
+    vocabulary (deterministic (count DESC, token) cut, same rule as
+    ``vocabulary``); out-of-vocabulary tokens get the floor
+    1 / total_tokens.  Score = −mean ln p over the document's tokens;
+    empty documents yield no row.
+
+    100 TB shape: token counts are one map-side-combinable
+    aggregation; the vocabulary is bounded by K so the model join is a
+    **broadcast** (the corpus side never shuffles for it); the
+    per-document mean is a second map-side-combinable aggregation.
+    ``total_tokens`` is one driver-side scalar.  A production run over
+    one corpus would ``persist()`` the token counts between the two
+    passes here (total + vocab) — at bench scale the double scan is
+    cheaper than the cache write.
+    """
+    t = F.col(text_col)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(t), F.lit(_TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    if not total:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_tokens long, avg_neg_logprob double"
+        )
+    vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(vocab_top_k)
+    lp = F.log(
+        F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+        / F.lit(float(total))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .withColumn("_lp", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("_lp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def unigram_lm_oracle_sql(
+    vocab_top_k: int = 1000, table: str = "documents"
+) -> str:
+    """DuckDB rendering of ``unigram_lm_score`` — same tokenizer, same
+    top-K cut, same OOV floor."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)) AS token
+  FROM {table}
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+), total AS (
+  SELECT SUM(cnt) AS t FROM counts
+), vocab AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {vocab_top_k}
+)
+SELECT toks.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(LN(CAST(COALESCE(vocab.cnt, 1) AS DOUBLE)
+                     / (SELECT t FROM total))), 6) AS avg_neg_logprob
+FROM toks LEFT JOIN vocab ON toks.token = vocab.token
+GROUP BY toks.doc_id
+"""

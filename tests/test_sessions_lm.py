@@ -1,0 +1,120 @@
+"""Boundary semantics for sessionize and the unigram LM scorer
+(cross-engine parity is covered by check_parity + the gate tail test).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (user_id, iso_ts, event_id)"""
+    return spark.createDataFrame(
+        [(u, datetime.fromisoformat(t), e) for u, t, e in rows],
+        "user_id long, ts timestamp, event_id long",
+    )
+
+
+class TestSessionize:
+    def test_gap_boundary_exact_gap_continues(self, spark):
+        from eventhub_to_timescale_spark.operators.sessions import sessionize
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1),
+            (1, "2024-01-01 00:30:00", 2),  # gap == 1800 -> same session
+            (1, "2024-01-01 01:00:01", 3),  # gap == 1801 -> new session
+        ]
+        out = sorted(
+            sessionize(_events(spark, rows), gap_seconds=1800).collect(),
+            key=lambda r: r["session_idx"],
+        )
+        assert [(r["session_idx"], r["n_events"]) for r in out] == [
+            (1, 2), (2, 1),
+        ]
+        assert out[0]["duration_s"] == 1800
+
+    def test_subjects_are_independent(self, spark):
+        from eventhub_to_timescale_spark.operators.sessions import sessionize
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1),
+            (2, "2024-01-01 00:00:10", 2),
+            (1, "2024-01-01 02:00:00", 3),
+        ]
+        out = sessionize(_events(spark, rows), gap_seconds=1800).collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert len(by_user[1]) == 2 and len(by_user[2]) == 1
+
+    def test_duplicate_timestamps_number_deterministically(self, spark):
+        from eventhub_to_timescale_spark.operators.sessions import sessionize
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 2),
+            (1, "2024-01-01 00:00:00", 1),
+        ]
+        out = sessionize(_events(spark, rows), gap_seconds=60).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 2
+
+    def test_rejects_nonpositive_gap(self, spark):
+        from eventhub_to_timescale_spark.operators.sessions import sessionize
+
+        with pytest.raises(ValueError):
+            sessionize(_events(spark, []), gap_seconds=0)
+
+
+class TestUnigramLm:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_common_tokens_score_lower(self, spark):
+        from eventhub_to_timescale_spark.operators.text import unigram_lm_score
+
+        docs = self._docs(
+            spark,
+            ["the the the", "the the the", "the the the", "zq xv wj"],
+        )
+        out = {
+            r["doc_id"]: r["avg_neg_logprob"]
+            for r in unigram_lm_score(docs, vocab_top_k=100).collect()
+        }
+        assert out[0] == out[1] == out[2]
+        assert out[3] > out[0]  # rare tokens -> less fluent under the model
+
+    def test_score_matches_hand_computation(self, spark):
+        from eventhub_to_timescale_spark.operators.text import unigram_lm_score
+
+        # corpus: 'a' x3, 'b' x1 -> total 4; p(a)=3/4, p(b)=1/4
+        docs = self._docs(spark, ["a a a", "b"])
+        out = {
+            r["doc_id"]: r["avg_neg_logprob"]
+            for r in unigram_lm_score(docs, vocab_top_k=10).collect()
+        }
+        assert out[0] == pytest.approx(-math.log(0.75), abs=1e-6)
+        assert out[1] == pytest.approx(-math.log(0.25), abs=1e-6)
+
+    def test_oov_floor_when_vocab_truncated(self, spark):
+        from eventhub_to_timescale_spark.operators.text import unigram_lm_score
+
+        # vocab_top_k=1 keeps only 'a' (count 3); 'b' becomes OOV with
+        # floor p = 1/total = 1/4 — same value as its true count here
+        docs = self._docs(spark, ["a a a", "b b"])
+        out = {
+            r["doc_id"]: r["avg_neg_logprob"]
+            for r in unigram_lm_score(docs, vocab_top_k=1).collect()
+        }
+        assert out[1] == pytest.approx(-math.log(1 / 5), abs=1e-6)
+
+    def test_empty_and_tokenless_docs_excluded(self, spark):
+        from eventhub_to_timescale_spark.operators.text import unigram_lm_score
+
+        docs = self._docs(spark, ["hello world", "", "!!! ???"])
+        out = unigram_lm_score(docs, vocab_top_k=10).collect()
+        assert [r["doc_id"] for r in out] == [0]
