@@ -932,6 +932,25 @@ def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), 512, 384)
 
 
+def _events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessionization through Spark's built-in
+    session_window aggregate (the streaming-native path) — strict-gap
+    boundary, microsecond precision (operators/sessions.py)."""
+    from eventhub_to_timescale_spark.operators.sessions import (
+        sessionize_native,
+    )
+
+    return sessionize_native(_events(spark, sf_dir), "user_id", "ts", 1800)
+
+
+def _toolkit_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness coverage per subject — heartbeat_agg->live_time
+    parity, integer arithmetic end to end (operators/toolkit.py)."""
+    from eventhub_to_timescale_spark.operators.toolkit import heartbeat_uptime
+
+    return heartbeat_uptime(_conditions(spark, sf_dir), "value", 3600)
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1050,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "corpus_shard_order": _corpus_shard_order,
         "events_sessionize": _events_sessionize,
+        "events_sessionize_native": _events_sessionize_native,
+        "toolkit_heartbeat": _toolkit_heartbeat,
         "text_unigram_lm": _text_unigram_lm,
     }
 
@@ -1076,6 +1097,14 @@ def _sessionize_oracle() -> str:
     )
 
     return sessionize_oracle_sql(1800)
+
+
+def _sessionize_native_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sessions import (
+        sessionize_native_oracle_sql,
+    )
+
+    return sessionize_native_oracle_sql(1800)
 
 
 def _unigram_lm_oracle() -> str:
@@ -1631,5 +1660,24 @@ FROM v WHERE raw_norm > 0
         "doc_chunks": _chunking_oracle(),
         "corpus_shard_order": _shard_order_oracle(),
         "events_sessionize": _sessionize_oracle(),
+        "events_sessionize_native": _sessionize_native_oracle(),
         "text_unigram_lm": _unigram_lm_oracle(),
+        "toolkit_heartbeat": f"""
+WITH beats AS (
+  SELECT measurement_subject,
+         CAST(floor(epoch(timestamp)) AS BIGINT) AS t,
+         lead(CAST(floor(epoch(timestamp)) AS BIGINT)) OVER (
+             PARTITION BY measurement_subject
+             ORDER BY timestamp, measurement_unique_id) AS next_t
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+)
+SELECT measurement_subject,
+       CAST(COUNT(*) AS BIGINT) AS n_beats,
+       CAST(SUM(CASE WHEN next_t IS NULL THEN 3600
+                     ELSE LEAST(next_t - t, 3600) END) AS BIGINT)
+           AS covered_s,
+       CAST(MAX(t) + 3600 - MIN(t) AS BIGINT) AS span_s
+FROM beats GROUP BY 1
+""",
     }

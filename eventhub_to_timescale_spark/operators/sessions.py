@@ -66,6 +66,53 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """The same sessionization via Spark's built-in
+    ``session_window`` — the operator Structured Streaming uses for
+    stateful session aggregation, usable identically in batch.
+
+    → (subject, session_start, session_end_event, n_events) where
+    ``session_end_event`` is the LAST EVENT time (the raw
+    ``session_window.end`` is last event + gap; subtracting the gap
+    makes the output comparable with ``sessionize``).
+
+    Boundary contract MATCHES ``sessionize``: ``session_window``
+    merges sessions whose windows overlap OR TOUCH (verified
+    empirically — an event at exactly last_event + gap joins the
+    session), i.e. a new session starts only when the gap strictly
+    exceeds ``gap_seconds``.  The one divergence is precision:
+    ``session_window`` compares exact microseconds while
+    ``sessionize`` truncates to whole seconds, so sub-second data can
+    split differently at knife-edge gaps.  On integer-second data
+    ``sessionize(events, g)`` ≡ ``sessionize_native(events, g)`` —
+    pinned by tests/test_sessions_lm.py.
+
+    Scale: ``session_window`` is one hash aggregate with partial
+    merge of [start, end) spans — no lag window, no running sum; in
+    streaming it is the state-store-backed path
+    (streaming/pipeline.py uses the same construct with a watermark).
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        events.groupBy(F.col(subject_col), sw.alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            subject_col,
+            F.col("sw.start").alias("session_start"),
+            (
+                F.col("sw.end")
+                - F.expr(f"INTERVAL {gap_seconds} SECONDS")
+            ).alias("session_end_event"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_oracle_sql(
     gap_seconds: int = 1800,
     table: str = "events",
@@ -105,4 +152,51 @@ FROM numbered GROUP BY 1, 2
 """
 
 
-__all__ = ["sessionize", "sessionize_oracle_sql"]
+def sessionize_native_oracle_sql(
+    gap_seconds: int = 1800,
+    table: str = "events",
+    subject_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB rendering of ``sessionize_native``'s contract: new
+    session iff the gap STRICTLY exceeds ``gap_seconds`` (windows
+    that merely touch merge — verified against session_window).
+
+    Spark's ``session_window`` merges at exact MICROSECOND precision
+    (internal long micros), so the oracle compares ``epoch_us`` BIGINT
+    differences — ``epoch()`` doubles would wobble ~2e-7 s at 2024
+    epochs and could flip a knife-edge gap."""
+    return f"""
+WITH flagged AS (
+  SELECT {subject_col}, {ts_col}, {id_col},
+         CASE WHEN epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER (
+                  PARTITION BY {subject_col}
+                  ORDER BY {ts_col}, {id_col}))
+                  > {gap_seconds} * 1000000
+              OR lag({ts_col}) OVER (
+                  PARTITION BY {subject_col}
+                  ORDER BY {ts_col}, {id_col}) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM {table}
+), numbered AS (
+  SELECT {subject_col}, {ts_col},
+         SUM(is_new) OVER (PARTITION BY {subject_col}
+                           ORDER BY {ts_col}, {id_col}
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT {subject_col},
+       MIN({ts_col}) AS session_start,
+       MAX({ts_col}) AS session_end_event,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY {subject_col}, session_idx
+"""
+
+
+__all__ = [
+    "sessionize",
+    "sessionize_native",
+    "sessionize_oracle_sql",
+    "sessionize_native_oracle_sql",
+]

@@ -147,4 +147,59 @@ def trend_slope(
     )
 
 
-__all__ = ["counter_delta", "ohlc", "trend_slope"]
+def heartbeat_uptime(
+    conditions: DataFrame,
+    of: str = "value",
+    tolerance_seconds: int = 3600,
+) -> DataFrame:
+    """Liveness coverage per subject — Timescale Toolkit
+    ``heartbeat_agg → live_time()``: each measurement proves the
+    subject alive for ``tolerance_seconds`` after it; covered time is
+    the length of the UNION of those [t, t+tol) intervals, which for
+    sorted heartbeats is Σ min(next_t − t, tol) over consecutive
+    pairs plus ``tol`` for the final one (overlaps collapse via the
+    ``min``; gaps longer than ``tol`` contribute exactly ``tol``).
+
+    → (measurement_subject, n_beats, covered_s, span_s) where span_s
+    is last-beat-plus-tolerance minus first beat: uptime fraction =
+    covered_s / span_s.  Integer arithmetic end to end (second
+    truncation), so oracle parity is exact.  One lag-family window +
+    one aggregate, both keyed by subject — Q8's shuffle profile, same
+    salting story if a subject dominates.
+    """
+    if tolerance_seconds <= 0:
+        raise ValueError(
+            f"tolerance_seconds must be positive, got {tolerance_seconds}"
+        )
+    w = Window.partitionBy("measurement_subject").orderBy(*_measure_order())
+    t = F.unix_timestamp(F.col("timestamp"))
+    beats = (
+        conditions.filter(
+            (F.col("measurement_of") == of)
+            & F.col("measurement_number").isNotNull()
+        )
+        .select(
+            "measurement_subject",
+            "timestamp",
+            "measurement_unique_id",
+            t.alias("t"),
+        )
+        .withColumn("next_t", F.lead("t").over(w))
+    )
+    covered = F.when(
+        F.col("next_t").isNull(), F.lit(tolerance_seconds)
+    ).otherwise(
+        F.least(F.col("next_t") - F.col("t"), F.lit(tolerance_seconds))
+    )
+    return (
+        beats.withColumn("covered", covered)
+        .groupBy("measurement_subject")
+        .agg(
+            F.count("*").alias("n_beats"),
+            F.sum("covered").alias("covered_s"),
+            (F.max("t") + tolerance_seconds - F.min("t")).alias("span_s"),
+        )
+    )
+
+
+__all__ = ["counter_delta", "ohlc", "trend_slope", "heartbeat_uptime"]

@@ -68,6 +68,99 @@ class TestSessionize:
             sessionize(_events(spark, []), gap_seconds=0)
 
 
+class TestSessionizeNative:
+    def test_equivalence_with_window_form_on_integer_seconds(self, spark):
+        """session_window merges overlapping-or-touching windows —
+        the same 'continue on gap <= g' rule as the window form — so
+        on integer-second data the two implementations draw identical
+        islands for the SAME g (includes gaps of exactly 1800)."""
+        from eventhub_to_timescale_spark.operators.sessions import (
+            sessionize,
+            sessionize_native,
+        )
+
+        import random
+
+        rng = random.Random(42)
+        rows, t, eid = [], 0, 0
+        for _ in range(200):
+            t += rng.choice([5, 60, 1799, 1800, 1801, 4000])
+            eid += 1
+            rows.append(
+                (rng.randrange(3), f"2024-01-0{1 + t // 86400} "
+                 f"{t % 86400 // 3600:02d}:{t % 3600 // 60:02d}:{t % 60:02d}",
+                 eid)
+            )
+        ev = _events(spark, rows)
+        a = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionize(ev, gap_seconds=1800).collect()
+        }
+        b = {
+            (r["user_id"], r["session_start"], r["session_end_event"],
+             r["n_events"])
+            for r in sessionize_native(ev, gap_seconds=1800).collect()
+        }
+        assert a == b
+
+    def test_touching_windows_merge_and_strict_excess_splits(self, spark):
+        from eventhub_to_timescale_spark.operators.sessions import (
+            sessionize_native,
+        )
+
+        touching = [
+            (1, "2024-01-01 00:00:00", 1),
+            (1, "2024-01-01 00:30:00", 2),  # gap == 1800 -> merges
+        ]
+        over = [
+            (1, "2024-01-01 00:00:00", 1),
+            (1, "2024-01-01 00:30:01", 2),  # gap == 1801 -> splits
+        ]
+        assert sessionize_native(_events(spark, touching), gap_seconds=1800).count() == 1
+        assert sessionize_native(_events(spark, over), gap_seconds=1800).count() == 2
+
+
+class TestHeartbeatUptime:
+    def _cond(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                (s, datetime.fromisoformat(t), "value", 1.0, uid)
+                for s, t, uid in rows
+            ],
+            "measurement_subject string, timestamp timestamp, "
+            "measurement_of string, measurement_number double, "
+            "measurement_unique_id long",
+        )
+
+    def test_union_semantics(self, spark):
+        from eventhub_to_timescale_spark.operators.toolkit import (
+            heartbeat_uptime,
+        )
+
+        # tol 100: beats at 0, 50 (overlap), 300 (gap) ->
+        # covered = min(50,100) + min(250,100) + 100 = 250
+        rows = [
+            ("a", "2024-01-01 00:00:00", 1),
+            ("a", "2024-01-01 00:00:50", 2),
+            ("a", "2024-01-01 00:05:00", 3),
+        ]
+        out = heartbeat_uptime(self._cond(spark, rows), "value", 100).collect()
+        r = out[0]
+        assert (r["n_beats"], r["covered_s"], r["span_s"]) == (3, 250, 400)
+
+    def test_duplicate_beats_add_nothing(self, spark):
+        from eventhub_to_timescale_spark.operators.toolkit import (
+            heartbeat_uptime,
+        )
+
+        rows = [
+            ("a", "2024-01-01 00:00:00", 1),
+            ("a", "2024-01-01 00:00:00", 2),
+        ]
+        r = heartbeat_uptime(self._cond(spark, rows), "value", 60).collect()[0]
+        assert (r["covered_s"], r["span_s"]) == (60, 60)
+
+
 class TestUnigramLm:
     def _docs(self, spark, texts):
         return spark.createDataFrame(
