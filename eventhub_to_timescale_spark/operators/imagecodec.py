@@ -183,6 +183,37 @@ def decode_video_frame(data: bytes, index: int) -> bytes:
     raise ValueError("corrupt VID0 container")  # pragma: no cover
 
 
+def decode_video_frames(data: bytes, indices: list[int]) -> dict[int, bytes]:
+    """Return ``{index: bmp_bytes}`` for all requested frames in ONE
+    container walk — ``decode_video_frame`` re-walks from the start
+    per call, which is O(F) per frame; fixed-budget sampling asks for
+    several frames of the same container, so the single pass matters
+    in the hot mapInPandas path.  Same error contract: ValueError for
+    malformed containers, IndexError for an out-of-range index."""
+    n = video_frame_count(data)
+    want = set(indices)
+    for index in want:
+        if not 0 <= index < n:
+            raise IndexError(f"frame {index} out of range (container has {n})")
+    out: dict[int, bytes] = {}
+    pos = 8
+    for i in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("corrupt VID0 container")
+        (length,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if i in want:
+            if pos + length > len(data):
+                raise ValueError("corrupt VID0 container")
+            out[i] = data[pos : pos + length]
+            if len(out) == len(want):
+                return out
+        pos += length
+    if len(out) != len(want):  # pragma: no cover - guarded above
+        raise ValueError("corrupt VID0 container")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic pixel content. Every constant below is
 # mirrored in the DuckDB oracle (oracles.py mm_*_oracle) — change them

@@ -326,21 +326,45 @@ def frame_samples_sql_checkable(blobs: DataFrame, n_frames: int = 4) -> DataFram
     """Oracle-comparable projection of REAL frame sampling: each
     sampled frame's BMP bytes are decoded and reduced to the same
     position-weighted pixel checksum, recomputed analytically by the
-    DuckDB oracle from the per-frame pixel formula."""
-    frames = sample_frames(blobs, n_frames=n_frames, fake=False)
+    DuckDB oracle from the per-frame pixel formula.
+
+    Fused into ONE ``mapInPandas`` stage (round 6): the previous
+    chain ran ``sample_frames`` and a separate checksum stage, which
+    shipped every sampled frame's bytes through a JVM↔Python Arrow
+    round-trip between the two — the same two-stage shape that made
+    mm_resize the slowest query before its fuse.  Container parse →
+    frame extract → BMP decode → checksum now happen in one Python
+    worker pass, and the requested frames of a container are pulled in
+    a single walk (``ic.decode_video_frames``) instead of re-walking
+    per sample.  ``sample_frames`` stays as the generic operator that
+    MATERIALIZES frames for downstream consumers."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            arrs = [ic.decode_bmp(bytes(p)) for p in pdf["frame"]]
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            n_bytes: list[int] = []
+            sums: list[int] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                total = ic.video_frame_count(p)
+                srcs = [(i * total) // n_frames for i in range(n_frames)]
+                frames = ic.decode_video_frames(p, srcs)
+                for i, src in enumerate(srcs):
+                    frame = frames[src]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    n_bytes.append(len(frame))
+                    sums.append(ic.pixel_checksum(ic.decode_bmp(frame)))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].values,
-                    "frame_idx": pdf["frame_idx"].values,
-                    "n_bytes": pdf["n_bytes"].values,
-                    "pixel_sum": np.int64([ic.pixel_checksum(a) for a in arrs]),
+                    "doc_id": np.int64(doc_ids),
+                    "frame_idx": np.int32(idxs),
+                    "n_bytes": np.int64(n_bytes),
+                    "pixel_sum": np.int64(sums),
                 }
             )
 
-    return frames.select("doc_id", "frame_idx", "frame", "n_bytes").mapInPandas(
+    return blobs.select("doc_id", "payload").mapInPandas(
         batches, schema=FRAME_CHECKSUM_SCHEMA
     )

@@ -196,3 +196,26 @@ class TestMalformedContainers:
             ic.decode_video_frame(good[: len(good) - 5], ic.video_frame_count(good) - 1)
         with pytest.raises(IndexError):
             ic.decode_video_frame(good, 99)
+
+
+class TestDecodeVideoFrames:
+    def test_single_pass_matches_per_frame_decode(self):
+        vid = ic.synth_video_bytes(2)  # doc 2 -> 4-frame container
+        n = ic.video_frame_count(vid)
+        got = ic.decode_video_frames(vid, [0, 2, 2, n - 1])
+        assert set(got) == {0, 2, n - 1}
+        for i in got:
+            assert got[i] == ic.decode_video_frame(vid, i)
+
+    def test_error_contract_matches_single_frame_decoder(self):
+        vid = ic.synth_video_bytes(2)
+        n = ic.video_frame_count(vid)
+        with pytest.raises(IndexError):
+            ic.decode_video_frames(vid, [0, n])
+        with pytest.raises(ValueError):
+            ic.decode_video_frames(b"NOPE" + vid[4:], [0])
+        # truncation is detected when it hits a REQUESTED frame (the
+        # last one); earlier frames return before the damage, same
+        # early-return contract as decode_video_frame
+        with pytest.raises(ValueError):
+            ic.decode_video_frames(vid[: len(vid) - 3], [n - 1])
