@@ -951,6 +951,46 @@ def _toolkit_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heartbeat_uptime(_conditions(spark, sf_dir), "value", 3600)
 
 
+def _sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-subjects vs exact, gated by a concordance boolean
+    the oracle pins to TRUE — Toolkit hyperloglog parity
+    (operators/sketches.py)."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        approx_distinct_concordance,
+    )
+
+    return approx_distinct_concordance(_conditions(spark, sf_dir))
+
+
+def _sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject GK-sketch median vs exact interpolated median —
+    Toolkit percentile_agg parity (operators/sketches.py)."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        approx_percentile_concordance,
+    )
+
+    return approx_percentile_concordance(_conditions(spark, sf_dir))
+
+
+def _sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width saturating histogram of the value stream — Toolkit
+    histogram() parity, exact integer output
+    (operators/sketches.py)."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        value_histogram,
+    )
+
+    return value_histogram(_conditions(spark, sf_dir), "value", 0.0, 100.0, 20)
+
+
+def _toolkit_gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-minus-first gauge change per (subject, 6-h bucket) —
+    Toolkit gauge_agg→delta() parity (operators/sketches.py)."""
+    from eventhub_to_timescale_spark.operators.sketches import gauge_delta
+
+    return gauge_delta(_conditions(spark, sf_dir), "value", 21600)
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1072,6 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_native": _events_sessionize_native,
         "toolkit_heartbeat": _toolkit_heartbeat,
         "text_unigram_lm": _text_unigram_lm,
+        "sketch_distinct": _sketch_distinct,
+        "sketch_percentile": _sketch_percentile,
+        "sketch_histogram": _sketch_histogram,
+        "toolkit_gauge_delta": _toolkit_gauge_delta,
     }
 
 
@@ -1679,5 +1723,53 @@ SELECT measurement_subject,
            AS covered_s,
        CAST(MAX(t) + 3600 - MIN(t) AS BIGINT) AS span_s
 FROM beats GROUP BY 1
+""",
+        # sketch concordance gates: the oracle computes the EXACT
+        # answer and pins within_tolerance TRUE; the Spark side derives
+        # the boolean from |sketch - exact|, so sketch drift outside
+        # its error bound hash-mismatches (operators/sketches.py)
+        "sketch_distinct": f"""
+SELECT measurement_of,
+       COUNT(DISTINCT measurement_subject) AS exact_distinct,
+       TRUE AS within_tolerance
+FROM {cond} c GROUP BY 1
+""",
+        "sketch_percentile": f"""
+SELECT measurement_subject,
+       ROUND(quantile_cont(measurement_number, 0.5), 6) AS exact_q,
+       TRUE AS within_tolerance
+FROM {cond} c
+WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+GROUP BY 1
+""",
+        "sketch_histogram": f"""
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(floor(measurement_number / 5.0), 0), 19)
+              AS INTEGER) AS bin
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+)
+SELECT bin, CAST(ROUND(bin * 5.0, 6) AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n
+FROM b GROUP BY 1
+""",
+        "toolkit_gauge_delta": f"""
+WITH s AS (
+  SELECT measurement_subject, {bucket.format(w=21600)} AS time,
+         measurement_number AS v, timestamp, measurement_unique_id
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY measurement_subject, time
+             ORDER BY timestamp, measurement_unique_id) AS ra,
+         row_number() OVER (PARTITION BY measurement_subject, time
+             ORDER BY timestamp DESC, measurement_unique_id DESC) AS rd
+  FROM s
+)
+SELECT measurement_subject, time,
+       ROUND(MAX(CASE WHEN rd = 1 THEN v END)
+             - MAX(CASE WHEN ra = 1 THEN v END), 6) AS gauge_delta
+FROM r GROUP BY 1, 2
 """,
     }

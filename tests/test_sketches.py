@@ -1,0 +1,147 @@
+"""Semantic edge cases for the sketch/approx-aggregate family
+(operators/sketches.py) — HLL distinct, GK percentile, saturating
+histogram, gauge delta.  Cross-engine parity is covered by
+check_parity; these pin tolerance semantics and boundary behaviour
+directly on tiny hand-built frames.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.sketches import (
+    approx_distinct_concordance,
+    approx_percentile_concordance,
+    gauge_delta,
+    value_histogram,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _conditions(spark, rows):
+    """rows: (subject, minutes-from-T0, of, value, uid)"""
+    return spark.createDataFrame(
+        [
+            (s, T0 + timedelta(minutes=m), of,
+             None if v is None else float(v), uid)
+            for s, m, of, v, uid in rows
+        ],
+        "measurement_subject string, timestamp timestamp, "
+        "measurement_of string, measurement_number double, "
+        "measurement_unique_id long",
+    )
+
+
+class TestApproxDistinct:
+    def test_small_cardinality_is_exact_and_concordant(self, spark):
+        rows = [
+            (f"s{i % 7}", i, "value", 1.0, i) for i in range(50)
+        ] + [(f"s{i % 3}", i, "temp", 1.0, 100 + i) for i in range(9)]
+        out = {
+            r["measurement_of"]: r
+            for r in approx_distinct_concordance(
+                _conditions(spark, rows)
+            ).collect()
+        }
+        assert out["value"]["exact_distinct"] == 7
+        assert out["temp"]["exact_distinct"] == 3
+        assert all(r["within_tolerance"] for r in out.values())
+
+
+class TestApproxPercentile:
+    def test_median_concordant_on_skewed_gaps(self, spark):
+        # thin density right at the median — the case that broke a
+        # value-space tolerance: adjacent samples jump 10 → 40
+        vals = [1, 2, 3, 4, 10, 40, 46, 47, 48, 49]
+        rows = [("a", i, "value", v, i) for i, v in enumerate(vals)]
+        out = approx_percentile_concordance(
+            _conditions(spark, rows), rank_tolerance=0.12
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["exact_q"] == pytest.approx(25.0)  # (10+40)/2
+        assert out[0]["within_tolerance"]
+
+    def test_null_values_excluded(self, spark):
+        rows = [("a", 0, "value", 5.0, 0), ("a", 1, "value", None, 1)]
+        out = approx_percentile_concordance(_conditions(spark, rows)).collect()
+        assert out[0]["exact_q"] == pytest.approx(5.0)
+        assert out[0]["within_tolerance"]
+
+    def test_envelope_must_stay_in_unit_interval(self, spark):
+        with pytest.raises(ValueError):
+            approx_percentile_concordance(
+                _conditions(spark, []), q=0.99, rank_tolerance=0.05
+            )
+
+
+class TestValueHistogram:
+    def test_saturating_edges_and_widths(self, spark):
+        rows = [
+            ("a", 0, "value", -5.0, 0),   # underflow -> bin 0
+            ("a", 1, "value", 0.0, 1),    # bin 0
+            ("a", 2, "value", 9.99, 2),   # bin 0 (width 10)
+            ("a", 3, "value", 10.0, 3),   # bin 1
+            ("a", 4, "value", 95.0, 4),   # bin 9
+            ("a", 5, "value", 100.0, 5),  # overflow -> bin 9
+            ("a", 6, "value", 1e6, 6),    # overflow -> bin 9
+        ]
+        out = {
+            r["bin"]: r
+            for r in value_histogram(
+                _conditions(spark, rows), "value", 0.0, 100.0, 10
+            ).collect()
+        }
+        assert out[0]["n"] == 3 and out[0]["bin_lo"] == 0.0
+        assert out[1]["n"] == 1 and out[1]["bin_lo"] == 10.0
+        assert out[9]["n"] == 3 and out[9]["bin_lo"] == 90.0
+        assert set(out) == {0, 1, 9}  # empty bins absent
+
+    def test_bad_config_refused(self, spark):
+        df = _conditions(spark, [])
+        with pytest.raises(ValueError):
+            value_histogram(df, "value", 0.0, 100.0, 0)
+        with pytest.raises(ValueError):
+            value_histogram(df, "value", 5.0, 5.0, 10)
+
+
+class TestGaugeDelta:
+    def test_last_minus_first_no_reset_heuristic(self, spark):
+        # gauge falls 100 -> 7: delta is -93, NOT counter-style +7
+        rows = [
+            ("a", 0, "value", 100.0, 1),
+            ("a", 30, "value", 42.0, 2),
+            ("a", 60, "value", 7.0, 3),
+        ]
+        out = gauge_delta(_conditions(spark, rows), "value", 86400).collect()
+        assert len(out) == 1
+        assert out[0]["gauge_delta"] == pytest.approx(-93.0)
+
+    def test_uid_breaks_timestamp_ties(self, spark):
+        # same timestamp, uid orders: first=(t,1)=5, last=(t,9)=11
+        rows = [
+            ("a", 0, "value", 5.0, 1),
+            ("a", 0, "value", 8.0, 4),
+            ("a", 0, "value", 11.0, 9),
+        ]
+        out = gauge_delta(_conditions(spark, rows), "value", 86400).collect()
+        assert out[0]["gauge_delta"] == pytest.approx(6.0)
+
+    def test_buckets_are_independent(self, spark):
+        rows = [
+            ("a", 0, "value", 1.0, 1),
+            ("a", 10, "value", 4.0, 2),      # day 1: +3
+            ("a", 1440, "value", 10.0, 3),
+            ("a", 1450, "value", 2.0, 4),    # day 2: -8
+        ]
+        out = sorted(
+            gauge_delta(_conditions(spark, rows), "value", 86400).collect(),
+            key=lambda r: r["time"],
+        )
+        assert [r["gauge_delta"] for r in out] == [
+            pytest.approx(3.0),
+            pytest.approx(-8.0),
+        ]
