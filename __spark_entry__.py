@@ -991,6 +991,50 @@ def _toolkit_gauge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gauge_delta(_conditions(spark, sf_dir), "value", 21600)
 
 
+def _rel_tables(spark: SparkSession, sf_dir: str, *names: str):
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing roll-up in exact integer cents —
+    operators/relational.py."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    (li,) = _rel_tables(spark, sf_dir, "lineitem")
+    return pricing_summary(li, "1998-09-01")
+
+
+def _rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape star join: broadcast fixed dims, shuffle the
+    fact joins, revenue per EUROPE nation for 1996 orders —
+    operators/relational.py."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        revenue_by_nation,
+    )
+
+    li, o, c, n, r = _rel_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    return revenue_by_nation(
+        li, o, c, n, r, "EUROPE", "1996-01-01", "1997-01-01"
+    )
+
+
+def _rel_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape deterministic top-10 revenue orders (BUILDING
+    segment, as-of 1998-03-15) — operators/relational.py."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        top_revenue_orders,
+    )
+
+    li, o, c = _rel_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    return top_revenue_orders(li, o, c, "BUILDING", "1998-03-15", 10)
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1116,6 +1160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_percentile": _sketch_percentile,
         "sketch_histogram": _sketch_histogram,
         "toolkit_gauge_delta": _toolkit_gauge_delta,
+        "rel_pricing_summary": _rel_pricing_summary,
+        "rel_revenue_by_nation": _rel_revenue_by_nation,
+        "rel_top_orders": _rel_top_orders,
     }
 
 
@@ -1771,5 +1818,68 @@ SELECT measurement_subject, time,
        ROUND(MAX(CASE WHEN rd = 1 THEN v END)
              - MAX(CASE WHEN ra = 1 THEN v END), 6) AS gauge_delta
 FROM r GROUP BY 1, 2
+""",
+        # relational star-schema queries: money arithmetic in exact
+        # integer cents / basis points so BIGINT sums are associative
+        # and cross-engine identical (operators/relational.py)
+        "rel_pricing_summary": """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_p,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_p
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       ROUND(CAST(SUM(price_c) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       ROUND(CAST(SUM(price_c * (100 - disc_p)) AS DOUBLE) / 1e4, 4)
+           AS sum_disc_price,
+       ROUND(CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p)) AS DOUBLE)
+             / 1e6, 6) AS sum_charge,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(price_c) AS DOUBLE) / COUNT(*) / 100.0, 6)
+           AS avg_price,
+       ROUND(CAST(SUM(disc_p) AS DOUBLE) / COUNT(*) / 100.0, 6)
+           AS avg_disc,
+       COUNT(*) AS count_order
+FROM l GROUP BY 1, 2
+""",
+        "rel_revenue_by_nation": """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 1e4, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+        "rel_top_orders": """
+WITH agg AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             AS rev_sum_u
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(CAST(rev_sum_u AS DOUBLE) / 1e4, 4) AS revenue
+FROM agg
+ORDER BY rev_sum_u DESC, o_orderkey
+LIMIT 10
 """,
     }

@@ -1,0 +1,185 @@
+"""Relational analytics over the warehouse tables (TPC-H-shaped
+``lineitem/orders/customer/nation/region``) — the star-schema join and
+aggregation layer a Timescale deployment runs NEXT TO its hypertables
+(the reference's Postgres instance holds ordinary relational tables in
+the same database; SURVEY.md §1.1).  Extensions beyond the reference's
+own `db/*.sql` surface, framed as such.
+
+Cross-engine float rule (FIXTURES.md): a SUM over tens of thousands of
+doubles is accumulation-order-dependent, so Spark and DuckDB can
+legitimately disagree in the 1e-10 relative digits — past the 6-dp
+round at Q1-revenue magnitudes (~1e8).  These operators therefore do
+the money arithmetic in INTEGER units (cents; basis-point discount and
+tax factors make discounted price exact in 1e-4 $ and charge in
+1e-6 $): BIGINT sums are associative, both engines produce the same
+integer, and the final cast-to-double + round is deterministic.  The
+inputs are 2-dp dollar values by construction, so the cents cast is
+lossless.
+
+100 TB posture, per query, in the docstrings — the shared shape:
+fact-to-fact joins (lineitem ⋈ orders) shuffle on the join key and are
+the intended co-partitioning axis for a bucketed warehouse layout;
+fixed-cardinality dims (nation 25, region 5) are broadcast
+EXPLICITLY; SF-growing dims (customer, part) are left to AQE /
+broadcast thresholds rather than hard-coded, because what is
+broadcastable at sf0.1 is not at 100 TB.  All aggregates are
+map-side-combinable (plain sums/counts on flat keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> F.Column:
+    """2-dp dollar double → exact integer cents."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _pct(col: str) -> F.Column:
+    """2-dp fraction double (0.00–0.99) → exact integer percent."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: per (l_returnflag,
+    l_linestatus) over rows shipped on/before ``ship_cutoff``, the
+    quantity/price/discount/charge roll-up.
+
+    Integer units: base price in cents (1e-2 $), discounted price in
+    1e-4 $ (cents × percent), charge in 1e-6 $.  Averages divide the
+    exact integer sums by the group count in double — identical
+    IEEE ops both engines — then round to 6 dp.
+
+    100 TB posture: single pushed-filter scan (shipdate reaches the
+    parquet row-group stats), one shuffle carrying ≤ |flags×status|
+    partial-agg rows per map task.  The 6-group output is a scalar
+    frame; nothing here grows with SF.
+    """
+    qty = F.col("l_quantity").cast("long")
+    price_c = _cents("l_extendedprice")
+    disc_p = _pct("l_discount")
+    tax_p = _pct("l_tax")
+    disc_price_u = price_c * (100 - disc_p)        # 1e-4 $
+    charge_u = disc_price_u * (100 + tax_p)        # 1e-6 $
+    n = F.count("*")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price_u) / 1e4, 4).alias("sum_disc_price"),
+            F.round(F.sum(charge_u) / 1e6, 6).alias("sum_charge"),
+            F.round(F.sum(qty) / n, 6).alias("avg_qty"),
+            F.round(F.sum(price_c) / n / 100.0, 6).alias("avg_price"),
+            F.round(F.sum(disc_p) / n / 100.0, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str,
+    year_start: str,
+    year_end: str,
+) -> DataFrame:
+    """TPC-H Q5-shape: discounted revenue per customer nation within
+    one region, for orders placed in [year_start, year_end).
+
+    → (n_name, revenue) with revenue exact to 1e-4 $ then rounded.
+
+    100 TB posture: region (5 rows) and nation (25) are broadcast
+    explicitly — the region filter prunes the nation build side
+    BEFORE it reaches the customer join, so the fact tables only see
+    surviving nations.  customer ⋈ orders shuffles on custkey and
+    orders ⋈ lineitem on orderkey — the two natural bucketing axes of
+    a warehouse layout; neither side is hinted, leaving AQE free to
+    pick broadcast at small SF and sort-merge at large.  The
+    orderdate filter is pushed to the orders scan, shrinking the
+    probe side before any join.
+    """
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_start))
+        & (F.col("o_orderdate") < F.lit(year_end))
+    ).select("o_orderkey", "o_custkey")
+    rev_u = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    return (
+        lineitem.select("l_orderkey", rev_u.alias("rev_u"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev_u") / 1e4, 4).alias("revenue"))
+    )
+
+
+def top_revenue_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str,
+    as_of: str,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shape: the ``k`` highest-revenue orders from one
+    market segment placed before ``as_of`` with lineitems still
+    shipping after it.
+
+    → (o_orderkey, o_orderdate, o_orderpriority, revenue), ordered by
+    (revenue DESC, o_orderkey) — the integer revenue makes the sort
+    key exact, and the orderkey tie-break makes the LIMIT
+    deterministic in both engines.
+
+    100 TB posture: both date filters are pushed scans; the segment
+    filter shrinks customer before its join.  The top-k is a full
+    sort of the AGGREGATED frame (one row per qualifying order, not
+    per lineitem) and Spark executes LIMIT-after-sort as TakeOrdered
+    — no global sort materializes.
+    """
+    custs = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    ords = (
+        orders.filter(F.col("o_orderdate") < F.lit(as_of))
+        .join(custs, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev_u = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(as_of))
+        .select("l_orderkey", rev_u.alias("rev_u"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_u").alias("rev_sum_u"))
+        .orderBy(F.col("rev_sum_u").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("rev_sum_u") / 1e4, 4).alias("revenue"),
+        )
+    )
+
+
+__all__ = ["pricing_summary", "revenue_by_nation", "top_revenue_orders"]

@@ -1,0 +1,147 @@
+"""Semantic tests for the relational star-schema queries
+(operators/relational.py) on tiny hand-built frames — integer-cents
+exactness, filter edges, and deterministic top-k ties.  Cross-engine
+parity runs in check_parity / test_gate_tail_parity.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.relational import (
+    pricing_summary,
+    revenue_by_nation,
+    top_revenue_orders,
+)
+
+
+def _li(spark, rows):
+    """rows: (orderkey, qty, price, disc, tax, flag, status, shipdate)"""
+    return spark.createDataFrame(
+        [
+            (ok, float(q), float(p), float(d), float(t), f, s,
+             datetime.fromisoformat(sd))
+            for ok, q, p, d, t, f, s, sd in rows
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+
+
+class TestPricingSummary:
+    def test_exact_cents_and_cutoff(self, spark):
+        rows = [
+            (1, 10, 100.10, 0.05, 0.02, "A", "F", "1998-01-01"),
+            (2, 20, 200.20, 0.10, 0.00, "A", "F", "1998-09-01"),
+            (3, 5, 999.99, 0.00, 0.08, "A", "F", "1998-09-02"),  # cut
+        ]
+        out = pricing_summary(_li(spark, rows), "1998-09-01").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["count_order"] == 2
+        assert r["sum_qty"] == 30
+        assert r["sum_base_price"] == pytest.approx(300.30)
+        # 100.10*.95 + 200.20*.90 = 95.095 + 180.18 = 275.275
+        assert r["sum_disc_price"] == pytest.approx(275.275)
+        # 95.095*1.02 + 180.18*1.00 = 96.9969 + 180.18
+        assert r["sum_charge"] == pytest.approx(277.1769)
+        assert r["avg_disc"] == pytest.approx(0.075)
+
+    def test_groups_are_flag_status(self, spark):
+        rows = [
+            (1, 1, 10.0, 0.0, 0.0, "A", "F", "1998-01-01"),
+            (2, 1, 10.0, 0.0, 0.0, "N", "O", "1998-01-01"),
+        ]
+        out = pricing_summary(_li(spark, rows), "1998-09-01").collect()
+        assert {(r["l_returnflag"], r["l_linestatus"]) for r in out} == {
+            ("A", "F"),
+            ("N", "O"),
+        }
+
+
+def _star(spark):
+    orders = spark.createDataFrame(
+        [
+            (100, 1, datetime(1996, 6, 1), "1-URGENT"),
+            (200, 2, datetime(1996, 6, 1), "2-HIGH"),
+            (300, 1, datetime(1997, 6, 1), "1-URGENT"),  # out of window
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(1, 10, "BUILDING"), (2, 20, "MACHINERY")],
+        "c_custkey long, c_nationkey int, c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE", 3), (20, "BRAZIL", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(3, "EUROPE"), (1, "AMERICA")],
+        "r_regionkey int, r_name string",
+    )
+    li = _li(
+        spark,
+        [
+            (100, 1, 1000.00, 0.10, 0.0, "N", "O", "1996-07-01"),
+            (200, 1, 500.00, 0.00, 0.0, "N", "O", "1996-07-01"),
+            (300, 1, 777.00, 0.00, 0.0, "N", "O", "1997-07-01"),
+        ],
+    )
+    return li, orders, customer, nation, region
+
+
+class TestRevenueByNation:
+    def test_region_filter_and_window(self, spark):
+        li, o, c, n, r = _star(spark)
+        out = revenue_by_nation(
+            li, o, c, n, r, "EUROPE", "1996-01-01", "1997-01-01"
+        ).collect()
+        # only order 100 (FRANCE in window); 1000*.9 = 900
+        assert [(x["n_name"], x["revenue"]) for x in out] == [
+            ("FRANCE", 900.0)
+        ]
+
+
+class TestTopRevenueOrders:
+    def test_filters_and_tie_break(self, spark):
+        orders = spark.createDataFrame(
+            [
+                (1, 1, datetime(1998, 1, 1), "1-URGENT"),
+                (2, 1, datetime(1998, 1, 2), "2-HIGH"),
+                (3, 1, datetime(1998, 4, 1), "1-URGENT"),  # after as_of
+            ],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+            "o_orderpriority string",
+        )
+        customer = spark.createDataFrame(
+            [(1, 10, "BUILDING")],
+            "c_custkey long, c_nationkey int, c_mktsegment string",
+        )
+        li = _li(
+            spark,
+            [
+                # identical revenue on orders 1 and 2 -> orderkey tie-break
+                (1, 1, 100.00, 0.0, 0.0, "N", "O", "1998-06-01"),
+                (2, 1, 100.00, 0.0, 0.0, "N", "O", "1998-06-01"),
+                (2, 1, 0.0, 0.0, 0.0, "N", "O", "1998-01-01"),  # pre-as_of
+                (3, 1, 999.00, 0.0, 0.0, "N", "O", "1998-06-01"),
+            ],
+        )
+        out = top_revenue_orders(
+            li, orders, customer, "BUILDING", "1998-03-15", 10
+        ).collect()
+        assert [r["o_orderkey"] for r in out] == [1, 2]
+        assert [r["revenue"] for r in out] == [100.0, 100.0]
+
+    def test_k_limits(self, spark):
+        li, o, c, n, r = _star(spark)
+        out = top_revenue_orders(
+            li, o, c, "BUILDING", "1995-12-31", 1
+        ).collect()
+        assert len(out) == 1
