@@ -79,64 +79,100 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="x int"
     ).count()
 
-    # Each query is timed twice: cold (includes Catalyst analysis +
-    # codegen compile — a fixed cost that vanishes at scale) and warm
-    # (re-execute the same plan — the scale-representative number).
+    # Each query is timed cold once (includes Catalyst analysis +
+    # codegen compile — a fixed cost that vanishes at scale), then warm
+    # THREE times, reporting the MEDIAN (r6 verdict #4: identical-code
+    # warm times moved up to 2.3× between rounds in this sandbox, so a
+    # single warm sample can't distinguish noise from regression;
+    # medians make >1.3× round-over-round deltas meaningful).
+    import statistics
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name, fn in bench_queries.items():
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
-            t1 = time.perf_counter()
-            df.count()
-            warm[name] = round(time.perf_counter() - t1, 3)
+            ws = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                df.count()
+                ws.append(time.perf_counter() - t1)
+            warm[name] = round(statistics.median(ws), 3)
+            warm_min[name] = round(min(ws), 3)
+            rows[name] = n
         except Exception as e:  # a broken query must not hide the rest
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
         else:
             print(
-                f"{name}: {timings[name]}s cold / {warm[name]}s warm ({n} rows)",
+                f"{name}: {timings[name]}s cold / {warm[name]}s warm-med "
+                f"/ {warm_min[name]}s warm-min ({n} rows)",
                 file=sys.stderr,
             )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(warm.values()), 3)
-    # Verbose record (cold + warm per query) goes to stderr; the ONE
-    # stdout JSON line must stay comfortably under the driver's 2000-
-    # char tail buffer (rounds 1-3 and 5 overflowed it -> parsed:null
-    # in BENCH_r{N}.json), so it carries compact 2-dp warm timings.
-    print(
-        json.dumps(
-            {
-                "queries_cold": timings,
-                "queries_warm": warm,
-                "total_cold": total,
-                "total_warm": total_warm,
+    # Full per-query record (cold + 3-sample warm median/min + rows)
+    # goes to BENCH_DETAIL.json next to this script so the complete
+    # surface survives even when the stdout line must be filtered to
+    # fit the driver's ~2000-char tail buffer.
+    detail = {
+        "sf": sf,
+        "warm_samples": 3,
+        "queries": {
+            k: {
+                "cold": timings[k],
+                "warm_median": warm.get(k),
+                "warm_min": warm_min.get(k),
+                "rows": rows.get(k),
             }
-        ),
-        file=sys.stderr,
-    )
+            for k in timings
+        },
+        "total_cold": total,
+        "total_warm_median": total_warm,
+    }
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"could not write BENCH_DETAIL.json: {e}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+
     compact = {k: round(v, 2) for k, v in warm.items()}
     for k, v in timings.items():
         if v < 0:
             compact[k] = -1.0  # errored queries stay visible to the driver
     payload = {
-        "metric": "headline-queries warm wall clock",
+        "metric": "headline-queries warm wall clock (median of 3)",
         "value": total_warm,
         "unit": "sec",
         "queries": compact,
+        "n_queries": len(timings),
         "total_cold": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # The ONE stdout JSON line must stay comfortably under the
+    # driver's 2000-char tail buffer (rounds 1-3, 5 AND 6 overflowed
+    # it -> parsed:null in BENCH_r{N}.json). Progressively drop the
+    # fastest queries (full detail is in BENCH_DETAIL.json) until the
+    # line fits with margin.
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:  # never regress past the driver's tail buffer
+    thr = 0.05
+    while len(line) > 1500 and thr <= 2.0:
         payload["queries"] = {
-            k: v for k, v in compact.items() if v >= 0.05 or v < 0
+            k: v for k, v in compact.items() if v >= thr or v < 0
         }
+        payload["omitted_below_sec"] = thr
         line = json.dumps(payload, separators=(",", ":"))
+        thr *= 2
     print(line)
 
 

@@ -66,17 +66,13 @@ def redact_pii(
     )
 
 
-def contamination_flags(
+def _contamination_flags(
     corpus: DataFrame,
     eval_docs: DataFrame,
-    shingle_n: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """→ (doc_id, n_overlapping): corpus documents sharing ≥1 word
-    ``shingle_n``-gram with any eval document, with the count of
-    distinct overlapping shingles. The eval shingle set is broadcast;
-    the corpus never shuffles."""
     eval_shingles = (
         eval_docs.select(
             F.explode(
@@ -93,8 +89,27 @@ def contamination_flags(
         corpus_shingles.join(F.broadcast(eval_shingles), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlapping"))
-        .orderBy(id_col)
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_overlapping): corpus documents sharing ≥1 word
+    ``shingle_n``-gram with any eval document, with the count of
+    overlapping shingle OCCURRENCES in the corpus document (a shingle
+    repeated k times in one doc contributes k — repeats are themselves
+    a contamination-severity signal). The eval shingle set is
+    broadcast; the corpus never shuffles. Output is sorted by doc_id
+    for stable presentation; use ``decontaminate`` when only the
+    membership matters — it skips the sort."""
+    return _contamination_flags(
+        corpus, eval_docs, shingle_n, text_col, id_col
+    ).orderBy(id_col)
 
 
 def decontaminate(
@@ -106,8 +121,10 @@ def decontaminate(
 ) -> DataFrame:
     """The survivor set: corpus minus every document flagged by
     ``contamination_flags`` (one broadcast semi-join shape, anti
-    direction)."""
-    flagged = contamination_flags(
+    direction). Builds from the unsorted flag plan — the anti-join
+    build side needs membership only, so the presentation sort would
+    be dead compute."""
+    flagged = _contamination_flags(
         corpus, eval_docs, shingle_n, text_col, id_col
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")

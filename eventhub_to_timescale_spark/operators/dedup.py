@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    persist_banded: bool = False,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard): near-duplicate pairs with exact
     word-shingle Jaccard ≥ threshold, candidates from LSH banding.
@@ -111,6 +112,14 @@ def minhash_lsh_pairs(
     sub-signature matches exactly. The band self-join is an equi-join
     on (band_id, band_key) — broadcast-able when the bucketed side is
     small, shuffle-partitioned otherwise; AQE handles skewed buckets.
+
+    ``persist_banded=True`` caches the banded-signature frame so the
+    self-join's two sides share ONE shingle+signature computation and
+    one source scan instead of evaluating the lineage twice — the
+    production setting (a 100 TB run would pick an explicit
+    StorageLevel, e.g. DISK_ONLY, instead of the MEMORY_AND_DISK
+    default). Results are identical either way; the caller owns
+    ``unpersist`` if it cares about executor memory afterwards.
     """
     if num_hashes % bands != 0:
         # a bare assert vanishes under python -O and would silently
@@ -161,6 +170,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+    if persist_banded:
+        banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -362,6 +373,41 @@ def near_dedup_filter(
     """
     dupes = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(dupes, on=id_col, how="left_anti")
+
+
+def minhash_keep_first(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    persist: bool = False,
+) -> DataFrame:
+    """MinHash pair generation + keep-first survivor selection as ONE
+    composed plan — the operator a corpus-dedup run actually ends with.
+
+    ``persist=True`` is the production path: the source frame is
+    cached so one scan of ``docs`` feeds both the pair subplan and the
+    survivor anti-join, and the banded-signature frame is cached so
+    the LSH self-join computes shingles + signatures once instead of
+    twice (SCALE.md previously conceded this double scan).
+    ``persist=False`` keeps the plan fully lazy/deterministic for
+    oracle comparison. Output rows are identical either way.
+    """
+    if persist:
+        docs = docs.persist()
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        persist_banded=persist,
+    )
+    return near_dedup_filter(docs, pairs, id_col)
 
 
 def near_dedup_components(

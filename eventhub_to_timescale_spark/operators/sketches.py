@@ -158,7 +158,11 @@ def value_histogram(
         F.greatest(raw, F.lit(0)), F.lit(nbins - 1)
     ).cast("int")
     return (
-        conditions.filter((F.col("measurement_of") == of) & v.isNotNull())
+        conditions.filter(
+            (F.col("measurement_of") == of)
+            & v.isNotNull()
+            & ~F.isnan(v)
+        )
         .groupBy(bin_id.alias("bin"))
         .agg(F.count("*").alias("n"))
         .select(

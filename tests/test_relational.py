@@ -142,6 +142,6 @@ class TestTopRevenueOrders:
     def test_k_limits(self, spark):
         li, o, c, n, r = _star(spark)
         out = top_revenue_orders(
-            li, o, c, "BUILDING", "1995-12-31", 1
+            li, o, c, "BUILDING", "1996-06-15", 1
         ).collect()
         assert len(out) == 1
