@@ -68,6 +68,118 @@ def _changes_fn(
         yield pd.DataFrame(out_rows)
 
 
+_COUNTER_OUT_SCHEMA = (
+    "measurement_subject string, time timestamp, partial_delta double"
+)
+# last sample carried across micro-batches: value + its order key
+# (timestamp micros, unique id) so the within-batch sort and the
+# cross-batch carry use the same total order as the batch operator
+_COUNTER_STATE_SCHEMA = "last_v double, last_t long, last_uid long"
+
+
+def _counter_delta_fn_factory(bucket_seconds: int):
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (subject,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_v = None
+        if state.exists:
+            (last_v, _last_t, _last_uid) = state.get
+
+        partials: dict[int, float] = {}
+        saw = False
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["timestamp", "measurement_unique_id"])
+            # tz-free integer epoch: naive datetime64 ns in a UTC
+            # session are ns-since-epoch directly
+            epochs = (
+                pdf["timestamp"].astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000
+            )
+            for v, ep, uid in zip(
+                pdf["measurement_number"], epochs,
+                pdf["measurement_unique_id"],
+            ):
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                saw = True
+                if last_v is None:
+                    contrib = 0.0
+                elif v >= last_v:
+                    contrib = v - last_v
+                else:
+                    contrib = v  # counter reset: restart from zero
+                bucket = (int(ep) // bucket_seconds) * bucket_seconds
+                partials[bucket] = partials.get(bucket, 0.0) + contrib
+                last_v, last_t, last_uid = v, int(ep), int(uid)
+        if saw:
+            state.update((last_v, last_t, last_uid))
+            state.setTimeoutDuration(24 * 3600 * 1000)
+        if partials:
+            yield pd.DataFrame(
+                {
+                    "measurement_subject": subject,
+                    "time": pd.to_datetime(
+                        [b * 1_000_000_000 for b in sorted(partials)]
+                    ),
+                    "partial_delta": [
+                        partials[b] for b in sorted(partials)
+                    ],
+                }
+            )
+
+    return fn
+
+
+def streaming_counter_delta(
+    conditions: DataFrame,
+    of: str = "value",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Stream-side Toolkit ``counter_agg → delta()``
+    (operators/toolkit.py:counter_delta): per-subject state is ONE
+    sample (the last value + its order key), each micro-batch emits
+    the bucketed PARTIAL increase it observed, and
+    ``sum(partial_delta) GROUP BY (subject, time)`` over the emitted
+    rows equals the batch operator exactly — counter contributions
+    are per-sample, so no window-close/watermark semantics are needed
+    for the re-aggregation to be exact (contrast ``session_window``).
+
+    At scale this is the canonical continuous-rollup shape: bounded
+    state per key (3 scalars), append-only output, partials
+    re-aggregated by the downstream sink or a follow-up batch agg.
+    Requires event-time-ordered arrival per key across micro-batches
+    (replay in order / per-key ordered source partitions) — the same
+    contract the reference's dedup-ingest assumes.
+    """
+    return (
+        conditions.filter(
+            (conditions["measurement_of"] == of)
+            & conditions["measurement_number"].isNotNull()
+        )
+        .select(
+            "measurement_subject",
+            "timestamp",
+            "measurement_unique_id",
+            "measurement_number",
+        )
+        .groupBy("measurement_subject")
+        .applyInPandasWithState(
+            _counter_delta_fn_factory(bucket_seconds),
+            outputStructType=_COUNTER_OUT_SCHEMA,
+            stateStructType=_COUNTER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def streaming_changed_rows(conditions: DataFrame) -> DataFrame:
     """Stream-side Q8: keep only change points, keyed state per
     (subject, measurement_of). Input must already carry a watermark."""
