@@ -4,6 +4,8 @@ same parquet tables, compare row count + column names + order-
 insensitive values.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
+              [--json=PATH]   write {name: {"pass": bool, "rows": n}}
+                              (the committed PARITY_r{N}.json artifact)
 """
 
 from __future__ import annotations
@@ -40,14 +42,21 @@ def row_key(row):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    json_out = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+        else:
+            args.append(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     # data-dependent oracles (IVF centroid literals) must train on the
     # same sf dir the Spark side reads; the driver's gate uses the
     # sf0.01 default
     import os
 
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    only = set(sys.argv[2:])
+    only = set(args[1:])
 
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
@@ -69,6 +78,7 @@ def main() -> int:
             f"{DRIVER_GATE_WINDOW}-entry gate window: {beyond}"
         )
     failures = []
+    results: dict[str, dict] = {}
     checked = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -80,10 +90,16 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as e:
             failures.append(name)
+            results[name] = {"pass": False, "err": str(e)[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only check, {len(srows)} rows")
+            results[name] = {
+                "pass": len(srows) > 0,
+                "rows": len(srows),
+                "rows_only": True,
+            }
             if len(srows) == 0:
                 failures.append(name)
             continue
@@ -93,6 +109,7 @@ def main() -> int:
             drows = ddf.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"pass": False, "err": str(e)[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
@@ -116,10 +133,29 @@ def main() -> int:
                 print(f"FAIL {name}: value mismatch; first diffs:")
                 for a, b in diffs:
                     print(f"  spark={a}\n  duck ={b}")
+        results[name] = {"pass": ok, "rows": len(srows)}
         if ok:
             print(f"PASS {name}: {len(srows)} rows")
         else:
             failures.append(name)
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "checked": checked,
+                    "registered": len(qs),
+                    "failures": sorted(failures),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
 
     print()
     if not only and checked != len(qs):

@@ -20,7 +20,9 @@ Then each query from ``__spark_entry__.queries()`` runs at both scales
 ``log10(t_sf1/t_sf01)`` is reported: 1.0 = linear, <1 sub-linear
 (fixed overheads amortizing), >1 super-linear (flag).
 
-Usage: python scripts/scale_evidence.py [out.json] [--rebuild]
+Usage: python scripts/scale_evidence.py [out.json] [--rebuild] [query ...]
+(query names restrict the run; results for a restricted run should be
+merged into SCALE_SF1.json rather than replacing it)
 """
 
 from __future__ import annotations
@@ -121,8 +123,41 @@ def build_scaled(spark) -> None:
         f"{SCALED}/embeddings.parquet"
     )
 
-    # small dims some loaders warm up with
-    for t in ("region", "nation"):
+    # star-schema facts: replicate orders + lineitem 10× with shifted
+    # order keys (same customers — fact growth against a fixed dim set,
+    # the realistic 100 TB shape for the relational queries)
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    omax = orders.agg(F.max("o_orderkey").alias("m")).collect()[0].m
+    ocopies = [
+        orders.select(
+            (F.col("o_orderkey") + i * (omax + 1)).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        for i in range(COPIES)
+    ]
+    oout = ocopies[0]
+    for c in ocopies[1:]:
+        oout = oout.unionByName(c)
+    oout.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALED}/orders.parquet"
+    )
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    lcopies = [
+        li.select(
+            (F.col("l_orderkey") + i * (omax + 1)).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for i in range(COPIES)
+    ]
+    lout = lcopies[0]
+    for c in lcopies[1:]:
+        lout = lout.unionByName(c)
+    lout.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALED}/lineitem.parquet"
+    )
+
+    # dimensions pass through unscaled (fixed-cardinality at any SF)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = f"{BASE}/{t}.parquet"
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
@@ -146,6 +181,7 @@ def time_query(fn, spark, sf_dir) -> tuple[float, float, int]:
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_evidence.json"
     rebuild = "--rebuild" in sys.argv
+    only = {a for a in sys.argv[2:] if not a.startswith("--")}
 
     import __spark_entry__ as entrymod
 
@@ -157,6 +193,8 @@ def main() -> None:
 
     results = {}
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         try:
             c0, w0, n0 = time_query(fn, spark, BASE)
             c1, w1, n1 = time_query(fn, spark, SCALED)
