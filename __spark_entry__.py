@@ -1039,6 +1039,53 @@ def _rel_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_revenue_orders(li, o, c, "BUILDING", "1998-03-15", 10)
 
 
+def _rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape aggregate-then-join: top-20 customers by
+    returned-item revenue for 1996 orders — operators/relational.py."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        returned_item_revenue,
+    )
+
+    li, o, c, n = _rel_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return returned_item_revenue(li, o, c, n, "1996-01-01", "1997-01-01", 20)
+
+
+def _rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape HAVING-aggregate semi-join: orders whose total
+    lineitem quantity exceeds 250 — operators/relational.py."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        large_quantity_orders,
+    )
+
+    li, o, c = _rel_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    return large_quantity_orders(li, o, c, 250)
+
+
+def _sample_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-mixing quota: at most 10 docs per source,
+    deterministic md5 rank — operators/sampling.py:source_quota."""
+    from eventhub_to_timescale_spark.operators.sampling import source_quota
+
+    return source_quota(
+        _docs(spark, sf_dir), "doc_id", "source", 10, salt="mix-v1"
+    ).select("doc_id", "source")
+
+
+def _sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic resampling: keep-probability
+    n_chars/500 (clipped) — operators/sampling.py:sample_weighted."""
+    from eventhub_to_timescale_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return sample_weighted(
+        docs, "doc_id", F.col("n_chars") / F.lit(500.0), salt="wq-v1"
+    ).select("doc_id", "n_chars")
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1195,6 +1242,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_histogram": _sketch_histogram,
         "toolkit_gauge_delta": _toolkit_gauge_delta,
         "rel_revenue_by_nation": _rel_revenue_by_nation,
+        # — r7 additions: new operators, fully oracled; tail-witnessed
+        # this round (check_parity + test_gate_tail_parity), promote
+        # with the r8 rotation
+        "rel_returned_revenue": _rel_returned_revenue,
+        "rel_large_orders": _rel_large_orders,
+        "sample_source_quota": _sample_source_quota,
+        "sample_docs_weighted": _sample_docs_weighted,
     }
 
 
@@ -1212,6 +1266,27 @@ def _shard_order_oracle() -> str:
     )
 
     return shard_order_oracle_sql("doc_id", 64, "order-v1")
+
+
+def _source_quota_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        source_quota_oracle_sql,
+    )
+
+    return source_quota_oracle_sql(
+        "doc_id, source", "doc_id", "source", 10, salt="mix-v1"
+    )
+
+
+def _weighted_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        weighted_oracle_predicate,
+    )
+
+    pred = weighted_oracle_predicate(
+        "doc_id", "n_chars / 500.0", salt="wq-v1"
+    )
+    return f"SELECT doc_id, n_chars FROM documents WHERE {pred}"
 
 
 def _sessionize_oracle() -> str:
@@ -1915,4 +1990,41 @@ FROM agg
 ORDER BY rev_sum_u DESC, o_orderkey
 LIMIT 10
 """,
+        "rel_returned_revenue": """
+WITH agg AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             AS rev_sum_u
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       ROUND(CAST(rev_sum_u AS DOUBLE) / 1e4, 4) AS revenue
+FROM agg
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY rev_sum_u DESC, c_custkey
+LIMIT 20
+""",
+        "rel_large_orders": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "sample_source_quota": _source_quota_oracle(),
+        "sample_docs_weighted": _weighted_oracle(),
     }

@@ -182,4 +182,108 @@ def top_revenue_orders(
     )
 
 
-__all__ = ["pricing_summary", "revenue_by_nation", "top_revenue_orders"]
+def returned_item_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_start: str,
+    date_end: str,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shape: the ``k`` customers who lost the most revenue
+    to RETURNED items (``l_returnflag = 'R'``) on orders placed in
+    [date_start, date_end).
+
+    → (c_custkey, c_name, n_name, c_acctbal, revenue), ordered by
+    (revenue DESC, c_custkey) — integer-cents revenue keeps the sort
+    key and the LIMIT deterministic in both engines.
+
+    100 TB posture: the returnflag + orderdate filters are pushed
+    scans that shrink BOTH fact sides before the orderkey shuffle; the
+    per-customer aggregate runs on the fact join output BEFORE the
+    customer join, so customer joins an already-|customers|-bounded
+    frame (aggregate-then-join, not join-then-aggregate); nation (25
+    rows) is broadcast explicitly, customer is left to AQE.  Top-k is
+    TakeOrdered on the aggregated frame.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_start))
+        & (F.col("o_orderdate") < F.lit(date_end))
+    ).select("o_orderkey", "o_custkey")
+    rev_u = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev_u.alias("rev_u"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_u").alias("rev_sum_u"))
+    )
+    return (
+        per_cust.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy(F.col("rev_sum_u").desc(), F.col("c_custkey"))
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.round(F.col("rev_sum_u") / 1e4, 4).alias("revenue"),
+        )
+    )
+
+
+def large_quantity_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_total_qty: int = 300,
+) -> DataFrame:
+    """TPC-H Q18-shape: orders whose TOTAL lineitem quantity exceeds
+    ``min_total_qty``, with the ordering customer.
+
+    → (c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+    total_qty), ordered by (o_totalprice DESC, o_orderkey).
+
+    100 TB posture: the HAVING aggregate runs FIRST — one map-side-
+    combinable sum per orderkey over the bare (l_orderkey, l_quantity)
+    projection — and the surviving keys (a tiny fraction at any
+    realistic threshold) drive an equi-join back to orders; Spark
+    plans that as a broadcast of the survivors under AQE, so the
+    orders table is probed, never shuffled.  No sort precedes the
+    final (already-small) ordered output.
+    """
+    qty = F.col("l_quantity").cast("long")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > min_total_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+__all__ = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_revenue_orders",
+    "returned_item_revenue",
+    "large_quantity_orders",
+]

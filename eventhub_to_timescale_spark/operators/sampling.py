@@ -153,6 +153,108 @@ def shard_order(
     )
 
 
+def source_quota(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    quota: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Corpus-mixing quota: keep at most ``quota`` rows per
+    ``group_col`` value (per data source / domain / language), chosen
+    deterministically by md5 order — the training-mix primitive for
+    capping over-represented sources while keeping reruns and
+    incremental rebuilds stable (a row only loses its slot if a
+    SMALLER-hash row arrives in its group).
+
+    → input rows (all columns) of the surviving set.
+
+    100 TB posture: one shuffle on ``group_col``, then a bounded
+    per-group top-``quota`` by hash rank.  Source cardinality is
+    typically small (tens-hundreds) → per-group skew is the real
+    hazard; the plan uses ``row_number`` over the group window, which
+    Spark executes as a partial top-k per map task ONLY when written
+    as rank-filter (WindowGroupLimit pushes ``rank <= k`` into the
+    shuffle map side since 3.5), so each map task ships at most
+    ``quota`` rows per group — shuffle volume is |groups|×quota per
+    task, not the group's raw volume.
+    """
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def source_quota_oracle_sql(
+    cols: str,
+    key_expr: str,
+    group_expr: str,
+    quota: int,
+    salt: str = "quota",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``source_quota`` membership."""
+    return f"""
+WITH ranked AS (
+    SELECT {cols},
+           row_number() OVER (
+               PARTITION BY {group_expr}
+               ORDER BY md5(CAST({key_expr} AS VARCHAR) || '{salt}'),
+                        {key_expr}
+           ) AS rk
+    FROM {table}
+)
+SELECT {cols} FROM ranked WHERE rk <= {quota}
+"""
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Per-row keep-probability from a weight expression in [0, 1]
+    (values outside are clipped) — quality-weighted corpus resampling:
+    a doc with weight 0.9 is ~9× likelier to survive than one at 0.1,
+    and membership is a pure function of (key, salt, weight), so
+    reruns and ablations with the same weights select the same rows.
+
+    The membership test compares the integer value of the md5 prefix
+    against ``floor(clip(w) * 65536)`` — integer comparison, identical
+    in every engine with md5().  A codegen'd filter: no shuffle, no
+    RNG, pushdown-eligible when the weight is a column expression.
+    """
+    coord = F.conv(
+        _bucket_hex(F.col(key_col), salt), 16, 10
+    ).cast("long")
+    thr = F.floor(
+        F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)) * _SPACE
+    ).cast("long")
+    return df.filter(coord < thr)
+
+
+def weighted_oracle_predicate(
+    key_expr: str, weight_expr: str, salt: str = "weighted"
+) -> str:
+    """DuckDB rendering of ``sample_weighted`` membership."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || "
+        f"'{salt}'), 1, {_PREFIX_LEN})) AS BIGINT) < "
+        f"CAST(floor(LEAST(GREATEST({weight_expr}, 0.0), 1.0) * {_SPACE})"
+        f" AS BIGINT)"
+    )
+
+
 def shard_order_oracle_sql(
     key_expr: str,
     num_shards: int = 64,
@@ -218,7 +320,11 @@ __all__ = [
     "sample_stratified",
     "train_test_split",
     "shard_order",
+    "source_quota",
+    "sample_weighted",
     "shard_order_oracle_sql",
+    "source_quota_oracle_sql",
     "sampling_oracle_predicate",
     "stratified_oracle_predicate",
+    "weighted_oracle_predicate",
 ]

@@ -12,7 +12,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from eventhub_to_timescale_spark.operators.relational import (
+    large_quantity_orders,
     pricing_summary,
+    returned_item_revenue,
     revenue_by_nation,
     top_revenue_orders,
 )
@@ -145,3 +147,66 @@ class TestTopRevenueOrders:
             li, o, c, "BUILDING", "1996-06-15", 1
         ).collect()
         assert len(out) == 1
+
+
+class TestReturnedItemRevenue:
+    def test_returnflag_window_and_dims(self, spark):
+        li, o, c, n, r = _star(spark)
+        # make order 100's item a return, order 200's not; order 300
+        # is outside the date window even though returned
+        li = li.withColumn(
+            "l_returnflag",
+            F.when(F.col("l_orderkey").isin(100, 300), "R").otherwise("N"),
+        )
+        # full customer shape (name + acctbal) for the output columns
+        c = c.withColumn(
+            "c_name", F.concat(F.lit("cust"), F.col("c_custkey"))
+        ).withColumn("c_acctbal", F.col("c_custkey") * 10.0)
+        out = returned_item_revenue(
+            li, o, c, n, "1996-01-01", "1997-01-01", 20
+        ).collect()
+        # only order 100 (returned, in window): 1000*.9 = 900, cust 1
+        assert [
+            (x["c_custkey"], x["c_name"], x["n_name"], x["revenue"])
+            for x in out
+        ] == [(1, "cust1", "FRANCE", 900.0)]
+
+    def test_k_and_ordering(self, spark):
+        li, o, c, n, r = _star(spark)
+        li = li.withColumn("l_returnflag", F.lit("R"))
+        c = c.withColumn(
+            "c_name", F.concat(F.lit("cust"), F.col("c_custkey"))
+        ).withColumn("c_acctbal", F.lit(0.0))
+        out = returned_item_revenue(
+            li, o, c, n, "1996-01-01", "1997-01-01", 1
+        ).collect()
+        # cust 1 (900.0) beats cust 2 (500.0); k=1 keeps the max
+        assert len(out) == 1 and out[0]["c_custkey"] == 1
+
+
+class TestLargeQuantityOrders:
+    def test_having_threshold(self, spark):
+        orders = spark.createDataFrame(
+            [
+                (1, 1, datetime(1998, 1, 1), 100.0),
+                (2, 1, datetime(1998, 1, 2), 200.0),
+            ],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+            "o_totalprice double",
+        )
+        customer = spark.createDataFrame(
+            [(1, "cust1")], "c_custkey long, c_name string"
+        )
+        li = _li(
+            spark,
+            [
+                (1, 200, 1.0, 0.0, 0.0, "N", "O", "1998-01-01"),
+                (1, 150, 1.0, 0.0, 0.0, "N", "O", "1998-01-02"),
+                (2, 250, 1.0, 0.0, 0.0, "N", "O", "1998-01-01"),
+            ],
+        )
+        out = large_quantity_orders(li, orders, customer, 300).collect()
+        # order 1 totals 350 > 300; order 2 totals exactly 250 (and
+        # 250 > 300 is false) — strict threshold
+        assert [(r["o_orderkey"], r["total_qty"]) for r in out] == [(1, 350)]
+        assert out[0]["c_name"] == "cust1"

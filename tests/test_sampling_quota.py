@@ -1,0 +1,98 @@
+"""Semantic tests for the r7 sampling additions: per-source quota and
+weighted deterministic sampling (operators/sampling.py). Cross-engine
+parity runs in check_parity / test_gate_tail_parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.sampling import (
+    sample_weighted,
+    source_quota,
+)
+
+
+def _docs(spark, n=60, sources=3):
+    return spark.createDataFrame(
+        [(i, f"s{i % sources}", (i * 37) % 100) for i in range(n)],
+        "doc_id long, source string, n_chars long",
+    )
+
+
+class TestSourceQuota:
+    def test_caps_each_group(self, spark):
+        out = source_quota(_docs(spark), "doc_id", "source", 5).collect()
+        per = {}
+        for r in out:
+            per[r["source"]] = per.get(r["source"], 0) + 1
+        assert per == {"s0": 5, "s1": 5, "s2": 5}
+
+    def test_quota_above_group_size_keeps_all(self, spark):
+        df = _docs(spark, n=6, sources=3)
+        out = source_quota(df, "doc_id", "source", 100).collect()
+        assert len(out) == 6
+
+    def test_membership_stable_under_growth(self, spark):
+        # a surviving row keeps its slot unless a smaller-hash row
+        # joins its group: survivors of the 60-doc corpus that are
+        # also in the 30-doc prefix must be chosen there too when
+        # they won on hash order
+        big = {
+            r["doc_id"]
+            for r in source_quota(
+                _docs(spark, 60), "doc_id", "source", 5
+            ).collect()
+        }
+        small_df = _docs(spark, 60).filter(F.col("doc_id") < 30)
+        small = {
+            r["doc_id"]
+            for r in source_quota(
+                small_df, "doc_id", "source", 5
+            ).collect()
+        }
+        # every winner from the big corpus that exists in the small
+        # one still wins there (fewer competitors, never more)
+        assert {d for d in big if d < 30} <= small
+
+    def test_rejects_nonpositive_quota(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            source_quota(_docs(spark), "doc_id", "source", 0)
+
+
+class TestSampleWeighted:
+    def test_zero_and_one_weights(self, spark):
+        df = _docs(spark)
+        none = sample_weighted(df, "doc_id", F.lit(0.0)).count()
+        allr = sample_weighted(df, "doc_id", F.lit(1.0)).count()
+        assert none == 0
+        assert allr == 60
+
+    def test_weights_clip_outside_unit(self, spark):
+        df = _docs(spark)
+        over = sample_weighted(df, "doc_id", F.lit(5.0)).count()
+        under = sample_weighted(df, "doc_id", F.lit(-1.0)).count()
+        assert over == 60 and under == 0
+
+    def test_monotone_in_weight(self, spark):
+        # the same row can only gain membership as its weight rises
+        df = _docs(spark, n=500)
+        lo = {
+            r["doc_id"]
+            for r in sample_weighted(df, "doc_id", F.lit(0.2)).collect()
+        }
+        hi = {
+            r["doc_id"]
+            for r in sample_weighted(df, "doc_id", F.lit(0.8)).collect()
+        }
+        assert lo <= hi
+        assert len(lo) < len(hi)
+
+    def test_deterministic_rerun(self, spark):
+        df = _docs(spark, n=200)
+        w = F.col("n_chars") / F.lit(100.0)
+        a = {r["doc_id"] for r in sample_weighted(df, "doc_id", w).collect()}
+        b = {r["doc_id"] for r in sample_weighted(df, "doc_id", w).collect()}
+        assert a == b and 0 < len(a) < 200
