@@ -180,6 +180,99 @@ def streaming_counter_delta(
     )
 
 
+_HEARTBEAT_OUT_SCHEMA = (
+    "measurement_subject string, n_beats long, covered_partial_s long, "
+    "min_t long, max_t long"
+)
+_HEARTBEAT_STATE_SCHEMA = "last_t long"
+
+
+def _heartbeat_fn_factory(tolerance_seconds: int):
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (subject,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_t = state.get[0] if state.exists else None
+
+        n = 0
+        covered = 0
+        mn = mx = None
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["timestamp", "measurement_unique_id"])
+            epochs = (
+                pdf["timestamp"].astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000
+            )
+            for ep in epochs:
+                ep = int(ep)
+                if last_t is not None:
+                    covered += min(ep - last_t, tolerance_seconds)
+                last_t = ep
+                n += 1
+                mn = ep if mn is None else min(mn, ep)
+                mx = ep if mx is None else max(mx, ep)
+        if n:
+            state.update((last_t,))
+            state.setTimeoutDuration(24 * 3600 * 1000)
+            yield pd.DataFrame(
+                {
+                    "measurement_subject": [subject],
+                    "n_beats": [n],
+                    "covered_partial_s": [covered],
+                    "min_t": [mn],
+                    "max_t": [mx],
+                }
+            )
+
+    return fn
+
+
+def streaming_heartbeat(
+    conditions: DataFrame,
+    of: str = "value",
+    tolerance_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-side Toolkit ``heartbeat_agg``
+    (operators/toolkit.py:heartbeat_uptime): one epoch of state per
+    subject.  Each micro-batch emits a PARTIAL liveness summary —
+    beat count, covered seconds over consecutive pairs INCLUDING the
+    pair that crosses the batch boundary (carried by the state), and
+    the batch's min/max beat time.  Re-aggregation over the emitted
+    partials reproduces the batch operator exactly:
+
+        n_beats   = sum(n_beats)
+        covered_s = sum(covered_partial_s) + tolerance   (final beat)
+        span_s    = max(max_t) + tolerance − min(min_t)
+
+    Same ordered-arrival contract and bounded-state posture as
+    ``streaming_counter_delta``.
+    """
+    return (
+        conditions.filter(
+            (conditions["measurement_of"] == of)
+            & conditions["measurement_number"].isNotNull()
+        )
+        .select(
+            "measurement_subject",
+            "timestamp",
+            "measurement_unique_id",
+        )
+        .groupBy("measurement_subject")
+        .applyInPandasWithState(
+            _heartbeat_fn_factory(tolerance_seconds),
+            outputStructType=_HEARTBEAT_OUT_SCHEMA,
+            stateStructType=_HEARTBEAT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def streaming_changed_rows(conditions: DataFrame) -> DataFrame:
     """Stream-side Q8: keep only change points, keyed state per
     (subject, measurement_of). Input must already carry a watermark."""
