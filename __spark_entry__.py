@@ -1086,6 +1086,19 @@ def _sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+def _events_live_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness islands: coalesced union of per-beat [t, t+2h)
+    intervals per subject — operators/intervals.py:live_intervals
+    (gaps-and-islands running-max window, one subject shuffle)."""
+    from eventhub_to_timescale_spark.operators.intervals import (
+        live_intervals,
+    )
+
+    return live_intervals(
+        _conditions(spark, sf_dir), tolerance_seconds=7200
+    )
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1249,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_large_orders": _rel_large_orders,
         "sample_source_quota": _sample_source_quota,
         "sample_docs_weighted": _sample_docs_weighted,
+        "events_live_intervals": _events_live_intervals,
     }
 
 
@@ -1287,6 +1301,21 @@ def _weighted_oracle() -> str:
         "doc_id", "n_chars / 500.0", salt="wq-v1"
     )
     return f"SELECT doc_id, n_chars FROM documents WHERE {pred}"
+
+
+def _live_intervals_oracle(cond: str) -> str:
+    from eventhub_to_timescale_spark.operators.intervals import (
+        coalesce_oracle_sql,
+    )
+
+    iv_cte = f"""
+  SELECT measurement_subject,
+         timestamp AS start,
+         timestamp + INTERVAL 7200 SECOND AS "end"
+  FROM {cond} c
+  WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+"""
+    return coalesce_oracle_sql(iv_cte)
 
 
 def _sessionize_oracle() -> str:
@@ -2027,4 +2056,5 @@ JOIN customer ON o_custkey = c_custkey
 """,
         "sample_source_quota": _source_quota_oracle(),
         "sample_docs_weighted": _weighted_oracle(),
+        "events_live_intervals": _live_intervals_oracle(cond),
     }
