@@ -1099,6 +1099,17 @@ def _events_live_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the raw event stream —
+    operators/retention.py (self-join-free: distinct user-day grid +
+    per-user min window + map-side-combinable count)."""
+    from eventhub_to_timescale_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf_dir), bucket_seconds=86400)
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1263,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_quota": _sample_source_quota,
         "sample_docs_weighted": _sample_docs_weighted,
         "events_live_intervals": _events_live_intervals,
+        "events_cohort_retention": _events_cohort_retention,
     }
 
 
@@ -1316,6 +1328,14 @@ def _live_intervals_oracle(cond: str) -> str:
   WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
 """
     return coalesce_oracle_sql(iv_cte)
+
+
+def _cohort_retention_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.retention import (
+        cohort_retention_oracle_sql,
+    )
+
+    return cohort_retention_oracle_sql("user_id", "ts", 86400)
 
 
 def _sessionize_oracle() -> str:
@@ -2057,4 +2077,5 @@ JOIN customer ON o_custkey = c_custkey
         "sample_source_quota": _source_quota_oracle(),
         "sample_docs_weighted": _weighted_oracle(),
         "events_live_intervals": _live_intervals_oracle(cond),
+        "events_cohort_retention": _cohort_retention_oracle(),
     }
