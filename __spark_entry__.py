@@ -1110,6 +1110,17 @@ def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir), bucket_seconds=86400)
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase cumulative funnel via a single-scan
+    JVM-side fold — operators/funnel.py (greedy earliest progression,
+    strictly-later step matching)."""
+    from eventhub_to_timescale_spark.operators.funnel import funnel_reached
+
+    return funnel_reached(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the raw event stream (30-min
     silence rule) — operators/sessions.py; integer/timestamp output,
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs_weighted": _sample_docs_weighted,
         "events_live_intervals": _events_live_intervals,
         "events_cohort_retention": _events_cohort_retention,
+        "events_funnel": _events_funnel,
     }
 
 
@@ -1328,6 +1340,14 @@ def _live_intervals_oracle(cond: str) -> str:
   WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
 """
     return coalesce_oracle_sql(iv_cte)
+
+
+def _funnel_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.funnel import (
+        funnel_oracle_sql,
+    )
+
+    return funnel_oracle_sql(["view", "click", "purchase"])
 
 
 def _cohort_retention_oracle() -> str:
@@ -2078,4 +2098,5 @@ JOIN customer ON o_custkey = c_custkey
         "sample_docs_weighted": _weighted_oracle(),
         "events_live_intervals": _live_intervals_oracle(cond),
         "events_cohort_retention": _cohort_retention_oracle(),
+        "events_funnel": _funnel_oracle(),
     }
