@@ -483,6 +483,7 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=6,
         shingle_n=3,
         jaccard_threshold=0.5,
+        persist_banded=True,  # self-join sides share one signature pass
     )
 
 
