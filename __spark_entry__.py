@@ -1111,6 +1111,19 @@ def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir), bucket_seconds=86400)
 
 
+def _dedup_substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring boilerplate detection (strided
+    48-char window fingerprints in ≥2 distinct docs) —
+    operators/substrdup.py."""
+    from eventhub_to_timescale_spark.operators.substrdup import (
+        repeated_windows,
+    )
+
+    return repeated_windows(
+        _docs(spark, sf_dir), window=48, stride=16, min_docs=2
+    )
+
+
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase cumulative funnel via a single-scan
     JVM-side fold — operators/funnel.py (greedy earliest progression,
@@ -1288,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_live_intervals": _events_live_intervals,
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
+        "dedup_substr_windows": _dedup_substr_windows,
     }
 
 
@@ -1341,6 +1355,14 @@ def _live_intervals_oracle(cond: str) -> str:
   WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
 """
     return coalesce_oracle_sql(iv_cte)
+
+
+def _substr_windows_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.substrdup import (
+        repeated_windows_oracle_sql,
+    )
+
+    return repeated_windows_oracle_sql(48, 16, 2)
 
 
 def _funnel_oracle() -> str:
@@ -2100,4 +2122,5 @@ JOIN customer ON o_custkey = c_custkey
         "events_live_intervals": _live_intervals_oracle(cond),
         "events_cohort_retention": _cohort_retention_oracle(),
         "events_funnel": _funnel_oracle(),
+        "dedup_substr_windows": _substr_windows_oracle(),
     }

@@ -83,3 +83,37 @@ class TestFunnelReached:
     def test_rejects_empty_steps(self, spark):
         with pytest.raises(ValueError):
             funnel_reached(_ev(spark, [(1, 0, "view")]), [])
+
+    def test_brute_force_equivalence(self, spark):
+        # seeded pseudo-random event streams vs a python fold
+        types = ["view", "click", "purchase", "error", "signup"]
+        rows = []
+        state = 987654321
+        for _ in range(600):
+            state = (state * 1103515245 + 12345) % (2**31)
+            u = state % 25
+            state = (state * 1103515245 + 12345) % (2**31)
+            s = state % 10000
+            state = (state * 1103515245 + 12345) % (2**31)
+            rows.append((u, s, types[state % len(types)]))
+        out = funnel_reached(_ev(spark, rows), STEPS).collect()
+        got = {r["stage"]: r["n_users"] for r in out}
+
+        by_user: dict[int, list] = {}
+        for i, (u, s, t) in enumerate(rows):
+            by_user.setdefault(u, []).append((s, i, t))
+        reached = {1: 0, 2: 0, 3: 0}
+        for evs in by_user.values():
+            evs.sort()
+            stage, t_stage = 0, None
+            for s, _i, t in evs:
+                if (
+                    stage < len(STEPS)
+                    and t == STEPS[stage]
+                    and (t_stage is None or s > t_stage)
+                ):
+                    stage, t_stage = stage + 1, s
+            for k in range(1, stage + 1):
+                reached[k] += 1
+        want = {k: v for k, v in reached.items() if v > 0}
+        assert got == want
