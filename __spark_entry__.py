@@ -1922,8 +1922,8 @@ FROM r GROUP BY 1, 2
         "toolkit_trend_slope": f"""
 SELECT measurement_subject, {bucket.format(w=86400)} AS time,
        regr_count(measurement_number, x) AS n_samples,
-       ROUND(regr_slope(measurement_number, x), 6) AS slope,
-       ROUND(regr_intercept(measurement_number, x), 6) AS intercept
+       ROUND(regr_slope(measurement_number, x), 6) + 0.0 AS slope,
+       ROUND(regr_intercept(measurement_number, x), 6) + 0.0 AS intercept
 FROM (
   SELECT measurement_subject, timestamp, measurement_number,
          CAST(CAST(floor(epoch(timestamp)) AS BIGINT) % 86400 AS DOUBLE)

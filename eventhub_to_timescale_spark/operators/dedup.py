@@ -135,15 +135,24 @@ def minhash_lsh_pairs(
     sh = docs.filter(F.col(text_col).isNotNull()).select(
         F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
+    def _seeded(seed: str):
+        # MUST return a ONE-parameter lambda: pyspark binds a
+        # two-parameter lambda in transform() as (element, INDEX) —
+        # the infamous `lambda x, i=i:` capture idiom silently turns
+        # the loop variable into the array-index NamedLambdaVariable,
+        # whose repr gets baked into the seed string (wrong seeds,
+        # unstable across plan builds; caught by the 10× parity sweep
+        # in round 7, invisible at sf0.01 because 12 garbage-seeded
+        # hashes are still 12 independent hashes and LSH recall hid it)
+        return lambda x: _hash32(x, seed)
+
     sig = sh.select(
         "doc_id",
         "shingles",
         F.array(
             *[
                 F.array_min(
-                    F.transform(
-                        F.col("shingles"), lambda x, i=i: _hash32(x, f"mh{i}:")
-                    )
+                    F.transform(F.col("shingles"), _seeded(f"mh{i}:"))
                 )
                 for i in range(num_hashes)
             ]

@@ -141,8 +141,13 @@ def trend_slope(
         )
         .agg(
             F.regr_count(y, x).alias("n_samples"),
-            F.round(F.regr_slope(y, x), 6).alias("slope"),
-            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            # + 0.0 collapses IEEE -0.0 (a flat series whose tiny
+            # negative slope rounds to -0.0) to +0.0 — engines render
+            # the two zeros differently, values are equal
+            (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(y, x), 6) + F.lit(0.0)).alias(
+                "intercept"
+            ),
         )
     )
 

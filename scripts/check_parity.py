@@ -61,8 +61,13 @@ def main() -> int:
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; Spark-written scaled data
+        # (scale_evidence.py) ships part-file directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     qs = entrymod.queries()
