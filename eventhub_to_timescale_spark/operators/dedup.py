@@ -214,19 +214,17 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Bits PER HALF.  The fingerprint is 64 bits, carried as two 32-bit
+# longs (lo, hi) so neither engine ever touches the sign bit of a
+# 64-bit integer (2^63 overflows BIGINT/long in both Spark and DuckDB).
 SIMHASH_BITS = 32
 
 
-def simhash(text: Column) -> Column:
-    """32-bit SimHash over words: bit b is set iff the sum over words
-    of ±1 (per word-hash bit b) is positive. Pure array expressions —
-    stays in codegen, reproducible in the oracle via the same
-    floor-div/mod bit extraction.
-
-    The word hash is materialized ONCE per word (inner transform)
-    before bit expansion — inlining it under the per-bit lambda would
-    evaluate md5 32× per word."""
-    hashes = F.transform(_words(text), lambda word: _hash32(word, "sh:"))
+def _simhash_half(hashes: Column) -> Column:
+    """Sign-of-sum SimHash over an array of 32-bit word hashes: bit b
+    is set iff the sum over words of ±1 (per word-hash bit b) is
+    positive. Pure array expressions — stays in codegen, reproducible
+    in the oracle via the same floor-div/mod bit extraction."""
 
     def contrib(h: Column) -> Column:
         return F.transform(
@@ -257,42 +255,95 @@ def simhash(text: Column) -> Column:
     )
 
 
+def _word_md5s(text: Column) -> Column:
+    """One md5 hex digest per word, materialized ONCE per word (inner
+    transform) before bit expansion — inlining it under the per-bit
+    lambda would evaluate md5 32× per word. Both 32-bit halves of the
+    64-bit fingerprint slice this single digest (chars 1-8 / 9-16), so
+    doubling the hash width costs zero extra md5 work."""
+    return F.transform(
+        _words(text), lambda word: F.md5(F.concat(F.lit("sh:"), word))
+    )
+
+
+def _hex32(digest: Column, start: int) -> Column:
+    return F.conv(F.substring(digest, start, 8), 16, 10).cast("long")
+
+
+def simhash(text: Column) -> Column:
+    """Low 32-bit half of the 64-bit SimHash (bit-identical to the
+    pre-r8 32-bit simhash; kept as the public single-long API)."""
+    return _simhash_half(
+        F.transform(_word_md5s(text), lambda h: _hex32(h, 1))
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash as ``struct(sh_lo long, sh_hi long)`` — two
+    independent 32-bit sign-of-sum halves over disjoint slices of one
+    md5 per word. Hamming distance of the 64-bit fingerprint is
+    ``bit_count(lo⊕lo') + bit_count(hi⊕hi')``."""
+    md5s = _word_md5s(text)
+    return F.struct(
+        _simhash_half(
+            F.transform(md5s, lambda h: _hex32(h, 1))
+        ).alias("sh_lo"),
+        _simhash_half(
+            F.transform(md5s, lambda h: _hex32(h, 9))
+        ).alias("sh_hi"),
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs within Hamming distance
-    ``max_hamming`` of their SimHash. Candidates via byte-block
-    banding (4 blocks of 8 bits; pigeonhole guarantees recall only for
-    distance < 4, hence the guard — a larger radius needs more/smaller
-    blocks). NULL texts are excluded (see minhash_lsh_pairs)."""
+    ``max_hamming`` of their 64-bit SimHash. Candidates via 16-bit
+    block banding: 4 blocks of 16 bits (lo half → blocks 0-1, hi half
+    → blocks 2-3); pigeonhole guarantees recall only for distance < 4,
+    hence the guard — a larger radius needs more/smaller blocks.
+    NULL texts are excluded (see minhash_lsh_pairs).
+
+    100 TB bucket math (why 64-bit, not 32): banding keys live in
+    4 × 2^16 = 262 144 distinct (block_id, block_key) buckets, so the
+    *unavoidable* candidate floor from hash-space collisions is
+    Θ(N²/2¹⁸) — 256× smaller than the r7 32-bit/4×8-bit design's
+    Θ(N²/2¹⁰), and small enough that true near-dup pairs, not bucket
+    collisions, dominate candidate volume at corpus scale. A 64-bit
+    fingerprint also makes Hamming ≤ 3 a far sharper similarity test
+    (3/64 vs 3/32 of the bits)."""
     if max_hamming >= 4:
         raise ValueError(
             f"max_hamming={max_hamming}: 4-block banding only guarantees "
             "recall for Hamming <= 3"
         )
     sig = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col("doc_id"), simhash(F.col(text_col)).alias("sh")
-    )
+        F.col("doc_id"), simhash64(F.col(text_col)).alias("sh")
+    ).select("doc_id", "sh.sh_lo", "sh.sh_hi")
+
+    def block_key(i: int) -> Column:
+        src = F.col("sh_lo") if i < 2 else F.col("sh_hi")
+        return (
+            F.floor(src / F.lit(float(2 ** (16 * (i % 2))))).cast("long")
+            % 65536
+        )
+
     blocks = sig.select(
         "doc_id",
-        "sh",
+        "sh_lo",
+        "sh_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("block_id"),
-                        (
-                            F.floor(
-                                F.col("sh") / F.lit(float(2 ** (8 * i)))
-                            ).cast("long")
-                            % 256
-                        ).alias("block_key"),
+                        block_key(i).alias("block_key"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("blk"),
-    ).select("doc_id", "sh", "blk.block_id", "blk.block_key")
+    ).select("doc_id", "sh_lo", "sh_hi", "blk.block_id", "blk.block_key")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -304,12 +355,17 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("a.sh_lo").alias("lo_a"),
+            F.col("a.sh_hi").alias("hi_a"),
+            F.col("b.sh_lo").alias("lo_b"),
+            F.col("b.sh_hi").alias("hi_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

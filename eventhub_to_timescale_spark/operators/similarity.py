@@ -110,15 +110,51 @@ def hyperplane_sketch(vec: Column, num_planes: int = 8, dim: int = 64) -> Column
     return sketch
 
 
+def hamming_ball_masks(num_planes: int, radius: int) -> list[int]:
+    """All XOR masks of popcount ≤ radius over ``num_planes`` bits —
+    the probe offsets of multi-probe LSH, in deterministic
+    (popcount, value) order."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_max_id: int = 8,
     k: int = 5,
     num_planes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cosine, rank): approximate top-k via
-    hyperplane-LSH bucket pruning, exact cosine within the bucket."""
+    hyperplane-LSH bucket pruning, exact cosine within the bucket.
+
+    ``probe_hamming`` enables MULTI-PROBE LSH (Lv et al., VLDB'07
+    shape): each query also probes every bucket whose sketch lies
+    within the given Hamming radius of its own — a near neighbor that
+    disagrees with the query on ≤ r of the ``num_planes`` hyperplane
+    signs is still found. Probe count is Σ_{{j≤r}} C(num_planes, j)
+    (8 planes, r=2 → 37 of 256 buckets; r=3 → 93), applied on the
+    BROADCAST query side only — the corpus is still scanned once and
+    shuffled never, so recall is bought with bounded candidate volume,
+    not with extra passes. r=0 is the classic single-bucket probe.
+
+    Recall is data-dependent (see tests/test_ann_recall.py, which pins
+    measured floors): for a neighbor at angle θ the per-plane
+    agreement is p = 1 − θ/π, and P(found) = Σ_{{j≤r}} C(m, j)
+    p^(m−j) (1−p)^j."""
+    if probe_hamming < 0 or probe_hamming > num_planes:
+        raise ValueError(
+            f"probe_hamming must be in [0, {num_planes}], got {probe_hamming}"
+        )
     sk = (
         embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
         # wrong-length vectors would NULL-pad the plane dot (zip_with)
@@ -136,6 +172,22 @@ def cosine_topk_lsh(
         F.col("v").alias("qv"),
         F.col("sketch").alias("qsketch"),
     )
+    if probe_hamming > 0:
+        # explode the bounded query side by the Hamming-ball masks;
+        # each corpus sketch equals at most ONE probed sketch per
+        # query (masks are distinct), so pairs stay unique — no dedup
+        masks = F.array(
+            *[F.lit(m) for m in hamming_ball_masks(num_planes, probe_hamming)]
+        )
+        q = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    masks, lambda m: F.col("qsketch").bitwiseXOR(m)
+                )
+            ).alias("qsketch"),
+        )
     c = sk.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),

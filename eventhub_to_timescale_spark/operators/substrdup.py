@@ -26,12 +26,29 @@ At 100 TB the explode emits ~len/stride rows per document — linear,
 scan-shaped, and the groupBy output is bounded by the number of
 DISTINCT repeated windows, which boilerplate keeps tiny relative to
 the corpus.
+
+Shuffle-volume note (r8): the groupBy key is ``xxhash64(window)``
+(8 bytes, JVM-native), not the raw window text — the exchange ships
+one 8-byte key per occurrence instead of ``window`` chars (~6× less
+at window=48); one representative text per group rides the map-side
+partial-aggregation buffer via ``first(w)``, so it is paid once per
+(group, partition), not once per occurrence. A 64-bit hash collision
+merging two distinct windows needs ~2³² distinct windows in flight
+(birthday bound); at that scale the flagged set is re-verified by the
+span pass joining back through the same hash anyway.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _strided_offsets(t: Column, window: int, stride: int) -> Column:
+    """1-based char offsets of every strided window of ``t``."""
+    return F.sequence(
+        F.lit(1), F.length(t) - F.lit(window - 1), F.lit(stride)
+    )
 
 
 def repeated_windows(
@@ -54,21 +71,100 @@ def repeated_windows(
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     t = F.col(text_col)
     windows = F.transform(
-        F.sequence(
-            F.lit(1), F.length(t) - F.lit(window - 1), F.lit(stride)
-        ),
+        _strided_offsets(t, window, stride),
         lambda i: t.substr(i, F.lit(window)),
     )
     return (
         docs.filter(t.isNotNull() & (F.length(t) >= window))
         .select(F.col(id_col).alias("_d"), F.explode(windows).alias("w"))
-        .groupBy("w")
+        # 8-byte shuffle key; one representative text per group rides
+        # the partial-agg buffer (module docstring, shuffle-volume note)
+        .groupBy(F.xxhash64("w").alias("_wh"))
         .agg(
+            F.first("w").alias("window_text"),
             F.countDistinct("_d").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .select(F.col("w").alias("window_text"), "n_docs", "n_occurrences")
+        .select("window_text", "n_docs", "n_occurrences")
+    )
+
+
+def repeated_window_spans(
+    docs: DataFrame,
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, char_start, char_end, n_windows): the REMOVABLE
+    spans — per document, the coalesced union of every strided window
+    whose text recurs in ≥ ``min_docs`` distinct documents. This is
+    the operator the Lee et al. substring-dedup pipeline actually
+    consumes: cut ``[char_start, char_end)`` (0-based, half-open) out
+    of each document and the cross-document boilerplate is gone.
+
+    Plan: (1) one strided-window explode keyed by ``xxhash64`` carrying
+    the char offset; (2) the flagged-hash set (same aggregate as
+    ``repeated_windows``, minus the text column — pure 8-byte rows);
+    (3) an equi-join of occurrences against flagged hashes (the flagged
+    set is the DISTINCT boilerplate vocabulary — tiny vs the corpus, so
+    AQE broadcasts it in practice); (4) per-doc interval coalescing of
+    the hit windows (gaps-and-islands via
+    ``intervals.coalesce_intervals`` — one shuffle on doc_id).
+    Overlapping/touching hits merge, so ``n_windows`` counts the
+    flagged windows folded into each span."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(
+            f"window and stride must be positive, got {window}/{stride}"
+        )
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    from eventhub_to_timescale_spark.operators.intervals import (
+        coalesce_intervals,
+    )
+
+    t = F.col(text_col)
+    # hash BEFORE the explode (inside the transform) so the exploded
+    # rows carry (doc, pos, 8-byte hash) — the document text itself is
+    # never replicated per occurrence
+    occ = (
+        docs.filter(t.isNotNull() & (F.length(t) >= window))
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(
+                F.transform(
+                    _strided_offsets(t, window, stride),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(t.substr(i, F.lit(window))).alias("_wh"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("_d", F.col("o.pos").alias("pos"), F.col("o._wh").alias("_wh"))
+    )
+    flagged = (
+        occ.groupBy("_wh")
+        .agg(F.countDistinct("_d").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("_wh")
+    )
+    hits = occ.join(flagged, "_wh").select(
+        F.col("_d").alias("measurement_subject"),
+        (F.col("pos") - 1).cast("long").alias("start"),
+        (F.col("pos") - 1 + window).cast("long").alias("end"),
+    )
+    return (
+        coalesce_intervals(hits)
+        .select(
+            F.col("measurement_subject").alias("doc_id"),
+            F.col("start").alias("char_start"),
+            F.col("end").alias("char_end"),
+            F.col("n_intervals").alias("n_windows"),
+        )
+        .orderBy("doc_id", "char_start")
     )
 
 
@@ -99,4 +195,53 @@ HAVING COUNT(DISTINCT d) >= {min_docs}
 """
 
 
-__all__ = ["repeated_windows", "repeated_windows_oracle_sql"]
+def repeated_window_spans_oracle_sql(
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``repeated_window_spans``: same strided
+    windows (grouped by TEXT — the oracle is the collision-free
+    definition the hashed Spark plan must reproduce), joined back to
+    occurrences, merged with the same gaps-and-islands construction as
+    ``intervals.coalesce_oracle_sql``."""
+    from eventhub_to_timescale_spark.operators.intervals import (
+        coalesce_oracle_sql,
+    )
+
+    iv_cte = f"""
+  WITH occ AS (
+    SELECT {id_expr} AS d, CAST(i AS BIGINT) AS pos,
+           substring({text_expr}, CAST(i AS INTEGER), {window}) AS w
+    FROM {table},
+         UNNEST(generate_series(1, length({text_expr}) - {window - 1},
+                                {stride})) AS t(i)
+    WHERE {text_expr} IS NOT NULL AND length({text_expr}) >= {window}
+  ), rep AS (
+    SELECT w FROM occ GROUP BY w HAVING COUNT(DISTINCT d) >= {min_docs}
+  )
+  SELECT occ.d AS measurement_subject,
+         occ.pos - 1 AS start,
+         occ.pos - 1 + {window} AS "end"
+  FROM occ JOIN rep USING (w)
+"""
+    inner = coalesce_oracle_sql(iv_cte)
+    return f"""
+SELECT measurement_subject AS doc_id,
+       start AS char_start,
+       "end" AS char_end,
+       n_intervals AS n_windows
+FROM ({inner})
+ORDER BY doc_id, char_start
+"""
+
+
+__all__ = [
+    "repeated_windows",
+    "repeated_windows_oracle_sql",
+    "repeated_window_spans",
+    "repeated_window_spans_oracle_sql",
+]

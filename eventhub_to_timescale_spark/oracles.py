@@ -93,33 +93,51 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_simhash_oracle(max_hamming: int = 3) -> str:
-    h = _h32("x", "sh:")
+    # 64-bit simhash = two independent 32-bit halves slicing ONE md5
+    # per word (hex chars 1-8 → lo, 9-16 → hi), mirroring
+    # dedup.simhash64 exactly; banding = 4 × 16-bit blocks (lo →
+    # blocks 0-1, hi → blocks 2-3), a 2^18 bucket space.
+    h_lo = "CAST(('0x' || substr(md5('sh:' || x), 1, 8)) AS BIGINT)"
+    h_hi = "CAST(('0x' || substr(md5('sh:' || x), 9, 8)) AS BIGINT)"
     return f"""
 WITH docs AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sums AS (
   SELECT doc_id, b,
          list_sum(list_transform(w, x ->
-           CASE WHEN CAST(floor({h} / pow(2, b)) AS BIGINT) % 2 = 1
-                THEN 1 ELSE -1 END)) AS s
+           CASE WHEN CAST(floor({h_lo} / pow(2, b)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END)) AS s_lo,
+         list_sum(list_transform(w, x ->
+           CASE WHEN CAST(floor({h_hi} / pow(2, b)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END)) AS s_hi
   FROM docs, range({SIMHASH_BITS}) t(b)
 ), sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS sh
+         SUM(CASE WHEN s_lo > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+           AS sh_lo,
+         SUM(CASE WHEN s_hi > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+           AS sh_hi
   FROM sums GROUP BY doc_id
 ), blocks AS (
-  SELECT doc_id, sh, i,
-         CAST(floor(sh / pow(2, 8 * i)) AS BIGINT) % 256 AS block_key
-  FROM sh, range({SIMHASH_BITS // 8}) t(i)
+  SELECT doc_id, sh_lo, sh_hi, i,
+         CASE WHEN i < 2
+              THEN CAST(floor(sh_lo / pow(2, 16 * i)) AS BIGINT) % 65536
+              ELSE CAST(floor(sh_hi / pow(2, 16 * (i - 2))) AS BIGINT) % 65536
+         END AS block_key
+  FROM sh, range(4) t(i)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         a.sh AS sh_a, b2.sh AS sh_b
+         a.sh_lo AS lo_a, a.sh_hi AS hi_a,
+         b2.sh_lo AS lo_b, b2.sh_hi AS hi_b
   FROM blocks a JOIN blocks b2
     ON a.i = b2.i AND a.block_key = b2.block_key AND a.doc_id < b2.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS INTEGER) AS hamming
 FROM cand
-WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+      <= {max_hamming}
 ORDER BY doc_a, doc_b
 """
 
@@ -180,12 +198,23 @@ def _plane_literal(p: int, dim: int) -> str:
 
 
 def sim_ann_lsh_oracle(
-    query_max_id: int = 8, k: int = 5, num_planes: int = 8, dim: int = 64
+    query_max_id: int = 8,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    probe_hamming: int = 0,
 ) -> str:
+    from eventhub_to_timescale_spark.operators.similarity import (
+        hamming_ball_masks,
+    )
+
     sketch_terms = " + ".join(
         f"CASE WHEN list_dot_product(v, {_plane_literal(p, dim)}) > 0 "
         f"THEN {2 ** p} ELSE 0 END"
         for p in range(num_planes)
+    )
+    mask_values = ", ".join(
+        f"({m})" for m in hamming_ball_masks(num_planes, probe_hamming)
     )
     return f"""
 WITH e AS (
@@ -194,8 +223,12 @@ WITH e AS (
   FROM embeddings
   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, sketch AS qsketch
-      FROM e WHERE vec_id < {query_max_id}),
+q0 AS (SELECT vec_id AS query_id, v AS qv, sketch AS qsketch0
+       FROM e WHERE vec_id < {query_max_id}),
+q AS (
+  SELECT query_id, qv, xor(qsketch0, mask) AS qsketch
+  FROM q0, (VALUES {mask_values}) AS masks(mask)
+),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id, e.v AS cv, qv
   FROM q JOIN e ON e.sketch = qsketch AND e.vec_id != query_id

@@ -14,10 +14,11 @@ subjects so state stays bounded at any key cardinality.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUT_SCHEMA = (
@@ -32,6 +33,11 @@ def _changes_fn(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized change-point filter (r8, VERDICT r7 ask #3): a
+    skipped row always EQUALS the last emitted value (induction over
+    the null-safe compare), so "compare to last emitted" reduces to
+    consecutive-dedupe — one shift() pass, plus a single state-vs-
+    first-row boundary fix. No per-row Python in the hot path."""
     subject, m_of = key
     # Timeout invocation: no new data for this key within the idle
     # window — drop the state and do NOT re-arm the timer, otherwise
@@ -44,28 +50,41 @@ def _changes_fn(
     else:
         last_value, has_value = None, False
 
-    out_rows: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("timestamp")
-        for _, row in pdf.iterrows():
-            v = row["measurement_string"]
-            v = None if pd.isna(v) else v
-            # null-safe IS DISTINCT FROM (reference
-            # filter_unchanged_rows.sql:33)
-            if not has_value or (v is None) != (last_value is None) or v != last_value:
-                out_rows.append(
-                    {
-                        "measurement_subject": subject,
-                        "measurement_of": m_of,
-                        "timestamp": row["timestamp"],
-                        "value": v,
-                    }
-                )
-                last_value, has_value = v, True
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+    if not chunks:
+        state.update((last_value, has_value))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        "timestamp", kind="stable", ignore_index=True
+    )
+    v = pdf["measurement_string"]
+    isna = v.isna()
+    # null-safe IS DISTINCT FROM the previous row (reference
+    # filter_unchanged_rows.sql:33): differs, or exactly one is null
+    both_na = isna & isna.shift(fill_value=False)
+    distinct = (v.ne(v.shift()) | isna.ne(isna.shift(fill_value=False))) & ~both_na
+    mask = distinct.to_numpy()
+    # boundary: row 0 compares against the carried state, not shift()
+    v0_na = bool(isna.iloc[0])
+    v0 = None if v0_na else v.iloc[0]
+    mask[0] = (
+        not has_value
+        or v0_na != (last_value is None)
+        or (not v0_na and v0 != last_value)
+    )
+    # new state = last row's value (equals last emitted by induction)
+    tail_na = bool(isna.iloc[-1])
+    last_value = None if tail_na else v.iloc[-1]
+    has_value = True
     state.update((last_value, has_value))
     state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle subjects
-    if out_rows:
-        yield pd.DataFrame(out_rows)
+    if mask.any():
+        out = pdf.loc[mask, ["timestamp"]].copy()
+        out.insert(0, "measurement_subject", subject)
+        out.insert(1, "measurement_of", m_of)
+        out["value"] = v[mask].astype(object).where(~isna[mask], None)
+        yield out
 
 
 _COUNTER_OUT_SCHEMA = (
@@ -79,6 +98,12 @@ _COUNTER_STATE_SCHEMA = "last_v double, last_t long, last_uid long"
 
 def _counter_delta_fn_factory(bucket_seconds: int):
     def fn(key, pdf_iter, state):
+        """Vectorized counter fold (r8, VERDICT r7 ask #3): the
+        per-sample contribution is ``where(v >= prev, v - prev, v)``
+        with the state's last value injected as row 0's predecessor —
+        one shift() + numpy.where + groupby(bucket).sum(), no per-row
+        Python."""
+        import numpy as np
         import pandas as pd
 
         (subject,) = key
@@ -89,50 +114,45 @@ def _counter_delta_fn_factory(bucket_seconds: int):
         if state.exists:
             (last_v, _last_t, _last_uid) = state.get
 
-        partials: dict[int, float] = {}
-        saw = False
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["timestamp", "measurement_unique_id"])
-            # tz-free integer epoch: naive datetime64 ns in a UTC
-            # session are ns-since-epoch directly
-            epochs = (
-                pdf["timestamp"].astype("datetime64[ns]").astype("int64")
-                // 1_000_000_000
-            )
-            for v, ep, uid in zip(
-                pdf["measurement_number"], epochs,
-                pdf["measurement_unique_id"],
-            ):
-                if pd.isna(v):
-                    continue
-                v = float(v)
-                saw = True
-                if last_v is None:
-                    contrib = 0.0
-                elif v >= last_v:
-                    contrib = v - last_v
-                else:
-                    contrib = v  # counter reset: restart from zero
-                bucket = (int(ep) // bucket_seconds) * bucket_seconds
-                partials[bucket] = partials.get(bucket, 0.0) + contrib
-                last_v, last_t, last_uid = v, int(ep), int(uid)
-        if saw:
-            state.update((last_v, last_t, last_uid))
-            state.setTimeoutDuration(24 * 3600 * 1000)
-        if partials:
-            yield pd.DataFrame(
-                {
-                    "measurement_subject": subject,
-                    "time": pd.to_datetime(
-                        [b * 1_000_000_000 for b in sorted(partials)]
-                    ),
-                    "partial_delta": [
-                        partials[b] for b in sorted(partials)
-                    ],
-                }
-            )
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        v = pdf["measurement_number"].astype("float64").to_numpy()
+        # tz-free integer epoch: naive datetime64 ns in a UTC session
+        # are ns-since-epoch directly
+        ns = pdf["timestamp"].astype("datetime64[ns]").astype("int64").to_numpy()
+        uid = pdf["measurement_unique_id"].to_numpy()
+        order = np.lexsort((uid, ns))
+        # NaN samples neither contribute nor advance the carry — same
+        # as the reference loop's `continue` before the state update
+        order = order[~np.isnan(v[order])]
+        if order.size == 0:
+            return
+        v = v[order]
+        epochs = ns[order] // 1_000_000_000
+        prev = np.empty_like(v)
+        prev[1:] = v[:-1]
+        prev[0] = np.nan if last_v is None else float(last_v)
+        contrib = np.where(
+            np.isnan(prev),
+            0.0,
+            np.where(v >= prev, v - prev, v),  # reset: restart from 0
+        )
+        buckets = (epochs // bucket_seconds) * bucket_seconds
+        uniq, inverse = np.unique(buckets, return_inverse=True)
+        partial = np.bincount(inverse, weights=contrib)
+        state.update(
+            (float(v[-1]), int(epochs[-1]), int(uid[order[-1]]))
+        )
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "measurement_subject": subject,
+                "time": pd.to_datetime(uniq * 1_000_000_000),
+                "partial_delta": partial,
+            }
+        )
 
     return fn
 
@@ -189,6 +209,11 @@ _HEARTBEAT_STATE_SCHEMA = "last_t long"
 
 def _heartbeat_fn_factory(tolerance_seconds: int):
     def fn(key, pdf_iter, state):
+        """Vectorized liveness partial (r8, VERDICT r7 ask #3):
+        covered time is ``diff().clip(upper=tol).sum()`` over the
+        sorted beat epochs, with the state's last beat injected as the
+        predecessor of the batch's first beat — no per-row Python."""
+        import numpy as np
         import pandas as pd
 
         (subject,) = key
@@ -197,37 +222,31 @@ def _heartbeat_fn_factory(tolerance_seconds: int):
             return
         last_t = state.get[0] if state.exists else None
 
-        n = 0
-        covered = 0
-        mn = mx = None
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["timestamp", "measurement_unique_id"])
-            epochs = (
-                pdf["timestamp"].astype("datetime64[ns]").astype("int64")
-                // 1_000_000_000
-            )
-            for ep in epochs:
-                ep = int(ep)
-                if last_t is not None:
-                    covered += min(ep - last_t, tolerance_seconds)
-                last_t = ep
-                n += 1
-                mn = ep if mn is None else min(mn, ep)
-                mx = ep if mx is None else max(mx, ep)
-        if n:
-            state.update((last_t,))
-            state.setTimeoutDuration(24 * 3600 * 1000)
-            yield pd.DataFrame(
-                {
-                    "measurement_subject": [subject],
-                    "n_beats": [n],
-                    "covered_partial_s": [covered],
-                    "min_t": [mn],
-                    "max_t": [mx],
-                }
-            )
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ns = pdf["timestamp"].astype("datetime64[ns]").astype("int64").to_numpy()
+        order = np.lexsort((pdf["measurement_unique_id"].to_numpy(), ns))
+        epochs = ns[order] // 1_000_000_000
+        diffs = np.diff(epochs).astype("float64")
+        if last_t is not None:
+            diffs = np.concatenate(([float(epochs[0] - last_t)], diffs))
+        # min(gap, tolerance) per consecutive pair — negative gaps
+        # (out-of-order arrival) pass through un-clipped, exactly like
+        # the scalar loop's min()
+        covered = int(np.minimum(diffs, float(tolerance_seconds)).sum())
+        state.update((int(epochs[-1]),))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "measurement_subject": [subject],
+                "n_beats": [len(epochs)],
+                "covered_partial_s": [covered],
+                "min_t": [int(epochs.min())],
+                "max_t": [int(epochs.max())],
+            }
+        )
 
     return fn
 
@@ -267,6 +286,107 @@ def streaming_heartbeat(
             _heartbeat_fn_factory(tolerance_seconds),
             outputStructType=_HEARTBEAT_OUT_SCHEMA,
             stateStructType=_HEARTBEAT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+_FUNNEL_OUT_SCHEMA = "user_id long, furthest int"
+# per-user progression: furthest stage reached + the event-time (ns)
+# of the step that got there (the strictly-later constraint's anchor)
+_FUNNEL_STATE_SCHEMA = "stage int, t_ns long"
+
+
+def _funnel_fn_factory(steps: tuple):
+    def fn(key, pdf_iter, state):
+        """Vectorized greedy funnel progression: stage s advances on
+        the FIRST event of type steps[s] with ts strictly later than
+        stage s-1's anchor. Sorted-order scan per stage is one boolean
+        mask + argmax over numpy arrays — the stage loop runs at most
+        len(steps) times per key per batch, never per row."""
+        import numpy as np
+        import pandas as pd
+
+        (user,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, t_ns = state.get if state.exists else (0, None)
+
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        order = np.lexsort((pdf["event_id"].to_numpy(), ns))
+        ns = ns[order]
+        tp = pdf["event_type"].to_numpy()[order]
+
+        start_stage = stage
+        while stage < len(steps):
+            # events strictly later than the current anchor sort after
+            # every equal-ts event, so a whole-array mask reproduces
+            # the batch fold's sequential semantics exactly
+            mask = tp == steps[stage]
+            if t_ns is not None:
+                mask &= ns > t_ns
+            hits = np.flatnonzero(mask)
+            if hits.size == 0:
+                break
+            t_ns = int(ns[hits[0]])
+            stage += 1
+        if stage > start_stage:
+            state.update((stage, t_ns))
+            # conversion horizon: idle users evict after 7 days of
+            # processing time (restart from stage 0 if they return)
+            state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+            yield pd.DataFrame(
+                {"user_id": [user], "furthest": [stage]}
+            )
+        elif state.exists:
+            state.update((stage, t_ns))
+            state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+
+    return fn
+
+
+def streaming_funnel(
+    events: DataFrame, steps: list[str] | tuple
+) -> DataFrame:
+    """Stream-side ordered funnel (operators/funnel.py:funnel_reached):
+    per-user state is TWO scalars — the furthest stage and its
+    event-time anchor. A user emits ``(user_id, furthest)`` only when
+    a micro-batch advances their stage, so ``max(furthest)`` per user
+    over the emitted rows is the user's final stage, and
+
+        n_users(s) = COUNT(user WHERE max(furthest) >= s)
+
+    equals the batch operator exactly — progression is monotone, so
+    no window-close/watermark semantics are needed (same argument as
+    ``streaming_counter_delta``'s per-sample contributions).
+
+    Same ordered-arrival contract as the other stateful operators
+    (per-key event-time order across micro-batches). State is bounded
+    at 2 scalars per user; production deployments bound user
+    cardinality itself by setting the processing-time timeout to the
+    funnel's conversion horizon (an evicted user who converts later
+    restarts from stage 0 — the standard attribution-window
+    semantics).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin(list(steps))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn_factory(tuple(steps)),
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )

@@ -104,18 +104,18 @@ ALWAYS_GATED_CORE = {
     "ingest_events_unpivot", "ingest_glow", "ingest_homie",
     "ingest_emon", "ingest_bmw", "ingest_dynamic",
     "ingest_records_strict", "ingest_router_union",
-    # dedup / similarity (components_keep contains components' plan;
-    # ngram-jaccard is minhash's verify step)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components_keep",
-    "dedup_simhash", "dedup_embedding_cosine", "sim_cosine_topk",
-    "sim_ann_lsh", "sim_ivf_topk",
-    # text / curation / packing / sampling (langid+tokens compose
-    # into the gated clean-corpus pipeline; sample-cut is the
-    # percentile's variant)
-    "text_quality_score", "text_fingerprint", "pipeline_clean_corpus",
-    "text_vocab_topk", "text_quality_percentile", "pack_documents",
-    "sample_docs_fraction", "curation_pii_redact",
-    "curation_decontaminate", "curation_repetition",
+    # dedup / similarity primaries (each rotated-out sibling —
+    # components_keep, embedding_cosine, ann_lsh, ivf — has a gated
+    # witness of its mechanism this round; see the registry's
+    # rotation ledger)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_cosine_topk",
+    # text / curation / packing (quality-score family witnessed by
+    # whichever variant is currently gated; vocab + fingerprint have
+    # no rotating sibling)
+    "text_fingerprint", "text_vocab_topk", "pack_documents",
+    "curation_pii_redact", "curation_decontaminate",
+    "curation_repetition",
     # multimodal
     "mm_blob_features", "mm_frame_sample", "mm_resize",
 }

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from eventhub_to_timescale_spark.operators.substrdup import (
+    repeated_window_spans,
     repeated_windows,
 )
 
@@ -73,3 +74,74 @@ class TestRepeatedWindows:
             repeated_windows(docs, stride=0)
         with pytest.raises(ValueError):
             repeated_windows(docs, min_docs=0)
+
+
+class TestRepeatedWindowSpans:
+    def test_spans_cover_shared_banner(self, spark):
+        banner = "=" * 8 + "COMMON LICENSE HEADER TEXT HERE!" + "=" * 8
+        assert len(banner) == 48
+        docs = _docs(
+            spark,
+            [
+                # tails start with DIFFERENT chars so no window
+                # extending past the banner is shared
+                (1, banner + "Xunique tail one abcdefgh"),
+                (2, "prefix of sixteen" + banner + " other body 12345"),
+                (3, "totally unrelated text with no shared windows xx"),
+            ],
+        )
+        # stride 48 → doc 1's banner is its window at pos 1 (chars
+        # 0-48); doc 2's copy is NOT stride-aligned, so only doc 1's
+        # aligned window can flag — use stride 1 for exact coverage
+        out = repeated_window_spans(
+            docs, window=48, stride=1, min_docs=2
+        ).collect()
+        spans = {r.doc_id: (r.char_start, r.char_end) for r in out}
+        assert spans[1] == (0, 48)
+        assert spans[2] == (17, 17 + 48)
+        assert 3 not in spans
+
+    def test_overlapping_windows_coalesce(self, spark):
+        shared = "S" * 80  # spans multiple strided windows
+        docs = _docs(
+            spark,
+            [(1, shared + "tail1-unique-abcdef"), (2, shared + "tail2-unique-ghijkl")],
+        )
+        out = repeated_window_spans(
+            docs, window=48, stride=16, min_docs=2
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # all flagged windows of the shared run merge into ONE span
+        # per doc, starting at 0
+        for d in (1, 2):
+            assert len(by_doc[d]) == 1
+            assert by_doc[d][0].char_start == 0
+            assert by_doc[d][0].n_windows >= 2
+
+    def test_span_bounds_are_half_open_char_offsets(self, spark):
+        shared = "Z" * 48
+        docs = _docs(
+            spark,
+            [(1, "aaaaaaaaaaaaaaaa" + shared), (2, shared + "bbbbbbbbbbbbbbbb")],
+        )
+        out = repeated_window_spans(
+            docs, window=48, stride=16, min_docs=2
+        ).collect()
+        spans = {r.doc_id: (r.char_start, r.char_end) for r in out}
+        # doc 1: shared run starts at char 16 (0-based), aligned to
+        # stride 16 → flagged window [16, 64)
+        assert spans[1] == (16, 64)
+        assert spans[2] == (0, 48)
+
+    def test_no_repeats_no_spans(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "first document with entirely unique content here"),
+             (2, "second document sharing nothing with the first 12")],
+        )
+        assert (
+            repeated_window_spans(docs, window=48, stride=16).collect()
+            == []
+        )
