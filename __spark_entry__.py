@@ -490,7 +490,11 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=3,
+        persist_banded=True,  # self-join sides share one signature pass
+    )
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:

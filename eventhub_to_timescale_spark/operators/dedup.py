@@ -295,7 +295,10 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    persist_banded: bool = False,
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs within Hamming distance
     ``max_hamming`` of their 64-bit SimHash. Candidates via 16-bit
@@ -311,7 +314,18 @@ def simhash_pairs(
     Θ(N²/2¹⁰), and small enough that true near-dup pairs, not bucket
     collisions, dominate candidate volume at corpus scale. A 64-bit
     fingerprint also makes Hamming ≤ 3 a far sharper similarity test
-    (3/64 vs 3/32 of the bits)."""
+    (3/64 vs 3/32 of the bits).
+
+    Candidate handling (r8): the Hamming filter runs INSIDE the
+    banded join's projection — a codegen'd bit_count over the joined
+    row, map-side — so only surviving pairs (≤4 copies each, one per
+    agreeing block) reach the dropDuplicates exchange. On a skewed
+    corpus where hot buckets make candidates >> results (template
+    corpora: 47 M candidates → 200 k pairs at the 10× sweep), this is
+    the difference between shuffling the candidate set and shuffling
+    the result set. ``persist_banded=True`` caches the banded frame so
+    the self-join's two sides share one signature computation (same
+    contract as ``minhash_lsh_pairs``)."""
     if max_hamming >= 4:
         raise ValueError(
             f"max_hamming={max_hamming}: 4-block banding only guarantees "
@@ -344,32 +358,28 @@ def simhash_pairs(
             )
         ).alias("blk"),
     ).select("doc_id", "sh_lo", "sh_hi", "blk.block_id", "blk.block_key")
+    if persist_banded:
+        blocks = blocks.persist()
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    ham = (
+        F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+        + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_key") == F.col("b.block_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # Hamming filter BEFORE the dedup exchange (see docstring)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh_lo").alias("lo_a"),
-            F.col("a.sh_hi").alias("hi_a"),
-            F.col("b.sh_lo").alias("lo_b"),
-            F.col("b.sh_hi").alias("hi_b"),
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    ham = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
-    return (
-        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
