@@ -1146,6 +1146,19 @@ def _dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with cross-document boilerplate spans cut out — the
+    terminal Lee-et-al. substring-dedup step
+    (operators/substrdup.py:remove_repeated_spans)."""
+    from eventhub_to_timescale_spark.operators.substrdup import (
+        remove_repeated_spans,
+    )
+
+    return remove_repeated_spans(
+        _docs(spark, sf_dir), window=48, stride=16, min_docs=2
+    )
+
+
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase cumulative funnel via a single-scan
     JVM-side fold — operators/funnel.py (greedy earliest progression,
@@ -1328,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — r8 additions: new operators, fully oracled; tail-witnessed
         # this round (check_parity + test_gate_tail_parity), gate in r9
         "dedup_substr_spans": _dedup_substr_spans,
+        "dedup_substr_clean": _dedup_substr_clean,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1419,6 +1433,14 @@ def _substr_spans_oracle() -> str:
     )
 
     return repeated_window_spans_oracle_sql(48, 16, 2)
+
+
+def _substr_clean_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.substrdup import (
+        remove_repeated_spans_oracle_sql,
+    )
+
+    return remove_repeated_spans_oracle_sql(48, 16, 2)
 
 
 def _funnel_oracle() -> str:
@@ -2180,4 +2202,5 @@ JOIN customer ON o_custkey = c_custkey
         "events_funnel": _funnel_oracle(),
         "dedup_substr_windows": _substr_windows_oracle(),
         "dedup_substr_spans": _substr_spans_oracle(),
+        "dedup_substr_clean": _substr_clean_oracle(),
     }

@@ -168,6 +168,81 @@ def repeated_window_spans(
     )
 
 
+def remove_repeated_spans(
+    docs: DataFrame,
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, clean_text, removed_chars): every document with its
+    flagged cross-document boilerplate spans CUT OUT — the terminal
+    step of the Lee et al. substring-dedup pipeline
+    (``repeated_window_spans`` produces the spans; this applies them).
+    Documents with no flagged spans pass through verbatim with
+    ``removed_chars = 0``.
+
+    Plan: spans collapse to one sorted array per doc (they are already
+    disjoint — the span pass coalesced them), LEFT-join back to the
+    corpus (the span side is the boilerplate-bearing subset — small,
+    AQE broadcasts it), and one codegen'd ``aggregate`` fold slices
+    the kept segments. The corpus is scanned once and never shuffled;
+    only span rows move."""
+    from pyspark.sql import Column
+
+    spans = repeated_window_spans(
+        docs, window, stride, min_docs, text_col, id_col
+    )
+    per_doc = spans.groupBy(F.col("doc_id").alias("_sd")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("char_start", "char_end"))
+        ).alias("_spans"),
+        F.sum(F.col("char_end") - F.col("char_start")).alias("_cut"),
+    )
+    t = F.col(text_col)
+
+    def fold(acc: Column, s: Column) -> Column:
+        return F.struct(
+            s["char_end"].alias("pos"),
+            F.concat(
+                acc["acc"],
+                t.substr(
+                    (acc["pos"] + 1).cast("int"),
+                    (s["char_start"] - acc["pos"]).cast("int"),
+                ),
+            ).alias("acc"),
+        )
+
+    clean = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit(0).cast("long").alias("pos"), F.lit("").alias("acc")
+        ),
+        fold,
+        lambda acc: F.concat(
+            acc["acc"],
+            t.substr(
+                (acc["pos"] + 1).cast("int"),
+                (F.length(t) - acc["pos"]).cast("int"),
+            ),
+        ),
+    )
+    return (
+        docs.join(per_doc, docs[id_col] == per_doc["_sd"], "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.when(F.col("_spans").isNotNull(), clean)
+            .otherwise(t)
+            .alias("clean_text"),
+            F.coalesce(F.col("_cut"), F.lit(0)).cast("long").alias(
+                "removed_chars"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def repeated_windows_oracle_sql(
     window: int = 48,
     stride: int = 16,
@@ -239,9 +314,58 @@ ORDER BY doc_id, char_start
 """
 
 
+def remove_repeated_spans_oracle_sql(
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``remove_repeated_spans``: the kept text is
+    the ordered concatenation of the complement segments (LAG over the
+    sorted spans + a per-doc tail segment)."""
+    spans = repeated_window_spans_oracle_sql(
+        window, stride, min_docs, text_expr, id_expr, table
+    )
+    return f"""
+WITH s AS ({spans}),
+seg AS (
+  SELECT doc_id,
+         COALESCE(LAG(char_end) OVER (PARTITION BY doc_id
+                                      ORDER BY char_start), 0) AS a,
+         char_start AS b
+  FROM s
+  UNION ALL
+  SELECT doc_id, MAX(char_end) AS a, NULL AS b FROM s GROUP BY doc_id
+),
+cut AS (
+  SELECT seg.doc_id,
+         string_agg(substring(d.{text_expr}, CAST(seg.a + 1 AS INTEGER),
+                    CAST(COALESCE(seg.b, length(d.{text_expr})) - seg.a
+                         AS INTEGER)),
+                    '' ORDER BY seg.a) AS clean_text
+  FROM seg JOIN {table} d ON d.{id_expr} = seg.doc_id
+  GROUP BY seg.doc_id
+),
+cutlen AS (
+  SELECT doc_id, SUM(char_end - char_start) AS removed FROM s GROUP BY doc_id
+)
+SELECT d.{id_expr} AS doc_id,
+       COALESCE(cut.clean_text, d.{text_expr}) AS clean_text,
+       COALESCE(cutlen.removed, 0) AS removed_chars
+FROM {table} d
+LEFT JOIN cut ON cut.doc_id = d.{id_expr}
+LEFT JOIN cutlen ON cutlen.doc_id = d.{id_expr}
+ORDER BY doc_id
+"""
+
+
 __all__ = [
     "repeated_windows",
     "repeated_windows_oracle_sql",
     "repeated_window_spans",
     "repeated_window_spans_oracle_sql",
+    "remove_repeated_spans",
+    "remove_repeated_spans_oracle_sql",
 ]

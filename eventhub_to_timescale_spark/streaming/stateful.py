@@ -393,6 +393,92 @@ def streaming_funnel(
     )
 
 
+_RETENTION_OUT_SCHEMA = "user_id long, cohort_b long, b long"
+# first-ever activity bucket + last bucket seen: under the per-key
+# ordered-arrival contract buckets arrive non-decreasing, so "have I
+# emitted this (user, bucket) already" is just b <= last_b — the full
+# seen-set never needs materializing
+_RETENTION_STATE_SCHEMA = "cohort_b long, last_b long"
+
+
+def _retention_fn_factory(bucket_seconds: int):
+    def fn(key, pdf_iter, state):
+        """Vectorized: unique-bucket extraction per batch is one
+        floor-divide + np.unique; the state filter is one comparison."""
+        import numpy as np
+        import pandas as pd
+
+        (user,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cohort_b, last_b = state.get if state.exists else (None, None)
+
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        buckets = np.unique(ns // (bucket_seconds * 1_000_000_000))
+        if last_b is not None:
+            buckets = buckets[buckets > last_b]
+        if buckets.size == 0:
+            return
+        if cohort_b is None:
+            cohort_b = int(buckets[0])
+        state.update((cohort_b, int(buckets[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": user,
+                "cohort_b": cohort_b,
+                "b": buckets.astype("int64"),
+            }
+        )
+
+    return fn
+
+
+def streaming_cohort_retention(
+    events: DataFrame, bucket_seconds: int = 86400
+) -> DataFrame:
+    """Stream-side cohort retention (operators/retention.py): per-user
+    state is TWO scalars — the first-ever activity bucket (the cohort)
+    and the last bucket seen. Each micro-batch emits one row per NEW
+    (user, bucket), so the emitted rows ARE the batch operator's
+    distinct user-bucket grid annotated with the cohort, and
+
+        SELECT cohort, b - cohort_b AS k, COUNT(*) FROM emitted
+        GROUP BY 1, 2
+
+    equals the batch ``cohort_retention`` exactly — grid membership is
+    append-only under ordered arrival, so no watermark-close semantics
+    are needed (same argument as ``streaming_counter_delta``).
+
+    Ordered-arrival contract: per-key event-time order across
+    micro-batches makes buckets non-decreasing, which is what lets the
+    seen-set collapse to ``last_b``. Out-of-order arrival within one
+    micro-batch is fine (np.unique sorts); across micro-batches a
+    bucket older than ``last_b`` would be dropped — the same contract
+    every stateful operator here documents.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"bucket_seconds must be positive, got {bucket_seconds}"
+        )
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _retention_fn_factory(bucket_seconds),
+            outputStructType=_RETENTION_OUT_SCHEMA,
+            stateStructType=_RETENTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def streaming_changed_rows(conditions: DataFrame) -> DataFrame:
     """Stream-side Q8: keep only change points, keyed state per
     (subject, measurement_of). Input must already carry a watermark."""

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from eventhub_to_timescale_spark.operators.substrdup import (
+    remove_repeated_spans,
     repeated_window_spans,
     repeated_windows,
 )
@@ -145,3 +146,47 @@ class TestRepeatedWindowSpans:
             repeated_window_spans(docs, window=48, stride=16).collect()
             == []
         )
+
+
+class TestRemoveRepeatedSpans:
+    def test_boilerplate_cut_tails_kept(self, spark):
+        banner = "B" * 48
+        docs = _docs(
+            spark,
+            [
+                (1, banner + "Xtail-one-unique-suffix!"),
+                (2, banner + " tail two other suffix 9"),
+                (3, "wholly unique text that survives unchanged ok!!"),
+            ],
+        )
+        out = {
+            r.doc_id: (r.clean_text, r.removed_chars)
+            for r in remove_repeated_spans(
+                docs, window=48, stride=16, min_docs=2
+            ).collect()
+        }
+        assert out[1] == ("Xtail-one-unique-suffix!", 48)
+        assert out[2] == (" tail two other suffix 9", 48)
+        # unspanned doc passes through verbatim
+        assert out[3] == ("wholly unique text that survives unchanged ok!!", 0)
+
+    def test_interior_span_stitches_prefix_and_suffix(self, spark):
+        shared = "S" * 64  # ≥ window + stride − 1 → aligned hit
+        docs = _docs(
+            spark,
+            [
+                (1, "head-A-0123456789ab" + "-" * 13 + shared + "tail-A!"),
+                (2, shared + "tail-B-completely-different"),
+            ],
+        )
+        out = {
+            r.doc_id: r.clean_text
+            for r in remove_repeated_spans(
+                docs, window=48, stride=16, min_docs=2
+            ).collect()
+        }
+        # doc 1: the shared run starts at char 32 (stride-aligned), so
+        # flagged windows cover [32, 96); prefix + tail stitch together
+        assert out[1] == "head-A-0123456789ab" + "-" * 13 + "tail-A!"
+        assert out[2].endswith("tail-B-completely-different")
+        assert "S" * 48 not in out[1] and "S" * 48 not in out[2]
