@@ -1146,6 +1146,44 @@ def _dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape argmin-per-group via map-side-combinable
+    struct-min (no window shuffle-sort) + broadcast dim chain —
+    operators/relational.py:cheapest_supplier_per_part."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        cheapest_supplier_per_part,
+    )
+
+    li, p, s, n = _rel_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    return cheapest_supplier_per_part(li, p, s, n, "Brand#1")
+
+
+def _rel_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape EXISTS / left-semi probe: orders with at least
+    one late-shipped line, counted per priority —
+    operators/relational.py:priority_late_orders."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        priority_late_orders,
+    )
+
+    o, li = _rel_tables(spark, sf_dir, "orders", "lineitem")
+    return priority_late_orders(o, li, late_days=90)
+
+
+def _rel_no_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21/Q22-shape semi+anti join pair: customers who ordered
+    but never returned, per market segment —
+    operators/relational.py:customers_without_returns."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        customers_without_returns,
+    )
+
+    c, o, li = _rel_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return customers_without_returns(c, o, li)
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1342,6 +1380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (check_parity + test_gate_tail_parity), gate in r9
         "dedup_substr_spans": _dedup_substr_spans,
         "dedup_substr_clean": _dedup_substr_clean,
+        "rel_cheapest_supplier": _rel_cheapest_supplier,
+        "rel_priority_late": _rel_priority_late,
+        "rel_no_return_customers": _rel_no_return_customers,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1441,6 +1482,30 @@ def _substr_clean_oracle() -> str:
     )
 
     return remove_repeated_spans_oracle_sql(48, 16, 2)
+
+
+def _rel_cheapest_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        cheapest_supplier_oracle_sql,
+    )
+
+    return cheapest_supplier_oracle_sql("Brand#1")
+
+
+def _rel_priority_late_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        priority_late_oracle_sql,
+    )
+
+    return priority_late_oracle_sql(90)
+
+
+def _rel_no_return_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        customers_without_returns_oracle_sql,
+    )
+
+    return customers_without_returns_oracle_sql()
 
 
 def _funnel_oracle() -> str:
@@ -2203,4 +2268,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_substr_windows": _substr_windows_oracle(),
         "dedup_substr_spans": _substr_spans_oracle(),
         "dedup_substr_clean": _substr_clean_oracle(),
+        "rel_cheapest_supplier": _rel_cheapest_oracle(),
+        "rel_priority_late": _rel_priority_late_oracle(),
+        "rel_no_return_customers": _rel_no_return_oracle(),
     }

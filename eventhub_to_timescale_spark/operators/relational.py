@@ -280,10 +280,211 @@ def large_quantity_orders(
     )
 
 
+def cheapest_supplier_per_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    brand: str = "Brand#1",
+) -> DataFrame:
+    """TPC-H Q2-shape: per part of the given brand, the single
+    cheapest offer observed in the fact table — argmin per group with
+    a deterministic tie-break, then the supplier/nation dim chain.
+
+    → (p_partkey, p_name, best_price, s_name, n_name), ordered by
+    (p_partkey).
+
+    100 TB posture: the argmin is ``min(struct(price_cents, suppkey,
+    orderkey))`` — a MAP-SIDE-COMBINABLE aggregate, not the textbook
+    ``row_number() OVER (PARTITION BY part ORDER BY price)`` window,
+    which would shuffle-sort the whole fact table; the struct-min
+    collapses each map task to one candidate per part before the
+    exchange.  The brand filter prunes the part dim FIRST and the
+    semi-joined fact scan probes it broadcast; supplier/nation are
+    broadcast dims.  Tie-break (suppkey, then orderkey) makes the
+    argmin total, so both engines pick the identical row.
+    """
+    price = _cents("l_extendedprice")
+    parts = part.filter(F.col("p_brand") == brand).select(
+        "p_partkey", "p_name"
+    )
+    best = (
+        lineitem.join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min(
+                F.struct(
+                    price.alias("pc"),
+                    F.col("l_suppkey").alias("sk"),
+                    F.col("l_orderkey").alias("ok"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("m.pc") / 100.0).alias("best_price"),
+            F.col("m.sk").alias("best_suppkey"),
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(supplier),
+            F.col("best_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy("p_partkey")
+        .select("p_partkey", "p_name", "best_price", "s_name", "n_name")
+    )
+
+
+def cheapest_supplier_oracle_sql(brand: str = "Brand#1") -> str:
+    """DuckDB rendering of ``cheapest_supplier_per_part`` — the
+    window formulation (fine for an oracle); rank-1 under
+    (price_cents, suppkey, orderkey) equals the struct-min exactly."""
+    return f"""
+WITH offers AS (
+  SELECT p.p_partkey, p.p_name,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc,
+         l.l_suppkey, l.l_orderkey,
+         row_number() OVER (
+           PARTITION BY p.p_partkey
+           ORDER BY CAST(round(l.l_extendedprice * 100) AS BIGINT),
+                    l.l_suppkey, l.l_orderkey) AS rn
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{brand}'
+)
+SELECT o.p_partkey, o.p_name, o.pc / 100.0 AS best_price,
+       s.s_name, n.n_name
+FROM offers o
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.rn = 1
+ORDER BY o.p_partkey
+"""
+
+
+def priority_late_orders(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 90
+) -> DataFrame:
+    """TPC-H Q4-shape: per order priority, how many orders have AT
+    LEAST ONE line shipped more than ``late_days`` after the order
+    date — the EXISTS / left-semi-join plan shape.
+
+    → (o_orderpriority, late_orders), ordered by priority.
+
+    100 TB posture: the semi-join probes orders with the DISTINCT
+    late-line orderkeys (Spark's LeftSemi keeps only the key column
+    of the right side and short-circuits on first match — no fact×fact
+    fan-out, no duplicate-orderkey inflation); the date predicate is
+    evaluated on the joined pair, and the final aggregate is a
+    map-side-combinable count over ≤ |priorities| groups.
+    """
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    probe = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), late_days)
+        ),
+        "left_semi",
+    )
+    return (
+        probe.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def priority_late_oracle_sql(late_days: int = 90) -> str:
+    """DuckDB rendering of ``priority_late_orders``."""
+    return f"""
+SELECT o.o_orderpriority, COUNT(*) AS late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def customers_without_returns(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q21/Q22-shape: per market segment, customers who HAVE
+    ordered (left-semi) but none of whose lines ever came back with
+    ``l_returnflag = 'R'`` (left-anti) — the semi+anti join pair on
+    one fact axis.
+
+    → (c_mktsegment, n_customers), ordered by segment.
+
+    100 TB posture: both probes collapse the fact table to DISTINCT
+    custkey sets before touching customers — the anti side filters
+    lineitem to returned lines FIRST (a small fraction), joins up to
+    orders for the custkey, and Spark's LeftSemi/LeftAnti never
+    replicate the customer row per matching fact row.  The final
+    aggregate is a count over ≤ |segments| groups.
+    """
+    ordering_cust = orders.select("o_custkey")
+    returned_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey")
+    )
+    kept = customer.join(
+        ordering_cust,
+        F.col("c_custkey") == ordering_cust["o_custkey"],
+        "left_semi",
+    ).join(
+        returned_cust,
+        F.col("c_custkey") == returned_cust["o_custkey"],
+        "left_anti",
+    )
+    return (
+        kept.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def customers_without_returns_oracle_sql() -> str:
+    """DuckDB rendering of ``customers_without_returns``."""
+    return """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1
+    FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+    WHERE o2.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 __all__ = [
     "pricing_summary",
     "revenue_by_nation",
     "top_revenue_orders",
     "returned_item_revenue",
     "large_quantity_orders",
+    "cheapest_supplier_per_part",
+    "cheapest_supplier_oracle_sql",
+    "priority_late_orders",
+    "priority_late_oracle_sql",
+    "customers_without_returns",
+    "customers_without_returns_oracle_sql",
 ]

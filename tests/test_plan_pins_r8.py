@@ -86,6 +86,71 @@ class TestSubstrdupPlan:
         assert plan.count("Exchange hashpartitioning(measurement_subject") <= 1
 
 
+class TestRelationalR8Plans:
+    def _tables(self, spark):
+        li = spark.createDataFrame(
+            [(i, i % 5, i % 3, 10.0 + i, "N" if i % 4 else "R",
+              "1996-03-0%d" % (i % 9 + 1))
+             for i in range(40)],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_extendedprice double, l_returnflag string, l_shipdate string",
+        ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+        part = spark.createDataFrame(
+            [(i, f"part{i}", "Brand#1") for i in range(5)],
+            "p_partkey long, p_name string, p_brand string",
+        )
+        supp = spark.createDataFrame(
+            [(i, f"supp{i}", i % 2) for i in range(3)],
+            "s_suppkey long, s_name string, s_nationkey int",
+        )
+        nat = spark.createDataFrame(
+            [(0, "A"), (1, "B")], "n_nationkey int, n_name string"
+        )
+        orders = spark.createDataFrame(
+            [(i, i % 7, "1996-01-0%d" % (i % 9 + 1), f"{i%3}-P")
+             for i in range(40)],
+            "o_orderkey long, o_custkey long, o_orderdate string, "
+            "o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+        cust = spark.createDataFrame(
+            [(i, f"c{i}", "SEG%d" % (i % 2)) for i in range(7)],
+            "c_custkey long, c_name string, c_mktsegment string",
+        )
+        return li, part, supp, nat, orders, cust
+
+    def test_cheapest_supplier_argmin_has_no_window(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            cheapest_supplier_per_part,
+        )
+
+        li, part, supp, nat, _, _ = self._tables(spark)
+        plan = _plan(cheapest_supplier_per_part(li, part, supp, nat))
+        # the argmin is the map-side-combinable struct-min, NOT a
+        # row_number window (which would shuffle-sort the facts)
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_priority_late_uses_left_semi(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            priority_late_orders,
+        )
+
+        li, _, _, _, orders, _ = self._tables(spark)
+        plan = _plan(priority_late_orders(orders, li))
+        assert "LeftSemi" in plan
+
+    def test_no_return_customers_uses_semi_and_anti(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            customers_without_returns,
+        )
+
+        li, _, _, _, orders, cust = self._tables(spark)
+        plan = _plan(customers_without_returns(cust, orders, li))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+
+
 class TestMultiProbeLshPlan:
     def test_probe_explosion_stays_on_broadcast_side(self, spark):
         from eventhub_to_timescale_spark.operators.similarity import (

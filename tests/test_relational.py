@@ -210,3 +210,121 @@ class TestLargeQuantityOrders:
         # 250 > 300 is false) — strict threshold
         assert [(r["o_orderkey"], r["total_qty"]) for r in out] == [(1, 350)]
         assert out[0]["c_name"] == "cust1"
+
+
+class TestCheapestSupplierPerPart:
+    def test_argmin_with_deterministic_tie_break(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            cheapest_supplier_per_part,
+        )
+
+        li = spark.createDataFrame(
+            [
+                # part 1: supplier 9 at 5.00, supplier 2 at 5.00 (tie
+                # → lower suppkey wins), supplier 3 at 4.99 (winner)
+                (10, 1, 9, 5.00),
+                (11, 1, 2, 5.00),
+                (12, 1, 3, 4.99),
+                # part 2: only supplier 9
+                (13, 2, 9, 7.50),
+                # part 3 is a different brand → excluded
+                (14, 3, 9, 0.01),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_extendedprice double",
+        )
+        part = spark.createDataFrame(
+            [(1, "p1", "Brand#1"), (2, "p2", "Brand#1"), (3, "p3", "Brand#2")],
+            "p_partkey long, p_name string, p_brand string",
+        )
+        supp = spark.createDataFrame(
+            [(2, "s2", 0), (3, "s3", 1), (9, "s9", 0)],
+            "s_suppkey long, s_name string, s_nationkey int",
+        )
+        nat = spark.createDataFrame(
+            [(0, "ZERO"), (1, "ONE")], "n_nationkey int, n_name string"
+        )
+        out = cheapest_supplier_per_part(li, part, supp, nat, "Brand#1").collect()
+        got = {r["p_partkey"]: (r["best_price"], r["s_name"], r["n_name"]) for r in out}
+        assert got == {1: (4.99, "s3", "ONE"), 2: (7.5, "s9", "ZERO")}
+
+    def test_tie_breaks_to_lowest_suppkey(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            cheapest_supplier_per_part,
+        )
+
+        li = spark.createDataFrame(
+            [(10, 1, 9, 5.00), (11, 1, 2, 5.00)],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_extendedprice double",
+        )
+        part = spark.createDataFrame(
+            [(1, "p1", "Brand#1")], "p_partkey long, p_name string, p_brand string"
+        )
+        supp = spark.createDataFrame(
+            [(2, "s2", 0), (9, "s9", 0)],
+            "s_suppkey long, s_name string, s_nationkey int",
+        )
+        nat = spark.createDataFrame([(0, "Z")], "n_nationkey int, n_name string")
+        out = cheapest_supplier_per_part(li, part, supp, nat, "Brand#1").collect()
+        assert out[0]["s_name"] == "s2"
+
+
+class TestPriorityLateOrders:
+    def test_counts_orders_once_regardless_of_late_lines(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            priority_late_orders,
+        )
+
+        orders = spark.createDataFrame(
+            [
+                (1, datetime(1996, 1, 1), "1-URGENT"),
+                (2, datetime(1996, 1, 1), "1-URGENT"),
+                (3, datetime(1996, 1, 1), "2-HIGH"),
+            ],
+            "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+        )
+        li = spark.createDataFrame(
+            [
+                # order 1: TWO late lines → still counted once
+                (1, datetime(1996, 6, 1)),
+                (1, datetime(1996, 7, 1)),
+                # order 2: on-time only
+                (2, datetime(1996, 1, 15)),
+                # order 3: exactly 90 days → NOT late (strict >)
+                (3, datetime(1996, 3, 31)),
+            ],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        out = {
+            r["o_orderpriority"]: r["late_orders"]
+            for r in priority_late_orders(orders, li, late_days=90).collect()
+        }
+        assert out == {"1-URGENT": 1}
+
+
+class TestCustomersWithoutReturns:
+    def test_semi_and_anti_membership(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            customers_without_returns,
+        )
+
+        customer = spark.createDataFrame(
+            [(1, "a", "S1"), (2, "b", "S1"), (3, "c", "S2"), (4, "d", "S2")],
+            "c_custkey long, c_name string, c_mktsegment string",
+        )
+        orders = spark.createDataFrame(
+            # cust 4 never ordered → excluded by the semi-join
+            [(10, 1), (11, 2), (12, 3)],
+            "o_orderkey long, o_custkey long",
+        )
+        li = spark.createDataFrame(
+            # cust 2's order 11 has a returned line → excluded by anti
+            [(10, "N"), (11, "R"), (12, "N")],
+            "l_orderkey long, l_returnflag string",
+        )
+        out = {
+            r["c_mktsegment"]: r["n_customers"]
+            for r in customers_without_returns(customer, orders, li).collect()
+        }
+        assert out == {"S1": 1, "S2": 1}
