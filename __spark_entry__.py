@@ -1184,6 +1184,53 @@ def _rel_no_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customers_without_returns(c, o, li)
 
 
+def _rel_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape conditional aggregation over the fact-to-fact
+    join: high-/low-priority line counts per line status —
+    operators/relational.py:shipmode_priority_mix."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        shipmode_priority_mix,
+    )
+
+    o, li = _rel_tables(spark, sf_dir, "orders", "lineitem")
+    return shipmode_priority_mix(o, li, "1996-01-01", "1997-01-01")
+
+
+def _rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape scalar promo-revenue share in exact integer
+    units — operators/relational.py:promo_revenue_share."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        promo_revenue_share,
+    )
+
+    li, p = _rel_tables(spark, sf_dir, "lineitem", "part")
+    return promo_revenue_share(li, p, "1996-01-01", "1996-07-01")
+
+
+def _rel_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape distinct-supplier counts per part attribute
+    triple, bad suppliers anti-joined out —
+    operators/relational.py:supplier_variety."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        supplier_variety,
+    )
+
+    p, li, s = _rel_tables(spark, sf_dir, "part", "lineitem", "supplier")
+    return supplier_variety(p, li, s, "Brand#1", "PROMO")
+
+
+def _rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape OR-of-ANDs revenue with per-side disjunct-union
+    pushdown + exact residual —
+    operators/relational.py:disjunctive_revenue."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        disjunctive_revenue,
+    )
+
+    li, p = _rel_tables(spark, sf_dir, "lineitem", "part")
+    return disjunctive_revenue(li, p)
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1383,6 +1430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cheapest_supplier": _rel_cheapest_supplier,
         "rel_priority_late": _rel_priority_late,
         "rel_no_return_customers": _rel_no_return_customers,
+        "rel_shipmode_priority": _rel_shipmode_priority,
+        "rel_promo_share": _rel_promo_share,
+        "rel_supplier_variety": _rel_supplier_variety,
+        "rel_disjunctive_revenue": _rel_disjunctive_revenue,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1506,6 +1557,38 @@ def _rel_no_return_oracle() -> str:
     )
 
     return customers_without_returns_oracle_sql()
+
+
+def _rel_shipmode_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        shipmode_priority_oracle_sql,
+    )
+
+    return shipmode_priority_oracle_sql("1996-01-01", "1997-01-01")
+
+
+def _rel_promo_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        promo_revenue_oracle_sql,
+    )
+
+    return promo_revenue_oracle_sql("1996-01-01", "1996-07-01")
+
+
+def _rel_variety_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        supplier_variety_oracle_sql,
+    )
+
+    return supplier_variety_oracle_sql("Brand#1", "PROMO")
+
+
+def _rel_disjunctive_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        disjunctive_revenue_oracle_sql,
+    )
+
+    return disjunctive_revenue_oracle_sql()
 
 
 def _funnel_oracle() -> str:
@@ -2271,4 +2354,8 @@ JOIN customer ON o_custkey = c_custkey
         "rel_cheapest_supplier": _rel_cheapest_oracle(),
         "rel_priority_late": _rel_priority_late_oracle(),
         "rel_no_return_customers": _rel_no_return_oracle(),
+        "rel_shipmode_priority": _rel_shipmode_oracle(),
+        "rel_promo_share": _rel_promo_oracle(),
+        "rel_supplier_variety": _rel_variety_oracle(),
+        "rel_disjunctive_revenue": _rel_disjunctive_oracle(),
     }

@@ -475,6 +475,274 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def shipmode_priority_mix(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shape: per line status (the schema's stand-in for
+    ship mode), how many lines shipped in [date_from, date_to) belong
+    to high-priority orders (1-URGENT / 2-HIGH) vs everything else —
+    conditional aggregation over the fact-to-fact join.
+
+    → (l_linestatus, high_line_count, low_line_count), ordered by
+    status.
+
+    100 TB posture: the shipdate range is pushed to the lineitem scan
+    (row-group pruning on a date-partitioned layout makes this a
+    partition-pruned read); the join to orders carries only
+    (l_orderkey, l_linestatus) against (o_orderkey, o_orderpriority)
+    and shuffles on the bucketed orderkey axis; both CASE counts fold
+    into one map-side-combinable aggregate over 2 groups.
+    """
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def shipmode_priority_oracle_sql(
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> str:
+    """DuckDB rendering of ``shipmode_priority_mix``."""
+    return f"""
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14-shape: the percentage of discounted revenue in
+    [date_from, date_to) earned by PROMO-type parts — a scalar
+    conditional-aggregate over the fact-to-dim join.
+
+    → one row (promo_revenue, total_revenue, promo_share_pct).
+
+    Integer units: discounted revenue in 1e-4 $ (cents × percent),
+    summed as BIGINT in both engines; the share divides the two exact
+    integers in double and rounds to 6 dp, so the percentage is
+    bit-identical cross-engine.
+
+    100 TB posture: part is a broadcast dim (only p_partkey + the
+    one-byte promo flag survive column pruning — project BEFORE
+    broadcasting); the date range prunes the fact scan; the whole
+    query is one pushed-filter scan + broadcast hash join + a
+    single-group map-side-combinable aggregate.  Output is one row;
+    nothing grows with SF.
+    """
+    rev_u = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    promo = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    ranged = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", rev_u.alias("rev_u"))
+    return (
+        ranged.join(
+            F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev_u")).otherwise(0)).alias(
+                "promo_u"
+            ),
+            F.sum("rev_u").alias("total_u"),
+        )
+        .select(
+            F.round(F.col("promo_u") / 1e4, 4).alias("promo_revenue"),
+            F.round(F.col("total_u") / 1e4, 4).alias("total_revenue"),
+            F.round(
+                100.0 * F.col("promo_u") / F.col("total_u"), 6
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def promo_revenue_oracle_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-02-01"
+) -> str:
+    """DuckDB rendering of ``promo_revenue_share`` — same integer
+    units, same two-integer division."""
+    return f"""
+WITH ranged AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+), agg AS (
+  SELECT SUM(CASE WHEN p.p_type = 'PROMO' THEN r.rev_u ELSE 0 END) AS promo_u,
+         SUM(r.rev_u) AS total_u
+  FROM ranged r JOIN part p ON r.l_partkey = p.p_partkey
+)
+SELECT round(promo_u / 1e4, 4) AS promo_revenue,
+       round(total_u / 1e4, 4) AS total_revenue,
+       round(100.0 * promo_u / total_u, 6) AS promo_share_pct
+FROM agg
+"""
+
+
+def supplier_variety(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#1",
+    excl_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q16-shape: per (p_brand, p_type, p_size) — excluding one
+    brand and one type — how many DISTINCT suppliers have ever shipped
+    the part, with suppliers in bad standing (negative account
+    balance, the schema's stand-in for Q16's complaints predicate)
+    anti-joined out.
+
+    → (p_brand, p_type, p_size, supplier_cnt), ordered by
+    (supplier_cnt DESC, p_brand, p_type, p_size).
+
+    100 TB posture: the supplier-part relation is derived as DISTINCT
+    (l_partkey, l_suppkey) from the fact table — a partial-aggregable
+    dedup that collapses each map task's duplicates before the
+    exchange; the bad-supplier set is tiny and broadcast for the
+    LeftAnti probe; the excluded brand/type prune the part dim BEFORE
+    its join.  The final count(DISTINCT l_suppkey) must re-dedup
+    because distinct (part, supplier) pairs still repeat a supplier
+    across parts sharing one (brand, type, size) — Spark's two-phase
+    distinct aggregate keeps that partial-combinable.
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    dims = part.filter(
+        (F.col("p_brand") != excl_brand) & (F.col("p_type") != excl_type)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(dims, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def supplier_variety_oracle_sql(
+    excl_brand: str = "Brand#1", excl_type: str = "PROMO"
+) -> str:
+    """DuckDB rendering of ``supplier_variety``."""
+    return f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, 1, 2, 3
+"""
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shape: discounted revenue over an OR-of-ANDs
+    predicate — three (brand, size range, quantity range) disjuncts
+    spanning BOTH join sides.
+
+    → one row (revenue).
+
+    100 TB posture: the raw disjunction can't be pushed to either
+    scan, so the rewrite pushes the UNION of each side's disjuncts
+    down separately — part pre-filters to brand ∈ {{B1,B2,B3}} AND
+    size ≤ max(size_hi), lineitem pre-filters to quantity ≤
+    max(qty_hi) — and the exact OR-of-ANDs is evaluated as one
+    codegen'd residual on the joined (broadcast) pair.  Both
+    pre-filters reach the parquet scans (PushedFilters), so the join
+    sees a small fraction of either table while the residual keeps
+    exact semantics.  Revenue sums in exact 1e-4 $ integer units.
+    """
+    disjuncts = [
+        ("Brand#1", 1, 10, 1, 11),
+        ("Brand#2", 1, 20, 10, 20),
+        ("Brand#3", 1, 30, 20, 30),
+    ]
+    brands = [d[0] for d in disjuncts]
+    max_size = max(d[2] for d in disjuncts)
+    max_qty = max(d[4] for d in disjuncts)
+    pruned_part = part.filter(
+        F.col("p_brand").isin(brands) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    pruned_li = lineitem.filter(F.col("l_quantity") <= max_qty).select(
+        "l_partkey",
+        "l_quantity",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias(
+            "rev_u"
+        ),
+    )
+    residual = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in disjuncts:
+        term = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(qty_lo, qty_hi)
+        )
+        residual = term if residual is None else (residual | term)
+    return (
+        pruned_li.join(
+            F.broadcast(pruned_part),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(residual)
+        .agg(F.sum("rev_u").alias("rev_u_sum"))
+        .select(F.round(F.col("rev_u_sum") / 1e4, 4).alias("revenue"))
+    )
+
+
+def disjunctive_revenue_oracle_sql() -> str:
+    """DuckDB rendering of ``disjunctive_revenue`` — the undecomposed
+    OR-of-ANDs (the optimizer-independent statement of the query)."""
+    return """
+SELECT round(SUM(
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 1e4,
+       4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 __all__ = [
     "pricing_summary",
     "revenue_by_nation",
@@ -487,4 +755,12 @@ __all__ = [
     "priority_late_oracle_sql",
     "customers_without_returns",
     "customers_without_returns_oracle_sql",
+    "shipmode_priority_mix",
+    "shipmode_priority_oracle_sql",
+    "promo_revenue_share",
+    "promo_revenue_oracle_sql",
+    "supplier_variety",
+    "supplier_variety_oracle_sql",
+    "disjunctive_revenue",
+    "disjunctive_revenue_oracle_sql",
 ]

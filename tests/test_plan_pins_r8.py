@@ -151,7 +151,54 @@ class TestRelationalR8Plans:
         assert "LeftAnti" in plan
 
 
-class TestMultiProbeLshPlan:
+class TestRelationalR8TailPlans:
+    """Pins for the Q12/Q14/Q16/Q19-shape additions. Q19's pushdown
+    pin reads real parquet (sf0.001) because PushedFilters only exist
+    on a file-source scan."""
+
+    def test_promo_share_is_single_broadcast_join(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            promo_revenue_share,
+        )
+        from eventhub_to_timescale_spark.sources.testdata import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        p = load_table(spark, "/root/testdata/sf0.001", "part")
+        plan = _plan(promo_revenue_share(li, p))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the dim side is pruned to (p_partkey, is_promo) BEFORE the
+        # broadcast: no other part column may reach the exchange
+        assert "p_type" not in plan.split("BroadcastExchange")[0]
+
+    def test_supplier_variety_anti_join_is_broadcast(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            supplier_variety,
+        )
+        from eventhub_to_timescale_spark.sources.testdata import load_table
+
+        p = load_table(spark, "/root/testdata/sf0.001", "part")
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        s = load_table(spark, "/root/testdata/sf0.001", "supplier")
+        plan = _plan(supplier_variety(p, li, s))
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_disjunctive_revenue_pushes_union_of_disjuncts(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            disjunctive_revenue,
+        )
+        from eventhub_to_timescale_spark.sources.testdata import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        p = load_table(spark, "/root/testdata/sf0.001", "part")
+        plan = _plan(disjunctive_revenue(li, p))
+        # each side's disjunct union reaches its parquet scan
+        assert "PushedFilters" in plan
+        assert "LessThanOrEqual(l_quantity" in plan
+        assert "In(p_brand" in plan
+        # the exact OR-of-ANDs survives as a residual filter
+        assert plan.count("Filter") >= 2
     def test_probe_explosion_stays_on_broadcast_side(self, spark):
         from eventhub_to_timescale_spark.operators.similarity import (
             cosine_topk_lsh,

@@ -328,3 +328,133 @@ class TestCustomersWithoutReturns:
             for r in customers_without_returns(customer, orders, li).collect()
         }
         assert out == {"S1": 1, "S2": 1}
+
+
+class TestShipmodePriorityMix:
+    def test_conditional_counts_and_date_window(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            shipmode_priority_mix,
+        )
+
+        orders = spark.createDataFrame(
+            [(1, "1-URGENT"), (2, "2-HIGH"), (3, "5-LOW")],
+            "o_orderkey long, o_orderpriority string",
+        )
+        li = spark.createDataFrame(
+            [
+                (1, "O", datetime(1996, 6, 1)),   # high, in range
+                (2, "O", datetime(1996, 6, 2)),   # high, in range
+                (3, "O", datetime(1996, 6, 3)),   # low, in range
+                (1, "F", datetime(1995, 1, 1)),   # before range → cut
+                (3, "F", datetime(1997, 1, 1)),   # at exclusive end → cut
+            ],
+            "l_orderkey long, l_linestatus string, l_shipdate timestamp",
+        )
+        out = {
+            r["l_linestatus"]: (r["high_line_count"], r["low_line_count"])
+            for r in shipmode_priority_mix(
+                orders, li, "1996-01-01", "1997-01-01"
+            ).collect()
+        }
+        assert out == {"O": (2, 1)}
+
+
+class TestPromoRevenueShare:
+    def test_exact_integer_share(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            promo_revenue_share,
+        )
+
+        part = spark.createDataFrame(
+            [(1, "PROMO"), (2, "STANDARD")],
+            "p_partkey long, p_type string",
+        )
+        li = spark.createDataFrame(
+            [
+                # promo: 100.00 at 10% off → 90.00
+                (1, 100.00, 0.10, datetime(1996, 1, 5)),
+                # standard: 300.00 at 0% → 300.00
+                (2, 300.00, 0.00, datetime(1996, 1, 6)),
+                # out of window → cut
+                (1, 999.99, 0.00, datetime(1995, 12, 31)),
+            ],
+            "l_partkey long, l_extendedprice double, l_discount double, "
+            "l_shipdate timestamp",
+        )
+        r = promo_revenue_share(
+            li, part, "1996-01-01", "1996-02-01"
+        ).collect()[0]
+        assert r["promo_revenue"] == pytest.approx(90.0)
+        assert r["total_revenue"] == pytest.approx(390.0)
+        # 100 * 900000 / 3900000 exact-integer division
+        assert r["promo_share_pct"] == pytest.approx(23.076923)
+
+
+class TestSupplierVariety:
+    def test_distinct_suppliers_across_parts_in_one_group(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            supplier_variety,
+        )
+
+        part = spark.createDataFrame(
+            # parts 1 & 2 share (brand, type, size) → one group
+            [
+                (1, "Brand#2", "SMALL", 5),
+                (2, "Brand#2", "SMALL", 5),
+                (3, "Brand#1", "SMALL", 5),   # excluded brand
+                (4, "Brand#2", "PROMO", 5),   # excluded type
+            ],
+            "p_partkey long, p_brand string, p_type string, p_size int",
+        )
+        supplier = spark.createDataFrame(
+            [(10, 5.0), (11, -1.0), (12, 0.0)],
+            "s_suppkey long, s_acctbal double",
+        )
+        li = spark.createDataFrame(
+            [
+                # supplier 10 ships BOTH parts of the group → counted ONCE
+                (1, 10), (2, 10), (2, 10),
+                # supplier 11 is in bad standing → anti-joined out
+                (1, 11),
+                # supplier 12 ships only the excluded-brand part
+                (3, 12),
+                (4, 12),
+            ],
+            "l_partkey long, l_suppkey long",
+        )
+        out = supplier_variety(part, li, supplier, "Brand#1", "PROMO").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["p_brand"], r["p_type"], r["p_size"]) == ("Brand#2", "SMALL", 5)
+        assert r["supplier_cnt"] == 1
+
+
+class TestDisjunctiveRevenue:
+    def test_residual_keeps_exact_or_of_ands(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            disjunctive_revenue,
+        )
+
+        part = spark.createDataFrame(
+            [
+                (1, "Brand#1", 5),    # size in [1,10]
+                (2, "Brand#2", 15),   # size in [1,20]
+                (3, "Brand#3", 25),   # size in [1,30]
+                (4, "Brand#1", 40),   # size outside every disjunct
+            ],
+            "p_partkey long, p_brand string, p_size int",
+        )
+        li = spark.createDataFrame(
+            [
+                (1, 5.0, 100.00, 0.00),    # B1 ∧ qty∈[1,11] → in (100)
+                (1, 12.0, 100.00, 0.00),   # B1 but qty 12 > 11 → out
+                (2, 15.0, 200.00, 0.00),   # B2 ∧ qty∈[10,20] → in (200)
+                (2, 5.0, 200.00, 0.00),    # B2 but qty 5 < 10 → out
+                (3, 25.0, 400.00, 0.50),   # B3 ∧ qty∈[20,30] → in (200)
+                (4, 5.0, 999.00, 0.00),    # part matches no disjunct
+            ],
+            "l_partkey long, l_quantity double, l_extendedprice double, "
+            "l_discount double",
+        )
+        r = disjunctive_revenue(li, part).collect()[0]
+        assert r["revenue"] == pytest.approx(500.0)
