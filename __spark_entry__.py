@@ -1231,6 +1231,23 @@ def _rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disjunctive_revenue(li, p)
 
 
+def _text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k adjacent-token pairs (the BPE-merge-round
+    statistic) via array pairing + TakeOrderedAndProject —
+    operators/text.py:bigram_topk."""
+    from eventhub_to_timescale_spark.operators.text import bigram_topk
+
+    return bigram_topk(_docs(spark, sf_dir), k=50)
+
+
+def _text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scores with a bounded broadcast conditional
+    model — operators/text.py:bigram_lm_score."""
+    from eventhub_to_timescale_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir), bigram_top_k=2000)
+
+
 def _cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means in exact fixed-point integer
     arithmetic (assignment = codegen'd expression math, re-estimation
@@ -1461,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_disjunctive_revenue": _rel_disjunctive_revenue,
         "cluster_kmeans": _cluster_kmeans,
         "cluster_balanced_sample": _cluster_balanced_sample,
+        "text_bigrams_topk": _text_bigrams_topk,
+        "text_bigram_lm": _text_bigram_lm,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1616,6 +1635,22 @@ def _rel_disjunctive_oracle() -> str:
     )
 
     return disjunctive_revenue_oracle_sql()
+
+
+def _bigram_topk_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.text import (
+        bigram_topk_oracle_sql,
+    )
+
+    return bigram_topk_oracle_sql(50)
+
+
+def _bigram_lm_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.text import (
+        bigram_lm_oracle_sql,
+    )
+
+    return bigram_lm_oracle_sql(2000)
 
 
 def _cluster_kmeans_oracle() -> str:
@@ -2403,4 +2438,6 @@ JOIN customer ON o_custkey = c_custkey
         "rel_disjunctive_revenue": _rel_disjunctive_oracle(),
         "cluster_kmeans": _cluster_kmeans_oracle(),
         "cluster_balanced_sample": _cluster_balanced_oracle(),
+        "text_bigrams_topk": _bigram_topk_oracle(),
+        "text_bigram_lm": _bigram_lm_oracle(),
     }

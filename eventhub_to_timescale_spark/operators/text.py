@@ -423,3 +423,182 @@ SELECT toks.doc_id,
 FROM toks LEFT JOIN vocab ON toks.token = vocab.token
 GROUP BY toks.doc_id
 """
+
+
+def _bigram_arrays(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent token pairs per document under the
+    shared tokenizer; documents with <2 tokens contribute nothing."""
+    arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
+    )
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def bigram_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts, top ``k`` — the raw
+    statistic a BPE/WordPiece trainer consumes each merge round and
+    the collocation surface of the corpus.
+
+    → (bigram, cnt), top-k by (cnt DESC, bigram), ordered the same.
+
+    100 TB posture: pair construction is a pure array expression on
+    the document scan (no self-join on token position); the count is
+    one map-side-combinable aggregation on the (w1, w2) key, and the
+    global top-k plans as TakeOrderedAndProject — each partition
+    surrenders only its local top-k, never a full sort.
+    """
+    return (
+        _bigram_arrays(docs, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"), "cnt"
+        )
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(k)
+    )
+
+
+def bigram_topk_oracle_sql(k: int = 50, table: str = "documents") -> str:
+    """DuckDB rendering of ``bigram_topk`` — lead() over token
+    position replaces the array pairing, same tokenizer."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(ts))) AS pos,
+         UNNEST(ts) AS token
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '{_TOKEN_RE}', 0) AS ts
+        FROM {table})
+), bi AS (
+  SELECT token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+)
+SELECT w1 || ' ' || w2 AS bigram, COUNT(*) AS cnt
+FROM bi WHERE w2 IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT {k}
+"""
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    bigram_top_k: int = 2000,
+) -> DataFrame:
+    """Bigram-LM fluency scoring — the second-order refinement of
+    ``unigram_lm_score``: each adjacent pair (w1, w2) scores
+    ln p(w2 | w1) = ln(bigram_cnt / unigram_cnt(w1)) when the pair is
+    in the top-K bigram vocabulary (deterministic (cnt DESC, pair)
+    cut), else the floor ln(1 / total_tokens).
+
+    → (doc_id, n_bigrams, avg_neg_logprob); documents with <2 tokens
+    yield no row.
+
+    Cross-engine exactness: every probability is a ratio of two
+    exact corpus integers — one IEEE division + ln both engines
+    compute identically; the per-doc mean rounds to 6 dp.
+
+    100 TB posture: the conditional model is materialized ONCE as a
+    bounded K-row (bigram → logprob) table — the vocab (bounded)
+    joins the unigram counts on the prefix with the vocab as the
+    broadcast side, so the unbounded count table never shuffles —
+    and the corpus then probes it broadcast.  Two map-side-combinable
+    count passes + one bounded broadcast join; the only driver scalar
+    is total_tokens (same as the unigram model).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
+            )
+        ).alias("token"),
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = uni.agg(F.sum("ucnt")).collect()[0][0]
+    if not total:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_bigrams long, avg_neg_logprob double"
+        )
+    bi = _bigram_arrays(docs, text_col)
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    vocab = bcnt.orderBy(
+        F.col("bcnt").desc(), "w1", "w2"
+    ).limit(bigram_top_k)
+    model = F.broadcast(vocab).join(
+        uni, vocab["w1"] == uni["token"]
+    ).select(
+        "w1",
+        "w2",
+        F.log(F.col("bcnt").cast("double") / F.col("ucnt").cast("double")).alias(
+            "lp"
+        ),
+    )
+    floor_lp = F.log(F.lit(1.0) / F.lit(float(total)))
+    return (
+        bi.join(F.broadcast(model), ["w1", "w2"], "left")
+        .withColumn("_lp", F.coalesce(F.col("lp"), floor_lp))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("_lp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def bigram_lm_oracle_sql(
+    bigram_top_k: int = 2000, table: str = "documents"
+) -> str:
+    """DuckDB rendering of ``bigram_lm_score`` — same tokenizer, same
+    deterministic vocab cut, same OOV floor."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(ts))) AS pos,
+         UNNEST(ts) AS token
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '{_TOKEN_RE}', 0) AS ts
+        FROM {table})
+), uni AS (
+  SELECT token, COUNT(*) AS ucnt FROM toks GROUP BY 1
+), total AS (
+  SELECT SUM(ucnt) AS t FROM uni
+), bi AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, token AS w1,
+           lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+), bcnt AS (
+  SELECT w1, w2, COUNT(*) AS bcnt FROM bi GROUP BY 1, 2
+), vocab AS (
+  SELECT w1, w2, bcnt FROM bcnt ORDER BY bcnt DESC, w1, w2
+  LIMIT {bigram_top_k}
+), model AS (
+  SELECT v.w1, v.w2,
+         LN(CAST(v.bcnt AS DOUBLE) / CAST(u.ucnt AS DOUBLE)) AS lp
+  FROM vocab v JOIN uni u ON v.w1 = u.token
+)
+SELECT bi.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(COALESCE(model.lp,
+                           LN(1.0 / (SELECT t FROM total)))), 6)
+         AS avg_neg_logprob
+FROM bi LEFT JOIN model ON bi.w1 = model.w1 AND bi.w2 = model.w2
+GROUP BY bi.doc_id
+"""

@@ -211,3 +211,75 @@ class TestUnigramLm:
         docs = self._docs(spark, ["hello world", "", "!!! ???"])
         out = unigram_lm_score(docs, vocab_top_k=10).collect()
         assert [r["doc_id"] for r in out] == [0]
+
+
+class TestBigramTopk:
+    def test_pair_counts_and_ordering(self, spark):
+        from eventhub_to_timescale_spark.operators.text import bigram_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b c"),   # pairs: ab, ba, ab, bc
+                (2, "a b"),         # ab
+                (3, "x"),           # <2 tokens → nothing
+                (4, ""),            # empty → nothing
+            ],
+            "doc_id long, text string",
+        )
+        out = [(r["bigram"], r["cnt"]) for r in bigram_topk(docs, k=3).collect()]
+        assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+    def test_tie_breaks_lexicographically(self, spark):
+        from eventhub_to_timescale_spark.operators.text import bigram_topk
+
+        docs = spark.createDataFrame(
+            [(1, "z z"), (2, "a a")], "doc_id long, text string"
+        )
+        out = [r["bigram"] for r in bigram_topk(docs, k=2).collect()]
+        assert out == ["a a", "z z"]
+
+
+class TestBigramLm:
+    def test_conditional_probability_and_floor(self, spark):
+        import math
+
+        from eventhub_to_timescale_spark.operators.text import bigram_lm_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b"),   # bigrams ab, ba, ab
+                (2, "a c"),       # bigram ac
+            ],
+            "doc_id long, text string",
+        )
+        # unigrams: a=3, b=2, c=1  (total 6)
+        # bigram counts: ab=2, ba=1, ac=1 — all in vocab at K=10
+        # p(b|a)=2/3, p(a|b)=1/2, p(c|a)=1/3
+        out = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+            for r in bigram_lm_score(docs, bigram_top_k=10).collect()
+        }
+        exp1 = -(math.log(2 / 3) + math.log(1 / 2) + math.log(2 / 3)) / 3
+        assert out[1][0] == 3
+        assert abs(out[1][1] - round(exp1, 6)) < 1e-9
+        assert out[2] == (1, round(-math.log(1 / 3), 6))
+
+    def test_oov_floor_applies_outside_vocab(self, spark):
+        import math
+
+        from eventhub_to_timescale_spark.operators.text import bigram_lm_score
+
+        # K=1 keeps only the most frequent pair; the rest floor at
+        # ln(1/total_tokens)
+        docs = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "x y")], "doc_id long, text string"
+        )
+        # bigrams: ab=2, ba=2, xy=1 → vocab cut (cnt DESC, w1, w2)
+        # keeps "a b"; total tokens = 7
+        out = {
+            r["doc_id"]: r["avg_neg_logprob"]
+            for r in bigram_lm_score(docs, bigram_top_k=1).collect()
+        }
+        floor = math.log(1 / 7)
+        # doc 2: single OOV bigram → exactly the floor
+        assert abs(out[2] - round(-floor, 6)) < 1e-9
