@@ -1231,6 +1231,18 @@ def _rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disjunctive_revenue(li, p)
 
 
+def _sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL distinct estimate — every register explicit and
+    cross-engine (md5 hash, integer CASE-ladder rho, exact-integer Z)
+    so the oracle hash-matches the ESTIMATE itself, not a tolerance
+    gate — operators/sketches.py:hll_distinct_portable."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        hll_distinct_portable,
+    )
+
+    return hll_distinct_portable(_conditions(spark, sf_dir))
+
+
 def _text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-k adjacent-token pairs (the BPE-merge-round
     statistic) via array pairing + TakeOrderedAndProject —
@@ -1478,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_disjunctive_revenue": _rel_disjunctive_revenue,
         "cluster_kmeans": _cluster_kmeans,
         "cluster_balanced_sample": _cluster_balanced_sample,
+        "sketch_hll_portable": _sketch_hll_portable,
         "text_bigrams_topk": _text_bigrams_topk,
         "text_bigram_lm": _text_bigram_lm,
         # — permanent tail (documented sibling-witnessed mechanisms):
@@ -1635,6 +1648,17 @@ def _rel_disjunctive_oracle() -> str:
     )
 
     return disjunctive_revenue_oracle_sql()
+
+
+def _hll_portable_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sketches import (
+        hll_distinct_oracle_sql,
+    )
+    from eventhub_to_timescale_spark.sources.testdata import (
+        EVENTS_AS_CONDITIONS_ORACLE,
+    )
+
+    return hll_distinct_oracle_sql(EVENTS_AS_CONDITIONS_ORACLE)
 
 
 def _bigram_topk_oracle() -> str:
@@ -2438,6 +2462,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_disjunctive_revenue": _rel_disjunctive_oracle(),
         "cluster_kmeans": _cluster_kmeans_oracle(),
         "cluster_balanced_sample": _cluster_balanced_oracle(),
+        "sketch_hll_portable": _hll_portable_oracle(),
         "text_bigrams_topk": _bigram_topk_oracle(),
         "text_bigram_lm": _bigram_lm_oracle(),
     }

@@ -207,9 +207,160 @@ def gauge_delta(
     )
 
 
+HLL_M = 256  # buckets; 8 index bits of the 32-bit portable hash
+HLL_SEED = "hll"
+# classic HLL bias constant for m=256; ONE shared python float so the
+# Spark plan, the DuckDB oracle, and the streaming operator all embed
+# the identical literal
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# scale numerator alpha*m^2*2^25 precomputed as one double literal —
+# the estimate is then a single division by the EXACT INTEGER Z, so
+# both engines perform the same lone IEEE op
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << 25)
+
+
+def hll_estimate_py(registers: list[int], m: int = HLL_M) -> float:
+    """Estimate from a dense register list (0 = empty bucket) — the
+    shared formula: Z_scaled = Σ 2^(25−ρ) with empty buckets at 2^25
+    (all EXACT integers), raw = NUMER / Z, linear-counting correction
+    below 2.5m when empty buckets remain.  Used by the streaming
+    operator; ``hll_distinct_portable`` builds the identical
+    arithmetic as Spark expressions; the oracle as SQL."""
+    import math
+
+    z_scaled = sum(1 << (25 - r) for r in registers if r) + (
+        1 << 25
+    ) * sum(1 for r in registers if not r)
+    raw = HLL_NUMER / z_scaled
+    empty = sum(1 for r in registers if not r)
+    if raw < 2.5 * m and empty > 0:
+        return round(float(m) * math.log(float(m) / empty), 4)
+    return round(raw, 4)
+
+
+def _hll_rho(rem):
+    """ρ = position of the highest set bit from the top of the 24-bit
+    remainder (1..25), as a 24-branch integer CASE ladder — exact in
+    any engine, no float log2."""
+    expr = None
+    for b in range(1, 25):
+        cond = rem >= F.lit(1 << (24 - b))
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    return expr.otherwise(25)
+
+
+def hll_distinct_portable(
+    conditions: DataFrame, m: int = HLL_M, seed: str = HLL_SEED
+) -> DataFrame:
+    """Portable HyperLogLog distinct-subject estimate per measurement
+    stream → (measurement_of, nonzero_registers, est_distinct).
+
+    Unlike ``approx_distinct_concordance`` (Spark's built-in HLL++,
+    whose registers are engine-internal), every step here is an
+    explicit cross-engine expression: bucket = low 8 bits of the
+    md5-derived ``portable_hash32``, ρ = leading-zero rank of the
+    24-bit remainder via an integer CASE ladder, Z accumulated as the
+    EXACT integer Σ 2^(25−ρ) (empty buckets at 2^25) so the only
+    float op is one final division by the shared NUMER literal — the
+    DuckDB oracle and the streaming register state reproduce the
+    estimate bit-for-bit.  Linear-counting correction below 2.5m.
+
+    100 TB posture: registers are a (measurement_of, bucket) max —
+    map-side combinable, ≤ m rows per stream per map task over the
+    wire, constant-size state regardless of corpus cardinality; the
+    finalization aggregates ≤ m rows per stream.  This is the
+    continuous-rollup-able form of distinct counting: the register
+    frame can be stored and merged across days by the same max.
+    """
+    from eventhub_to_timescale_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    if m != 256:
+        raise ValueError("portable HLL is pinned to m=256 (8 index bits)")
+    h = portable_hash32(F.col("measurement_subject"), seed)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    rem = F.shiftright(h, 8)
+    regs = (
+        conditions.select(
+            "measurement_of",
+            bucket.alias("bucket"),
+            _hll_rho(rem).alias("rho"),
+        )
+        .groupBy("measurement_of", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    per_of = regs.groupBy("measurement_of").agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - r)")).alias(
+            "z_nonzero"
+        ),
+    )
+    empty = F.lit(m) - F.col("nonzero_registers")
+    z_scaled = F.col("z_nonzero") + empty * F.lit(1 << 25)
+    raw = F.lit(HLL_NUMER) / z_scaled
+    est = F.when(
+        (raw < F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return per_of.select(
+        "measurement_of",
+        "nonzero_registers",
+        F.round(est, 4).alias("est_distinct"),
+    ).orderBy("measurement_of")
+
+
+def hll_distinct_oracle_sql(
+    conditions_sql: str, m: int = HLL_M, seed: str = HLL_SEED
+) -> str:
+    """DuckDB rendering of ``hll_distinct_portable`` over a
+    conditions-shaped subquery — same md5 hash, same CASE ladder,
+    same exact-integer Z, same lone division."""
+    ladder = " ".join(
+        f"WHEN rem >= {1 << (24 - b)} THEN {b}" for b in range(1, 25)
+    )
+    return f"""
+WITH c AS ({conditions_sql}),
+h AS (
+  SELECT measurement_of,
+         CAST(('0x' || substr(md5('{seed}' || measurement_subject), 1, 8))
+              AS BIGINT) AS hv
+  FROM c
+),
+parts AS (
+  SELECT measurement_of, hv % {m} AS bucket, hv // 256 AS rem FROM h
+),
+regs AS (
+  SELECT measurement_of, bucket,
+         MAX(CASE {ladder} ELSE 25 END) AS r
+  FROM parts GROUP BY 1, 2
+),
+per_of AS (
+  SELECT measurement_of,
+         COUNT(*) AS nonzero_registers,
+         SUM(CAST(1 AS BIGINT) << (25 - r)) AS z_nonzero
+  FROM regs GROUP BY 1
+)
+SELECT measurement_of,
+       CAST(nonzero_registers AS BIGINT) AS nonzero_registers,
+       ROUND(CASE WHEN {HLL_NUMER!r} / (z_nonzero
+                    + ({m} - nonzero_registers) * CAST({1 << 25} AS BIGINT))
+                    < {2.5 * m}
+                   AND {m} - nonzero_registers > 0
+              THEN {float(m)} * LN({float(m)} / ({m} - nonzero_registers))
+              ELSE {HLL_NUMER!r} / (z_nonzero
+                    + ({m} - nonzero_registers) * CAST({1 << 25} AS BIGINT))
+              END, 4) AS est_distinct
+FROM per_of ORDER BY measurement_of
+"""
+
+
 __all__ = [
     "approx_distinct_concordance",
     "approx_percentile_concordance",
     "value_histogram",
     "gauge_delta",
+    "hll_distinct_portable",
+    "hll_distinct_oracle_sql",
+    "hll_estimate_py",
 ]

@@ -498,3 +498,87 @@ def streaming_changed_rows(conditions: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_HLL_OUT_SCHEMA = (
+    "measurement_of string, nonzero_registers long, est_distinct double"
+)
+_HLL_STATE_SCHEMA = "regs array<integer>"
+
+
+def _hll_fn(key, pdf_iter, state):
+    """Streaming register merge: per batch, fold the batch's
+    (bucket, rho) maxima into the 256-int register state and emit the
+    UPDATED estimate — identical integers and the identical lone
+    float division as the batch operator, so the final emitted row
+    equals ``hll_distinct_portable`` exactly. Register max is
+    commutative/idempotent, so unlike the other stateful operators
+    this one needs NO ordered-arrival contract.
+
+    Hashing is the md5-based portable_hash32 on unique subjects only
+    (md5 has no vectorized form; uniques bound the per-batch Python
+    work by the key's batch cardinality, not its row count)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from eventhub_to_timescale_spark.operators.sketches import (
+        HLL_M,
+        HLL_SEED,
+        hll_estimate_py,
+    )
+
+    (m_of,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    for s in pd.unique(pdf["measurement_subject"].dropna()):
+        h = int(
+            hashlib.md5((HLL_SEED + str(s)).encode()).hexdigest()[:8], 16
+        )
+        bucket = h & (HLL_M - 1)
+        rem = h >> 8
+        rho = 25 - rem.bit_length() if rem else 25
+        if rho > regs[bucket]:
+            regs[bucket] = rho
+    state.update((regs,))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield pd.DataFrame(
+        {
+            "measurement_of": [m_of],
+            "nonzero_registers": np.int64(sum(1 for r in regs if r)),
+            "est_distinct": hll_estimate_py(regs),
+        }
+    )
+
+
+def streaming_hll_distinct(conditions: DataFrame) -> DataFrame:
+    """Continuous distinct-subject cardinality per measurement stream
+    (operators/sketches.py:hll_distinct_portable, streamed): state is
+    the dense 256-register array — CONSTANT size at any key
+    cardinality, the property that makes HLL the only distinct-count
+    shape that survives an unbounded stream — and each micro-batch
+    emits the stream's updated estimate (take the latest row per key
+    downstream). The final emission equals the batch operator
+    bit-for-bit: registers are exact integers under a commutative
+    max, and the estimate is the same single IEEE division.
+    """
+    return (
+        conditions.filter(F.col("measurement_subject").isNotNull())
+        .select("measurement_of", "measurement_subject", "timestamp")
+        .groupBy("measurement_of")
+        .applyInPandasWithState(
+            _hll_fn,
+            outputStructType=_HLL_OUT_SCHEMA,
+            stateStructType=_HLL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

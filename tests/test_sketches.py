@@ -145,3 +145,82 @@ class TestGaugeDelta:
             pytest.approx(3.0),
             pytest.approx(-8.0),
         ]
+
+
+class TestPortableHll:
+    def _conds(self, spark, n, of="value"):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [(of, f"subj_{i}", datetime(2024, 1, 1)) for i in range(n)],
+            "measurement_of string, measurement_subject string, "
+            "timestamp timestamp",
+        )
+
+    def test_estimate_tracks_exact_within_sketch_error(self, spark):
+        from eventhub_to_timescale_spark.operators.sketches import (
+            hll_distinct_portable,
+        )
+
+        n = 5000
+        r = hll_distinct_portable(self._conds(spark, n)).collect()[0]
+        # m=256 → relative error ~1.04/sqrt(256) = 6.5%; allow 3σ
+        assert abs(r["est_distinct"] - n) / n < 0.20
+
+    def test_linear_counting_branch_small_cardinality(self, spark):
+        import math
+
+        from eventhub_to_timescale_spark.operators.sketches import (
+            hll_distinct_portable,
+        )
+
+        out = hll_distinct_portable(self._conds(spark, 10)).collect()[0]
+        # ≤10 distinct hit ≤10 buckets → raw << 2.5m → linear counting
+        nz = out["nonzero_registers"]
+        expect = round(256.0 * math.log(256.0 / (256 - nz)), 4)
+        assert out["est_distinct"] == expect
+        assert abs(out["est_distinct"] - 10) < 2
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from eventhub_to_timescale_spark.operators.sketches import (
+            hll_distinct_portable,
+        )
+
+        once = hll_distinct_portable(self._conds(spark, 100)).collect()[0]
+        tripled = hll_distinct_portable(
+            self._conds(spark, 100).union(self._conds(spark, 100)).union(
+                self._conds(spark, 100)
+            )
+        ).collect()[0]
+        assert (once["nonzero_registers"], once["est_distinct"]) == (
+            tripled["nonzero_registers"],
+            tripled["est_distinct"],
+        )
+
+    def test_python_estimator_matches_spark_formula(self, spark):
+        """hll_estimate_py (the streaming path's finalizer) agrees
+        with the Spark-expression estimate on the same registers."""
+        from eventhub_to_timescale_spark.operators.sketches import (
+            HLL_M,
+            HLL_SEED,
+            hll_distinct_portable,
+            hll_estimate_py,
+        )
+        import hashlib
+
+        n = 700
+        regs = [0] * HLL_M
+        for i in range(n):
+            h = int(
+                hashlib.md5(
+                    (HLL_SEED + f"subj_{i}").encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            b, rem = h & (HLL_M - 1), h >> 8
+            rho = 25 - rem.bit_length() if rem else 25
+            regs[b] = max(regs[b], rho)
+        spark_est = hll_distinct_portable(
+            self._conds(spark, n)
+        ).collect()[0]["est_distinct"]
+        assert hll_estimate_py(regs) == spark_est
