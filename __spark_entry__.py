@@ -1243,6 +1243,18 @@ def _sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_portable(_conditions(spark, sf_dir))
 
 
+def _sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGE across measurement streams (max per bucket
+    over the per-stream register frames) — the mergeability that
+    makes the sketch continuous-rollup-able —
+    operators/sketches.py:hll_union_estimate."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        hll_union_estimate,
+    )
+
+    return hll_union_estimate(_conditions(spark, sf_dir))
+
+
 def _text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-k adjacent-token pairs (the BPE-merge-round
     statistic) via array pairing + TakeOrderedAndProject —
@@ -1491,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": _cluster_kmeans,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "sketch_hll_portable": _sketch_hll_portable,
+        "sketch_hll_union": _sketch_hll_union,
         "text_bigrams_topk": _text_bigrams_topk,
         "text_bigram_lm": _text_bigram_lm,
         # — permanent tail (documented sibling-witnessed mechanisms):
@@ -1659,6 +1672,17 @@ def _hll_portable_oracle() -> str:
     )
 
     return hll_distinct_oracle_sql(EVENTS_AS_CONDITIONS_ORACLE)
+
+
+def _hll_union_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sketches import (
+        hll_union_oracle_sql,
+    )
+    from eventhub_to_timescale_spark.sources.testdata import (
+        EVENTS_AS_CONDITIONS_ORACLE,
+    )
+
+    return hll_union_oracle_sql(EVENTS_AS_CONDITIONS_ORACLE)
 
 
 def _bigram_topk_oracle() -> str:
@@ -2463,6 +2487,7 @@ JOIN customer ON o_custkey = c_custkey
         "cluster_kmeans": _cluster_kmeans_oracle(),
         "cluster_balanced_sample": _cluster_balanced_oracle(),
         "sketch_hll_portable": _hll_portable_oracle(),
+        "sketch_hll_union": _hll_union_oracle(),
         "text_bigrams_topk": _bigram_topk_oracle(),
         "text_bigram_lm": _bigram_lm_oracle(),
     }

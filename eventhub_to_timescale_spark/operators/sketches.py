@@ -355,6 +355,97 @@ FROM per_of ORDER BY measurement_of
 """
 
 
+def hll_union_estimate(
+    conditions: DataFrame, m: int = HLL_M, seed: str = HLL_SEED
+) -> DataFrame:
+    """Distinct subjects across ALL measurement streams by MERGING the
+    per-stream register frames of ``hll_distinct_portable`` — the
+    mergeability property that makes HLL rollup-able: a per-day
+    register frame stored at ingest merges across any date range with
+    a plain ``max`` per bucket, no re-scan of the raw data.
+
+    → one row (nonzero_registers, est_distinct).
+
+    Deliberately computed as per-STREAM registers first, then a
+    second ``max`` merge — the two-level plan IS the point (stage 1
+    is what a continuous rollup would persist).  Both levels are
+    map-side-combinable maxima; the result is bit-identical to
+    hashing the union directly, which is what the oracle exploits.
+    """
+    from eventhub_to_timescale_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    if m != 256:
+        raise ValueError("portable HLL is pinned to m=256 (8 index bits)")
+    h = portable_hash32(F.col("measurement_subject"), seed)
+    per_stream = (
+        conditions.select(
+            "measurement_of",
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            _hll_rho(F.shiftright(h, 8)).alias("rho"),
+        )
+        .groupBy("measurement_of", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = per_stream.groupBy("bucket").agg(F.max("r").alias("r"))
+    per_all = merged.agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - r)")).alias(
+            "z_nonzero"
+        ),
+    )
+    empty = F.lit(m) - F.col("nonzero_registers")
+    z_scaled = F.col("z_nonzero") + empty * F.lit(1 << 25)
+    raw = F.lit(HLL_NUMER) / z_scaled
+    est = F.when(
+        (raw < F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    return per_all.select(
+        "nonzero_registers", F.round(est, 4).alias("est_distinct")
+    )
+
+
+def hll_union_oracle_sql(
+    conditions_sql: str, m: int = HLL_M, seed: str = HLL_SEED
+) -> str:
+    """DuckDB rendering of ``hll_union_estimate`` — register max over
+    streams equals hashing the union directly, so the oracle groups
+    globally."""
+    ladder = " ".join(
+        f"WHEN rem >= {1 << (24 - b)} THEN {b}" for b in range(1, 25)
+    )
+    return f"""
+WITH c AS ({conditions_sql}),
+h AS (
+  SELECT CAST(('0x' || substr(md5('{seed}' || measurement_subject), 1, 8))
+              AS BIGINT) AS hv
+  FROM c
+),
+regs AS (
+  SELECT hv % {m} AS bucket,
+         MAX(CASE {ladder} ELSE 25 END) AS r
+  FROM (SELECT hv, hv // 256 AS rem FROM h) GROUP BY 1
+),
+per_all AS (
+  SELECT COUNT(*) AS nonzero_registers,
+         SUM(CAST(1 AS BIGINT) << (25 - r)) AS z_nonzero
+  FROM regs
+)
+SELECT CAST(nonzero_registers AS BIGINT) AS nonzero_registers,
+       ROUND(CASE WHEN {HLL_NUMER!r} / (z_nonzero
+                    + ({m} - nonzero_registers) * CAST({1 << 25} AS BIGINT))
+                    < {2.5 * m}
+                   AND {m} - nonzero_registers > 0
+              THEN {float(m)} * LN({float(m)} / ({m} - nonzero_registers))
+              ELSE {HLL_NUMER!r} / (z_nonzero
+                    + ({m} - nonzero_registers) * CAST({1 << 25} AS BIGINT))
+              END, 4) AS est_distinct
+FROM per_all
+"""
+
+
 __all__ = [
     "approx_distinct_concordance",
     "approx_percentile_concordance",
@@ -363,4 +454,6 @@ __all__ = [
     "hll_distinct_portable",
     "hll_distinct_oracle_sql",
     "hll_estimate_py",
+    "hll_union_estimate",
+    "hll_union_oracle_sql",
 ]

@@ -224,3 +224,21 @@ class TestPortableHll:
             self._conds(spark, n)
         ).collect()[0]["est_distinct"]
         assert hll_estimate_py(regs) == spark_est
+
+    def test_union_merge_equals_direct_union(self, spark):
+        """Register max over per-stream frames == hashing the union
+        directly (mergeability)."""
+        from eventhub_to_timescale_spark.operators.sketches import (
+            hll_distinct_portable,
+            hll_union_estimate,
+        )
+
+        a = self._conds(spark, 300, of="a")
+        b = self._conds(spark, 400, of="b")  # overlapping subjects
+        both = a.union(b)
+        merged = hll_union_estimate(both).collect()[0]
+        direct = hll_distinct_portable(
+            both.withColumn("measurement_of", F.lit("all"))
+        ).collect()[0]
+        assert merged["nonzero_registers"] == direct["nonzero_registers"]
+        assert merged["est_distinct"] == direct["est_distinct"]
