@@ -1243,6 +1243,31 @@ def _sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_portable(_conditions(spark, sf_dir))
 
 
+def _text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality-classifier inference fused into the document
+    scan (weights as plan literals, zero shuffle/UDF) —
+    operators/text.py:quality_logit_score."""
+    from eventhub_to_timescale_spark.operators.text import (
+        quality_logit_score,
+    )
+
+    return quality_logit_score(_docs(spark, sf_dir))
+
+
+def _dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard over the FULL corpus
+    (recall 1 by the pigeonhole prefix bound, precision 1 by exact
+    verify) — the scalable exact path whose oracle is the unbounded
+    brute force — operators/dedup.py:jaccard_prefix_pairs."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    return jaccard_prefix_pairs(
+        _docs(spark, sf_dir), ngram=12, threshold=0.5
+    )
+
+
 def _sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL register MERGE across measurement streams (max per bucket
     over the per-stream register frames) — the mergeability that
@@ -1388,12 +1413,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     toolkit_trend_slope, emb_normalize_quantize, doc_chunks,
     #     corpus_shard_order, events_sessionize, sketch_histogram,
     #     toolkit_gauge_delta, rel_revenue_by_nation — sibling-
-    #     witnessed so far, parity-checked every round) and the r8-new
-    #     dedup_substr_spans — 26 in, demoting 26 of the entries gated
-    #     green this round.  With 86 registered queries and a 50-slot
-    #     window, alternating ~half the non-core surface each round
-    #     keeps every entry driver-witnessed at least once per 2
-    #     rounds.
+    #     witnessed so far, parity-checked every round) and the
+    #     r8-NEW operator families, never yet driver-gated:
+    #     dedup_substr_spans, dedup_substr_clean, dedup_jaccard_prefix,
+    #     rel_cheapest_supplier, rel_priority_late,
+    #     rel_no_return_customers, rel_shipmode_priority,
+    #     rel_promo_share, rel_supplier_variety,
+    #     rel_disjunctive_revenue, cluster_kmeans,
+    #     cluster_balanced_sample, text_bigrams_topk, text_bigram_lm,
+    #     sketch_hll_portable, sketch_hll_union.  That is 26 never/
+    #     least-recently-gated entries — more than half the window —
+    #     so r9's head takes the 16 r8-new + 10 most-overdue, and r10
+    #     completes the cycle.  With 101 registered queries and a
+    #     50-slot window, alternating ~half the non-core surface each
+    #     round keeps every entry driver-witnessed at least once per
+    #     ~2–3 rounds; everything outside the window is parity-checked
+    #     every round by check_parity + test_gate_tail_parity.
     return {
         # — 34 keepers (gated r6 + r7; sole witnesses of their
         # mechanism this round — see tests/test_gate_tail_parity.py's
@@ -1503,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": _cluster_kmeans,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "sketch_hll_portable": _sketch_hll_portable,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "text_quality_logit": _text_quality_logit,
         "sketch_hll_union": _sketch_hll_union,
         "text_bigrams_topk": _text_bigrams_topk,
         "text_bigram_lm": _text_bigram_lm,
@@ -1661,6 +1698,14 @@ def _rel_disjunctive_oracle() -> str:
     )
 
     return disjunctive_revenue_oracle_sql()
+
+
+def _quality_logit_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.text import (
+        quality_logit_oracle_sql,
+    )
+
+    return quality_logit_oracle_sql()
 
 
 def _hll_portable_oracle() -> str:
@@ -2487,6 +2532,8 @@ JOIN customer ON o_custkey = c_custkey
         "cluster_kmeans": _cluster_kmeans_oracle(),
         "cluster_balanced_sample": _cluster_balanced_oracle(),
         "sketch_hll_portable": _hll_portable_oracle(),
+        "dedup_jaccard_prefix": oc.dedup_ngram_oracle(12, 0.5, 10**9),
+        "text_quality_logit": _quality_logit_oracle(),
         "sketch_hll_union": _hll_union_oracle(),
         "text_bigrams_topk": _bigram_topk_oracle(),
         "text_bigram_lm": _bigram_lm_oracle(),

@@ -602,3 +602,124 @@ SELECT bi.doc_id,
 FROM bi LEFT JOIN model ON bi.w1 = model.w1 AND bi.w2 = model.w2
 GROUP BY bi.doc_id
 """
+
+
+# pinned classifier parameters — trained offline, inlined as literals
+# (the deployment shape for a fastText-style quality model: weights
+# travel with the job, inference is pure expression math)
+QUALITY_LOGIT_WEIGHTS = (2.1, 1.4, 1.8, 0.7)
+QUALITY_LOGIT_BIAS = -2.5
+
+
+def quality_logit_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-classifier INFERENCE fused into the scan: a logistic
+    model over the pinned heuristic features → (doc_id, logit,
+    quality_prob).  This is the deployment shape of a trained
+    fastText/linear quality filter (weights are literals in the plan;
+    swapping a retrained model is a constant change, not a new
+    operator).
+
+    Features: x₁ = min(n_words/50, 1), x₂ = min(5·stop_ratio, 1),
+    x₃ = 1 − min(10·punct_ratio, 1), x₄ = min(avg_word_len/10, 1).
+
+    Cross-engine exactness (learned the hard way: a float dot product
+    of decimal weights × rational features lands on exact 6-dp
+    rounding ties, where Spark's BigDecimal HALF_UP and DuckDB's
+    libm round disagree — one doc in 500 at sf0.001): every feature
+    is quantized to INTEGER micro-units with a half-up integer
+    rounding — ``floor((2·a·10⁶ + den) / (2·den))`` — where the
+    floor-of-double-division is exact for operands < 2⁵³; the logit
+    accumulates as an exact BIGINT in deci-micro units (weights ×10
+    are integers) and divides ONCE by 10⁷.  No rounding step exists
+    on the logit at all, so there is no tie to disagree on.  The
+    sigmoid is the only transcendental (same exposure as the LM
+    scores' ln, rounded to 6 dp).
+
+    100 TB posture: zero joins, zero shuffles, zero UDFs — the whole
+    classifier is whole-stage-codegen'd scalar math on the document
+    scan, exactly as fast as reading the column.  Downstream cuts
+    (``filter_quality_percentile`` etc.) compose unchanged.
+    """
+    t = F.col(text_col)
+    ws = _words(t)
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(ws).cast("long")
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    ).cast("long")
+    sw = F.size(
+        F.filter(
+            _words(F.lower(t)),
+            lambda w: w.isin(*[F.lit(s) for s in STOPWORDS]),
+        )
+    ).cast("long")
+    # integer feature numerators over their denominators
+    a1, d1 = F.least(n_words, F.lit(50)), F.lit(50)
+    a2, d2 = F.least(5 * sw, n_words), n_words
+    a3, d3 = n_chars - F.least(10 * n_punct, n_chars), F.greatest(
+        n_chars, F.lit(1)
+    )
+    a4, d4 = (
+        F.least(n_chars - n_words + 1, 10 * n_words),
+        10 * n_words,
+    )
+
+    def q(a, den):  # half-up micro-unit quantizer, exact under 2^53
+        return F.floor((2 * a * F.lit(1_000_000) + den) / (2 * den)).cast(
+            "long"
+        )
+
+    w1, w2, w3, w4 = (int(w * 10) for w in QUALITY_LOGIT_WEIGHTS)
+    s = (
+        F.lit(w1) * q(a1, d1)
+        + F.lit(w2) * q(a2, d2)
+        + F.lit(w3) * q(a3, d3)
+        + F.lit(w4) * q(a4, d4)
+        + F.lit(int(QUALITY_LOGIT_BIAS * 10) * 1_000_000)
+    )
+    logit = s / F.lit(10_000_000.0)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.round(prob, 6).alias("quality_prob"),
+    )
+
+
+def quality_logit_oracle_sql(table: str = "documents") -> str:
+    """DuckDB rendering of ``quality_logit_score`` — same integer
+    feature quantization, same exact BIGINT accumulation, same single
+    division and sigmoid."""
+    w1, w2, w3, w4 = (int(w * 10) for w in QUALITY_LOGIT_WEIGHTS)
+    b = int(QUALITY_LOGIT_BIAS * 10) * 1_000_000
+    stopword_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+              AS BIGINT) AS np,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({stopword_list}))) AS BIGINT) AS sw
+  FROM {table}
+), qx AS (
+  SELECT doc_id,
+    CAST(floor((2 * least(nw, 50) * 1000000 + 50)
+               / CAST(2 * 50 AS DOUBLE)) AS BIGINT) AS q1,
+    CAST(floor((2 * least(5 * sw, nw) * 1000000 + nw)
+               / CAST(2 * nw AS DOUBLE)) AS BIGINT) AS q2,
+    CAST(floor((2 * (nc - least(10 * np, nc)) * 1000000 + greatest(nc, 1))
+               / CAST(2 * greatest(nc, 1) AS DOUBLE)) AS BIGINT) AS q3,
+    CAST(floor((2 * least(nc - nw + 1, 10 * nw) * 1000000 + 10 * nw)
+               / CAST(2 * 10 * nw AS DOUBLE)) AS BIGINT) AS q4
+  FROM f
+)
+SELECT doc_id,
+       ({w1} * q1 + {w2} * q2 + {w3} * q3 + {w4} * q4 + ({b}))
+         / 10000000.0 AS logit,
+       ROUND(1.0 / (1.0 + exp(-(({w1} * q1 + {w2} * q2 + {w3} * q3
+                                 + {w4} * q4 + ({b})) / 10000000.0))), 6)
+         AS quality_prob
+FROM qx
+"""

@@ -283,3 +283,42 @@ class TestBigramLm:
         floor = math.log(1 / 7)
         # doc 2: single OOV bigram → exactly the floor
         assert abs(out[2] - round(-floor, 6)) < 1e-9
+
+
+class TestQualityLogit:
+    def test_sigmoid_and_feature_saturation(self, spark):
+        import math
+
+        from eventhub_to_timescale_spark.operators.text import (
+            QUALITY_LOGIT_BIAS,
+            QUALITY_LOGIT_WEIGHTS,
+            quality_logit_score,
+        )
+
+        # 60 stopword-free words of length 9 → x1 = 1 (saturated),
+        # x2 = 0, x3 = 1 (no punctuation), x4 = min(9/10, 1) = 0.9
+        text = " ".join(["wordwords"] * 60)
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        r = quality_logit_score(docs).collect()[0]
+        w1, w2, w3, w4 = QUALITY_LOGIT_WEIGHTS
+        logit = w1 * 1.0 + w2 * 0.0 + w3 * 1.0 + w4 * 0.9 + QUALITY_LOGIT_BIAS
+        # fixed-point path: exact to the micro-unit quantization
+        assert abs(r["logit"] - logit) < 2e-6
+        assert abs(
+            r["quality_prob"] - 1.0 / (1.0 + math.exp(-r["logit"]))
+        ) < 1e-6
+
+    def test_punctuation_floor(self, spark):
+        from eventhub_to_timescale_spark.operators.text import (
+            quality_logit_score,
+        )
+
+        # pure punctuation: x3 = 0, x1 ~ 0 → prob near the bias floor
+        docs = spark.createDataFrame(
+            [(1, "....."), (2, "the and of to in is it for on a " * 6)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["quality_prob"] for r in quality_logit_score(docs).collect()}
+        assert out[1] < 0.3 < out[2]
