@@ -589,3 +589,135 @@ def dedup_components_keep(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT Jaccard join (the scalable exact path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    ngram: int = 5,
+    threshold: float = 0.5,
+    persist_frames: bool = True,
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard): EXACTLY the pairs
+    ``ngram_jaccard_pairs`` returns — same sets, same threshold — but
+    via PPJoin-style prefix filtering instead of the all-pairs cross
+    join, so it runs on the FULL corpus (no ``max_doc_id`` bound).
+
+    Prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin): order every document's gram set by ascending global
+    document frequency (rarest first, ties by gram text); for Jaccard
+    ≥ t, two sets MUST share at least one gram inside their first
+    ``s − ⌈t·s⌉ + 1`` grams under any shared total order — so an
+    equi-join on prefix grams generates a candidate superset, the
+    length filter ``min(s_a,s_b) ≥ t·max(s_a,s_b)`` prunes impossible
+    size ratios, and an exact array-intersection verify on the
+    surviving candidates keeps precision at 1.  Recall is 1 by the
+    pigeonhole bound, so output == brute force — which is what the
+    oracle (the unbounded brute-force SQL) checks.
+
+    100 TB posture: the df-ordering join shuffles (doc, gram) pairs
+    once on the gram key (the same exchange the candidate join needs
+    anyway); prefixes shrink the exploded frame by ~t; candidate
+    volume concentrates in RARE grams by construction — the frequent
+    grams that would explode a naive token join sit at the tail of
+    every prefix order and never join.  Verification touches only
+    candidate pairs.  The brute-force variant stays what it is
+    documented as: a bounded oracle baseline.
+
+    DISTRIBUTION CAVEAT — ``ngram`` is the entropy dial: prefix
+    filtering is only sub-quadratic when the gram df distribution is
+    heavy-tailed (real text is).  On a low-entropy corpus the gram
+    vocabulary saturates (the synthetic word-soup corpus has ~2k
+    distinct 5-grams across 5 000 docs; Σdf² ≈ 1.5e9 candidate floor)
+    and NO candidate filter can help, because the sets genuinely
+    collide.  Raising n restores entropy multiplicatively (n=12 →
+    131k distinct grams, Σdf² down 13×, and the prefix's rarest-first
+    selection then bites).  Pick n so that distinct-gram count ≫
+    corpus size; the registered query uses n=12 for exactly this
+    reason.
+
+    ``persist_frames`` (default on) persists the shingled frame and
+    the prefix frame: the DAG references grams in SIX branches (df
+    count, rank join, both candidate sides, both verify sides) and
+    without a cache each branch re-shingles the corpus — measured 6×
+    end-to-end at sf0.1 (18.7 s → 3.2 s warm).  A 100 TB run keeps
+    the persist but picks an explicit StorageLevel (DISK_ONLY), same
+    contract as ``minhash_lsh_pairs(persist_banded=True)``.
+    """
+    d = docs.filter(F.col(text_col).isNotNull())
+    g = d.select(
+        "doc_id", char_shingles(F.col(text_col), ngram).alias("grams")
+    )
+    if persist_frames:
+        g = g.persist()
+    # set size from the array — no second window pass
+    toks = g.select(
+        "doc_id", F.size("grams").alias("s"), F.explode("grams").alias("gram")
+    )
+    dfreq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        toks.join(dfreq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+        )
+        .select("doc_id", "gram", "s", "rn")
+    )
+    if persist_frames:
+        prefix = prefix.persist()
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: matching at prefix positions (i, j)
+    # bounds the achievable overlap at 1 + min(s_a−i, s_b−j); Jaccard
+    # ≥ t needs overlap ≥ t/(1+t)·(s_a+s_b), so pairs that can only
+    # meet via late prefix positions are pruned BEFORE the dedup
+    # exchange and the array verify (no over-pruning: the bound is an
+    # upper bound on true overlap)
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.s") - F.col("a.rn"), F.col("b.s") - F.col("b.rn")
+    )
+    alpha = (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.s") + F.col("b.s"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.s"), F.col("b.s"))
+                >= F.lit(threshold) * F.greatest(F.col("a.s"), F.col("b.s"))
+            )
+            & (overlap_ub >= alpha),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    jac = F.size(
+        F.array_intersect(F.col("grams_a"), F.col("grams_b"))
+    ) / F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
