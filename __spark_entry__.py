@@ -1231,6 +1231,57 @@ def _rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disjunctive_revenue(li, p)
 
 
+def _rel_cross_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape nation-pair shipping volume by year; nation dims
+    pre-filtered to the pair, broadcast, disjunctive residual on
+    broadcast columns — operators/relational.py:cross_nation_volume."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        cross_nation_volume,
+    )
+
+    li, o, c, s, n = _rel_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation",
+    )
+    return cross_nation_volume(li, o, c, s, n)
+
+
+def _rel_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape order-count distribution with zero-order
+    customers; fact collapses before the outer join —
+    operators/relational.py:customer_order_distribution."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    c, o = _rel_tables(spark, sf_dir, "customer", "orders")
+    return customer_order_distribution(c, o)
+
+
+def _rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape aggregate-then-argmax top supplier, scalar max
+    broadcast back, all ties kept —
+    operators/relational.py:top_supplier."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        top_supplier,
+    )
+
+    li, s = _rel_tables(spark, sf_dir, "lineitem", "supplier")
+    return top_supplier(li, s)
+
+
+def _rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape small-quantity revenue vs per-part average;
+    integer cross-multiplied threshold, broadcast agg re-join —
+    operators/relational.py:small_quantity_revenue."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    li, p = _rel_tables(spark, sf_dir, "lineitem", "part")
+    return small_quantity_revenue(li, p)
+
+
 def _sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HLL distinct estimate — every register explicit and
     cross-engine (md5 hash, integer CASE-ladder rho, exact-integer Z)
@@ -1543,6 +1594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_union": _sketch_hll_union,
         "text_bigrams_topk": _text_bigrams_topk,
         "text_bigram_lm": _text_bigram_lm,
+        "rel_cross_nation_volume": _rel_cross_nation,
+        "rel_order_distribution": _rel_order_distribution,
+        "rel_top_supplier": _rel_top_supplier,
+        "rel_small_qty_revenue": _rel_small_qty_revenue,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1698,6 +1753,38 @@ def _rel_disjunctive_oracle() -> str:
     )
 
     return disjunctive_revenue_oracle_sql()
+
+
+def _rel_cross_nation_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        cross_nation_volume_oracle_sql,
+    )
+
+    return cross_nation_volume_oracle_sql()
+
+
+def _rel_order_dist_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        customer_order_distribution_oracle_sql,
+    )
+
+    return customer_order_distribution_oracle_sql()
+
+
+def _rel_top_supplier_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        top_supplier_oracle_sql,
+    )
+
+    return top_supplier_oracle_sql()
+
+
+def _rel_small_qty_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        small_quantity_revenue_oracle_sql,
+    )
+
+    return small_quantity_revenue_oracle_sql()
 
 
 def _quality_logit_oracle() -> str:
@@ -2537,4 +2624,8 @@ JOIN customer ON o_custkey = c_custkey
         "sketch_hll_union": _hll_union_oracle(),
         "text_bigrams_topk": _bigram_topk_oracle(),
         "text_bigram_lm": _bigram_lm_oracle(),
+        "rel_cross_nation_volume": _rel_cross_nation_oracle(),
+        "rel_order_distribution": _rel_order_dist_oracle(),
+        "rel_top_supplier": _rel_top_supplier_oracle(),
+        "rel_small_qty_revenue": _rel_small_qty_oracle(),
     }

@@ -743,6 +743,299 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
 """
 
 
+def cross_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_19",
+) -> DataFrame:
+    """TPC-H Q7-shape: shipping volume between two nations by year —
+    revenue of lines whose supplier sits in one nation and whose
+    ordering customer sits in the other, in either direction.
+
+    → (supp_nation, cust_nation, l_year, revenue), ordered.
+
+    100 TB posture: the disjunctive nation-pair predicate is applied
+    to the two 25-row broadcast nation dims AFTER the join (a residual
+    on broadcast columns — free), but each dim is pre-filtered to the
+    two named nations BEFORE broadcast, so the supplier and customer
+    probes semi-prune their fact sides to the ~2/25 slice first.  The
+    only shuffles are the two fact-axis joins (lineitem⋈supplier is a
+    broadcast probe; lineitem⋈orders and orders⋈customer shuffle on
+    orderkey/custkey — the bucketed-warehouse co-partitioning axes).
+    The year comes from l_shipdate, and the aggregate is a
+    map-side-combinable integer-cents sum over ≤ 2·|years| groups.
+    """
+    rev_u = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    pair = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = (
+        supplier.join(
+            F.broadcast(pair.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(
+            F.broadcast(
+                pair.select(
+                    F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    joined = (
+        lineitem.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev_u) / 1e4, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def cross_nation_volume_oracle_sql(
+    nation_a: str = "NATION_3", nation_b: str = "NATION_19"
+) -> str:
+    """DuckDB rendering of ``cross_nation_volume``."""
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 1e4, 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+   OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13-shape: the distribution of per-customer order counts
+    INCLUDING zero-order customers, over orders outside the excluded
+    priority class (standing in for Q13's comment NOT-LIKE filter).
+
+    → (order_count, n_customers), ordered by order_count desc,
+    then asc for determinism.
+
+    100 TB posture: NOT the textbook ``customer LEFT JOIN orders``
+    then count — that replicates every customer row per order and
+    shuffles the full fact table attached to dim rows.  Instead the
+    fact side collapses FIRST (groupBy custkey → count, map-side
+    combinable, one shuffle of ≤ |customers| partial rows), and the
+    dim side left-joins the tiny per-customer count frame; missing
+    keys coalesce to 0.  The second aggregate groups ≤ max_count
+    distinct values.  Join-key skew is structural here (every order
+    has a customer, counts are bounded by customer activity, not by a
+    hot key), and the left join preserves exactly one row per
+    customer by construction.
+    """
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("order_count"))
+        .groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("order_count"))
+    )
+
+
+def customer_order_distribution_oracle_sql(
+    exclude_priority: str = "1-URGENT",
+) -> str:
+    """DuckDB rendering of ``customer_order_distribution``."""
+    return f"""
+SELECT order_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey,
+         COUNT(o.o_orderkey) AS order_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '{exclude_priority}'
+  GROUP BY c.c_custkey
+)
+GROUP BY order_count
+ORDER BY n_customers DESC, order_count DESC
+"""
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shape: the supplier(s) with the maximum shipped
+    revenue in a quarter — aggregate-then-argmax against a scalar.
+
+    → (s_suppkey, s_name, total_revenue), ordered by suppkey (the
+    spec keeps ALL ties; integer-cents revenue makes tie detection
+    exact in both engines).
+
+    100 TB posture: revenue per supplier is ONE map-side-combinable
+    shuffle over the date-pruned fact slice (the range filter reaches
+    the parquet row-group stats).  The global max is an aggregate of
+    that ≤ |suppliers| frame to a single row, broadcast back as a
+    join — no window over the whole frame, no second scan of the
+    fact.  The supplier dim attaches broadcast at the very end, to
+    the (usually single-row) winners only.
+    """
+    rev_u = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start))
+            & (F.col("l_shipdate") < F.lit(end))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_u).alias("rev_u"))
+    )
+    best = per_supp.agg(F.max("rev_u").alias("best_u"))
+    return (
+        per_supp.join(
+            F.broadcast(best), F.col("rev_u") == F.col("best_u")
+        )
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_u") / 1e4, 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def top_supplier_oracle_sql(
+    start: str = "1996-01-01", end: str = "1996-04-01"
+) -> str:
+    """DuckDB rendering of ``top_supplier``."""
+    return f"""
+WITH per_supp AS (
+  SELECT l.l_suppkey,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           AS rev_u
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '{start} 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '{end} 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, round(p.rev_u / 1e4, 4) AS total_revenue
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.rev_u = (SELECT MAX(rev_u) FROM per_supp)
+ORDER BY s.s_suppkey
+"""
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    num: int = 1,
+    den: int = 5,
+) -> DataFrame:
+    """TPC-H Q17-shape: average yearly revenue lost to small orders —
+    lines of the brand's parts whose quantity is below ``num/den`` of
+    that part's average ordered quantity.
+
+    → one row (avg_yearly).
+
+    100 TB posture: the brand filter prunes the part dim FIRST and
+    broadcasts it, so the fact is scanned once, pre-pruned to the
+    brand's slice; the per-part average is a map-side-combinable
+    (sum, count) over that slice, re-joined BROADCAST (≤ |brand
+    parts| rows) against the same persisted slice — the textbook
+    correlated subquery becomes two passes over a pruned fraction of
+    the fact, never a window over all of it.  The threshold compare
+    is exact integer cross-multiplication (qty·den·cnt < num·sum), so
+    no float boundary can disagree between engines.
+    """
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    slice_ = lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+    )
+    per_part = slice_.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    kept = slice_.join(
+        F.broadcast(per_part), F.col("p_partkey") == F.col("pk")
+    ).filter(
+        F.col("qty") * den * F.col("cnt") < num * F.col("sum_qty")
+    )
+    return kept.agg(
+        F.round(F.sum("price_c") / 100.0 / 7.0, 6).alias("avg_yearly")
+    )
+
+
+def small_quantity_revenue_oracle_sql(
+    brand: str = "Brand#1", num: int = 1, den: int = 5
+) -> str:
+    """DuckDB rendering of ``small_quantity_revenue`` — the correlated
+    formulation; the integer cross-multiplied threshold matches the
+    Spark side exactly."""
+    return f"""
+WITH slice AS (
+  SELECT p.p_partkey,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{brand}'
+), per_part AS (
+  SELECT p_partkey AS pk, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+  FROM slice GROUP BY 1
+)
+SELECT round(SUM(s.price_c) / 100.0 / 7.0, 6) AS avg_yearly
+FROM slice s JOIN per_part a ON s.p_partkey = a.pk
+WHERE s.qty * {den} * a.cnt < {num} * a.sum_qty
+"""
+
+
 __all__ = [
     "pricing_summary",
     "revenue_by_nation",
@@ -763,4 +1056,12 @@ __all__ = [
     "supplier_variety_oracle_sql",
     "disjunctive_revenue",
     "disjunctive_revenue_oracle_sql",
+    "cross_nation_volume",
+    "cross_nation_volume_oracle_sql",
+    "customer_order_distribution",
+    "customer_order_distribution_oracle_sql",
+    "top_supplier",
+    "top_supplier_oracle_sql",
+    "small_quantity_revenue",
+    "small_quantity_revenue_oracle_sql",
 ]
