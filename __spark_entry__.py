@@ -1270,6 +1270,18 @@ def _rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_supplier(li, s)
 
 
+def _layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve profile of (user_id, value-cents): exact-integer
+    quantize + Morton bit-interleave, bucketed by the key's top 12
+    bits — the layout key zorder_layout clusters on, oracle-checked
+    bit-for-bit — operators/layout.py:zorder_bucket_profile."""
+    from eventhub_to_timescale_spark.operators.layout import (
+        zorder_bucket_profile,
+    )
+
+    return zorder_bucket_profile(_events(spark, sf_dir))
+
+
 def _rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shape small-quantity revenue vs per-part average;
     integer cross-multiplied threshold, broadcast agg re-join —
@@ -1598,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_order_distribution": _rel_order_distribution,
         "rel_top_supplier": _rel_top_supplier,
         "rel_small_qty_revenue": _rel_small_qty_revenue,
+        "layout_zorder_profile": _layout_zorder_profile,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1777,6 +1790,14 @@ def _rel_top_supplier_oracle() -> str:
     )
 
     return top_supplier_oracle_sql()
+
+
+def _layout_zorder_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.layout import (
+        zorder_bucket_profile_oracle_sql,
+    )
+
+    return zorder_bucket_profile_oracle_sql()
 
 
 def _rel_small_qty_oracle() -> str:
@@ -2628,4 +2649,5 @@ JOIN customer ON o_custkey = c_custkey
         "rel_order_distribution": _rel_order_dist_oracle(),
         "rel_top_supplier": _rel_top_supplier_oracle(),
         "rel_small_qty_revenue": _rel_small_qty_oracle(),
+        "layout_zorder_profile": _layout_zorder_oracle(),
     }
