@@ -1270,6 +1270,36 @@ def _rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_supplier(li, s)
 
 
+def _rollup_upsert_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: deterministic straggler split
+    (every 16th measurement arrives late), base rollup from the
+    on-time rows, late batch folded in by rollup_upsert — merged
+    output must equal a from-scratch rollup of ALL rows, which is
+    exactly what the one-pass oracle SQL computes —
+    operators/rollup.py:rollup_upsert."""
+    from eventhub_to_timescale_spark.operators.rollup import (
+        rollup_conditions,
+        rollup_upsert,
+    )
+
+    cond = _conditions(spark, sf_dir).filter(
+        (F.col("measurement_of") == "value")
+        & F.col("measurement_number").isNotNull()
+    )
+    late_mask = F.col("measurement_unique_id") % 16 == 0
+    base = rollup_conditions(cond.filter(~late_mask), 21600)
+    merged = rollup_upsert(base, cond.filter(late_mask), 21600)
+    return merged.select(
+        "measurement_subject",
+        "measurement_of",
+        "bucket_time",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("measurement_subject", "bucket_time")
+
+
 def _layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order curve profile of (user_id, value-cents): exact-integer
     quantize + Morton bit-interleave, bucketed by the key's top 12
@@ -1611,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_supplier": _rel_top_supplier,
         "rel_small_qty_revenue": _rel_small_qty_revenue,
         "layout_zorder_profile": _layout_zorder_profile,
+        "rollup_upsert_value": _rollup_upsert_value,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2304,6 +2335,22 @@ UNION ALL SELECT * FROM homie_counts
 UNION ALL SELECT * FROM emon_counts
 ORDER BY measurement_publisher, measurement_of
 """
+    # rollup_upsert merged output == one-pass rollup over ALL rows
+    # (the additivity invariant, checked cross-engine)
+    rollup_upsert_value = f"""
+SELECT measurement_subject,
+       'value' AS measurement_of,
+       {bucket.format(w=21600)} AS bucket_time,
+       COUNT(measurement_number) AS n,
+       ROUND(SUM(measurement_number), 6) AS sum_value,
+       MIN(measurement_number) AS min_value,
+       MAX(measurement_number) AS max_value
+FROM {cond} c
+WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+"""
+
     return {
         "q1_bucket_avg": q1,
         "q2_resolution_avg": q2,
@@ -2650,4 +2697,5 @@ JOIN customer ON o_custkey = c_custkey
         "rel_top_supplier": _rel_top_supplier_oracle(),
         "rel_small_qty_revenue": _rel_small_qty_oracle(),
         "layout_zorder_profile": _layout_zorder_oracle(),
+        "rollup_upsert_value": rollup_upsert_value,
     }

@@ -138,4 +138,56 @@ def bucket_avg_from_rollup(
     )
 
 
-__all__ = ["rollup_conditions", "rollup_cascade", "bucket_avg_from_rollup"]
+def rollup_upsert(
+    rollup: DataFrame,
+    late_conditions: DataFrame,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Incremental rollup maintenance: fold a batch of LATE raw rows
+    into an existing rollup, recomputing ONLY the touched buckets —
+    the continuous-aggregate refresh path (TimescaleDB refreshes the
+    invalidated bucket range; reference analog: the hypertable is
+    simply re-queried, `db/get_aggregated_data_by_interval.sql`).
+
+    Exact by additivity: every stored statistic is a commutative
+    monoid (count/sum/min/max), so ``merge(partial(on_time),
+    partial(late)) == partial(all)`` — pinned by
+    ``tests/test_rollup_upsert.py`` against a from-scratch rebuild.
+
+    100 TB posture: the 100 TB side of this operation is the EXISTING
+    rollup, and it never shuffles.  The late batch (small by nature —
+    stragglers past the watermark) aggregates to per-bucket partials
+    first; its distinct key set broadcasts to both probes: a
+    left-anti pass streams untouched rollup rows through unchanged
+    and a left-semi pass extracts the touched rows, so the only
+    exchange in the plan is the merge groupBy over |touched| + |late|
+    rows (plan-pinned: both probes BroadcastHashJoin, no
+    SortMergeJoin).  On a date-partitioned rollup table the writer
+    additionally rewrites only the partitions the touched keys live
+    in (dynamic partition overwrite), which is what bounds the I/O —
+    the two probe scans here are the in-plan equivalent.
+    """
+    late = rollup_conditions(late_conditions, bucket_seconds)
+    keys = ["measurement_subject", "measurement_of", "bucket_time"]
+    touched_keys = late.select(*keys).distinct()
+    untouched = rollup.join(F.broadcast(touched_keys), keys, "left_anti")
+    touched = rollup.join(F.broadcast(touched_keys), keys, "left_semi")
+    merged = (
+        touched.unionByName(late)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return untouched.unionByName(merged)
+
+
+__all__ = [
+    "rollup_conditions",
+    "rollup_cascade",
+    "bucket_avg_from_rollup",
+    "rollup_upsert",
+]
