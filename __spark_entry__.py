@@ -1270,6 +1270,36 @@ def _rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_supplier(li, s)
 
 
+def _docs_global_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global row enumeration (range partition + local index
+    + bounded driver offsets; no single-partition window) —
+    operators/ordering.py:global_enumerate."""
+    from eventhub_to_timescale_spark.operators.ordering import (
+        global_enumerate,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return global_enumerate(docs, ["doc_id"]).select(
+        "doc_id", "source", "global_pos"
+    ).orderBy("global_pos")
+
+
+def _docs_wfq_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted-fair source interleave (curriculum
+    mixing): integer WFQ virtual times, per-source index from the
+    global enumeration — operators/ordering.py:wfq_interleave."""
+    from eventhub_to_timescale_spark.operators.ordering import (
+        wfq_interleave,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    weight = F.expr("1 + CAST(substring(source, 4, 10) AS BIGINT) % 4")
+    out = wfq_interleave(docs, weight, weights_lcm=12)
+    return out.select(
+        "global_pos", "doc_id", "source", "src_index", "vtime"
+    ).orderBy("global_pos")
+
+
 def _rollup_upsert_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance: deterministic straggler split
     (every 16th measurement arrives late), base rollup from the
@@ -1642,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_small_qty_revenue": _rel_small_qty_revenue,
         "layout_zorder_profile": _layout_zorder_profile,
         "rollup_upsert_value": _rollup_upsert_value,
+        "docs_global_enumerate": _docs_global_enumerate,
+        "docs_wfq_interleave": _docs_wfq_interleave,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2698,4 +2730,26 @@ JOIN customer ON o_custkey = c_custkey
         "rel_small_qty_revenue": _rel_small_qty_oracle(),
         "layout_zorder_profile": _layout_zorder_oracle(),
         "rollup_upsert_value": rollup_upsert_value,
+        "docs_global_enumerate": """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY doc_id) - 1 AS global_pos
+FROM documents ORDER BY global_pos
+""",
+        "docs_wfq_interleave": """
+WITH idx AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+           AS src_index,
+         1 + CAST(substring(source, 4) AS BIGINT) % 4 AS w
+  FROM documents
+), vt AS (
+  SELECT doc_id, source, src_index,
+         (2 * src_index + 1) * (12 // w) AS vtime
+  FROM idx
+)
+SELECT row_number() OVER (ORDER BY vtime, source, src_index) - 1
+         AS global_pos,
+       doc_id, source, src_index, vtime
+FROM vt ORDER BY global_pos
+""",
     }
