@@ -1300,6 +1300,18 @@ def _docs_wfq_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("global_pos")
 
 
+def _events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket trending top-k event types: raw events touched only
+    by a map-side-combinable count; rank window runs on the
+    aggregated frame with WindowGroupLimit pruning —
+    operators/trending.py:trending_topk."""
+    from eventhub_to_timescale_spark.operators.trending import (
+        trending_topk,
+    )
+
+    return trending_topk(_events(spark, sf_dir))
+
+
 def _rollup_upsert_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance: deterministic straggler split
     (every 16th measurement arrives late), base rollup from the
@@ -1674,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_upsert_value": _rollup_upsert_value,
         "docs_global_enumerate": _docs_global_enumerate,
         "docs_wfq_interleave": _docs_wfq_interleave,
+        "events_trending_topk": _events_trending_topk,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1861,6 +1874,14 @@ def _layout_zorder_oracle() -> str:
     )
 
     return zorder_bucket_profile_oracle_sql()
+
+
+def _trending_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.trending import (
+        trending_topk_oracle_sql,
+    )
+
+    return trending_topk_oracle_sql()
 
 
 def _rel_small_qty_oracle() -> str:
@@ -2730,6 +2751,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_small_qty_revenue": _rel_small_qty_oracle(),
         "layout_zorder_profile": _layout_zorder_oracle(),
         "rollup_upsert_value": rollup_upsert_value,
+        "events_trending_topk": _trending_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos
