@@ -1556,14 +1556,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rel_promo_share, rel_supplier_variety,
     #     rel_disjunctive_revenue, cluster_kmeans,
     #     cluster_balanced_sample, text_bigrams_topk, text_bigram_lm,
-    #     sketch_hll_portable, sketch_hll_union.  That is 26 never/
-    #     least-recently-gated entries — more than half the window —
-    #     so r9's head takes the 16 r8-new + 10 most-overdue, and r10
-    #     completes the cycle.  With 101 registered queries and a
-    #     50-slot window, alternating ~half the non-core surface each
-    #     round keeps every entry driver-witnessed at least once per
-    #     ~2–3 rounds; everything outside the window is parity-checked
-    #     every round by check_parity + test_gate_tail_parity.
+    #     sketch_hll_portable, sketch_hll_union, text_quality_logit,
+    #     and the r8 second-wave operators (rel_cross_nation_volume,
+    #     rel_order_distribution, rel_top_supplier,
+    #     rel_small_qty_revenue, layout_zorder_profile,
+    #     rollup_upsert_value, docs_global_enumerate,
+    #     docs_wfq_interleave, events_trending_topk).  That is 36
+    #     never/least-recently-gated entries — more than half the
+    #     window — so r9's head takes the newest operator families
+    #     first plus the most-overdue demotions, and r10 completes the
+    #     cycle.  With 111 registered queries and a 50-slot window,
+    #     alternating ~half the non-core surface each round keeps
+    #     every entry driver-witnessed at least once per ~2–3 rounds;
+    #     everything outside the window is parity-checked every round
+    #     by check_parity + test_gate_tail_parity.
     return {
         # — 34 keepers (gated r6 + r7; sole witnesses of their
         # mechanism this round — see tests/test_gate_tail_parity.py's
