@@ -186,7 +186,7 @@ def minhash_lsh_pairs(
     b = banded.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -714,9 +714,15 @@ def jaccard_prefix_pairs(
     jac = F.size(
         F.array_intersect(F.col("grams_a"), F.col("grams_b"))
     ) / F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    # the gram-array payload is kilobytes per row: a SortMergeJoin
+    # here sorts candidate×array bytes and spills catastrophically on
+    # duplicate-dense corpora (measured: >200 GB of sorter spill at
+    # the 10× sweep).  ShuffledHashJoin builds on the per-partition
+    # doc slice (small) and STREAMS the fat side — no sort, no spill
+    # proportional to candidate volume.
     return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cand.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
