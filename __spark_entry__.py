@@ -1366,6 +1366,84 @@ def _rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_quantity_revenue(li, p)
 
 
+def _rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape forecast revenue change: one pushed-filter scan
+    plus a global agg — operators/relational_ext.py:forecast_revenue."""
+    from eventhub_to_timescale_spark.operators.relational_ext import (
+        forecast_revenue,
+    )
+
+    (li,) = _rel_tables(spark, sf_dir, "lineitem")
+    return forecast_revenue(li)
+
+
+def _rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape national market share per year (ASIA market,
+    ECONOMY parts, NATION_3 suppliers) —
+    operators/relational_ext.py:market_share."""
+    from eventhub_to_timescale_spark.operators.relational_ext import (
+        market_share,
+    )
+
+    li, o, c, n, r, p, s = _rel_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation",
+        "region", "part", "supplier",
+    )
+    return market_share(li, o, c, n, r, p, s)
+
+
+def _rel_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape profit per (supplier nation, year) over
+    'widget' parts, unit cost 80% of retail —
+    operators/relational_ext.py:nation_profit."""
+    from eventhub_to_timescale_spark.operators.relational_ext import (
+        nation_profit,
+    )
+
+    li, o, p, s, n = _rel_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    return nation_profit(li, o, p, s, n)
+
+
+def _rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape share-of-total HAVING: parts above 0.1% of
+    NATION_7's shipped value —
+    operators/relational_ext.py:important_parts."""
+    from eventhub_to_timescale_spark.operators.relational_ext import (
+        important_parts,
+    )
+
+    li, s, n = _rel_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    return important_parts(li, s, n)
+
+
+def _rel_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape correlated semi-join chain: NATION_1 suppliers
+    with >1/4 share of a SMALL part's 1996 volume —
+    operators/relational_ext.py:dominant_suppliers."""
+    from eventhub_to_timescale_spark.operators.relational_ext import (
+        dominant_suppliers,
+    )
+
+    li, p, s, n = _rel_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    return dominant_suppliers(li, p, s, n)
+
+
+def _rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape anti-join vs scalar average: never-ordered
+    customers with above-average positive balance —
+    operators/relational_ext.py:idle_customers."""
+    from eventhub_to_timescale_spark.operators.relational_ext import (
+        idle_customers,
+    )
+
+    c, o = _rel_tables(spark, sf_dir, "customer", "orders")
+    return idle_customers(c, o)
+
+
 def _sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HLL distinct estimate — every register explicit and
     cross-engine (md5 hash, integer CASE-ladder rho, exact-integer Z)
@@ -1693,6 +1771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_global_enumerate": _docs_global_enumerate,
         "docs_wfq_interleave": _docs_wfq_interleave,
         "events_trending_topk": _events_trending_topk,
+        "rel_forecast_revenue": _rel_forecast_revenue,
+        "rel_market_share": _rel_market_share,
+        "rel_nation_profit": _rel_nation_profit,
+        "rel_important_parts": _rel_important_parts,
+        "rel_dominant_suppliers": _rel_dominant_suppliers,
+        "rel_idle_customers": _rel_idle_customers,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -1872,6 +1956,19 @@ def _rel_top_supplier_oracle() -> str:
     )
 
     return top_supplier_oracle_sql()
+
+
+def _rel_ext_oracle(which: str) -> str:
+    from eventhub_to_timescale_spark.operators import relational_ext as rx
+
+    return {
+        "q6": rx.forecast_revenue_oracle_sql,
+        "q8": rx.market_share_oracle_sql,
+        "q9": rx.nation_profit_oracle_sql,
+        "q11": rx.important_parts_oracle_sql,
+        "q20": rx.dominant_suppliers_oracle_sql,
+        "q22": rx.idle_customers_oracle_sql,
+    }[which]()
 
 
 def _layout_zorder_oracle() -> str:
@@ -2758,6 +2855,12 @@ JOIN customer ON o_custkey = c_custkey
         "layout_zorder_profile": _layout_zorder_oracle(),
         "rollup_upsert_value": rollup_upsert_value,
         "events_trending_topk": _trending_oracle(),
+        "rel_forecast_revenue": _rel_ext_oracle("q6"),
+        "rel_market_share": _rel_ext_oracle("q8"),
+        "rel_nation_profit": _rel_ext_oracle("q9"),
+        "rel_important_parts": _rel_ext_oracle("q11"),
+        "rel_dominant_suppliers": _rel_ext_oracle("q20"),
+        "rel_idle_customers": _rel_ext_oracle("q22"),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos
