@@ -1629,6 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     witnessed so far, parity-checked every round) and the
     #     r8-NEW operator families, never yet driver-gated:
     #     dedup_substr_spans, dedup_substr_clean, dedup_jaccard_prefix,
+    #     the third relational wave (rel_forecast_revenue,
+    #     rel_market_share, rel_nation_profit, rel_important_parts,
+    #     rel_dominant_suppliers, rel_idle_customers),
     #     rel_cheapest_supplier, rel_priority_late,
     #     rel_no_return_customers, rel_shipmode_priority,
     #     rel_promo_share, rel_supplier_variety,
@@ -1639,11 +1642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rel_order_distribution, rel_top_supplier,
     #     rel_small_qty_revenue, layout_zorder_profile,
     #     rollup_upsert_value, docs_global_enumerate,
-    #     docs_wfq_interleave, events_trending_topk).  That is 36
+    #     docs_wfq_interleave, events_trending_topk).  That is 42
     #     never/least-recently-gated entries — more than half the
     #     window — so r9's head takes the newest operator families
     #     first plus the most-overdue demotions, and r10 completes the
-    #     cycle.  With 111 registered queries and a 50-slot window,
+    #     cycle.  With 117 registered queries and a 50-slot window,
     #     alternating ~half the non-core surface each round keeps
     #     every entry driver-witnessed at least once per ~2–3 rounds;
     #     everything outside the window is parity-checked every round
