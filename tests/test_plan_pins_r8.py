@@ -214,3 +214,34 @@ class TestRelationalR8TailPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "Cartesian" not in plan
+
+
+class TestDedupJoinStrategy:
+    """The gram-array dedup paths must never SortMergeJoin: sorting
+    kilobyte array payloads through a sorted exchange spilled ~200 GB
+    at the 10× sweep.  ShuffledHashJoin builds on the small slice and
+    STREAMS the fat side — no sort, no payload-proportional spill."""
+
+    def test_jaccard_verify_joins_are_hash_not_sort(self, spark):
+        from eventhub_to_timescale_spark.operators.dedup import (
+            jaccard_prefix_pairs,
+        )
+
+        plan = _plan(jaccard_prefix_pairs(_docs(spark), ngram=3))
+        # the two VERIFY joins (on doc_a / doc_b) carry the gram
+        # arrays — those must never sort.  The candidate self-join on
+        # the scalar gram key may stay sort-merge: its rows are
+        # narrow (doc_id, gram, s, rn).
+        assert "SortMergeJoin [doc_a" not in plan
+        assert "SortMergeJoin [doc_b" not in plan
+        assert plan.count("ShuffledHashJoin") >= 2 or (
+            "BroadcastHashJoin" in plan
+        )
+
+    def test_minhash_band_self_join_is_hash_not_sort(self, spark):
+        from eventhub_to_timescale_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        plan = _plan(minhash_lsh_pairs(_docs(spark)))
+        assert "SortMergeJoin" not in plan
