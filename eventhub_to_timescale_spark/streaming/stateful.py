@@ -10,6 +10,18 @@ instead of being recomputed per panel refresh.
 State is one row per (subject, measurement_of): the last value + its
 timestamp. GroupStateTimeout.ProcessingTimeTimeout evicts idle
 subjects so state stays bounded at any key cardinality.
+
+BOUNDED-BACKFILL CAVEAT: with ProcessingTimeTimeout, the stateful
+exec's shouldRunAnotherBatch is unconditionally true (a timer could
+always be due), so a ``Trigger.AvailableNow`` run never
+self-terminates — after the last input file commits it loops
+zero-input "cleaning up state" batches until something stops it.
+These operators are built for CONTINUOUS pipelines where that is
+correct behavior (the timers are the eviction mechanism).  For a
+catch-up/backfill run, watch ``query.lastProgress`` and stop once a
+zero-input batch follows the drained input
+(tests/conftest.py:drain_stateful_stream is the reference
+implementation); don't rely on ``awaitTermination`` returning.
 """
 
 from __future__ import annotations

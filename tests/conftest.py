@@ -14,6 +14,46 @@ def spark():
     yield s
 
 
+def drain_stateful_stream(q, timeout: float = 300.0, settle: int = 3) -> None:
+    """Wait for an ``availableNow`` streaming query to finish its work,
+    then stop it.
+
+    ``applyInPandasWithState`` queries never self-terminate under
+    ``Trigger.AvailableNow``: with ``ProcessingTimeTimeout`` the
+    stateful exec's shouldRunAnotherBatch is unconditionally true (a
+    timer COULD always be due), so once input is exhausted the query
+    loops zero-input "no new data but cleaning up state" batches
+    forever — a bare ``q.awaitTermination(300)`` burns its full
+    timeout churning empties (measured: 145+ empty batches / 303 s ×
+    5 tests).  Instead: watch ``lastProgress`` until the query has
+    entered that churn (no available data AND the last completed
+    batch read zero rows) for ``settle`` consecutive seconds, then
+    stop.  Every data-carrying batch has committed by then — the
+    zero-input batch observed can only run after all input batches
+    finished — so output-completeness is unchanged; the only thing
+    skipped is the 24 h-out timer eviction these tests never reach.
+    """
+    import time as _t
+
+    deadline = _t.time() + timeout
+    idle = 0
+    while _t.time() < deadline:
+        if not q.isActive:
+            return
+        st, lp = q.status, q.lastProgress
+        churning = (
+            lp is not None
+            and lp["numInputRows"] == 0
+            and not st["isDataAvailable"]
+        )
+        idle = idle + 1 if churning else 0
+        if idle >= settle:
+            break
+        _t.sleep(1.0)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def make_envelope(topic: str, payload, timestamp: str | None = None, qos: int = 0):
     """Build a raw event-hub message string the way publishers do:
     envelope JSON whose ``payload`` is itself a JSON-encoded string

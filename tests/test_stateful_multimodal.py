@@ -3,6 +3,8 @@ plumbing."""
 
 from __future__ import annotations
 
+from conftest import drain_stateful_stream
+
 import json
 
 from tests.conftest import make_envelope
@@ -48,7 +50,7 @@ def test_streaming_changed_rows_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_stateful_stream(q)
     rows = spark.sql(
         "SELECT value FROM q8_stream ORDER BY timestamp"
     ).collect()

@@ -10,6 +10,8 @@ watermark-cut carve-out (r6 verdict ask #5).
 
 from __future__ import annotations
 
+from conftest import drain_stateful_stream
+
 import os
 import time as _time
 from datetime import timedelta
@@ -78,7 +80,7 @@ def test_stream_counter_delta_reaggregates_to_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stateful_stream(q)
 
     emitted = (
         spark.read.parquet(str(tmp_path / "out"))
@@ -178,7 +180,7 @@ def test_stream_heartbeat_reaggregates_to_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stateful_stream(q)
 
     # re-aggregate the partials with the operator's documented formula
     got = {

@@ -10,6 +10,8 @@ test_streaming_counter.py's exact re-aggregation proof.
 
 from __future__ import annotations
 
+from conftest import drain_stateful_stream
+
 import os
 import time as _time
 from datetime import timedelta
@@ -65,7 +67,7 @@ def test_stream_funnel_reaggregates_to_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stateful_stream(q)
 
     emitted = spark.read.parquet(str(tmp_path / "out"))
     # re-aggregate: a user's final stage is their max emitted

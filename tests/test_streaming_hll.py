@@ -9,6 +9,8 @@ division on both paths.
 
 from __future__ import annotations
 
+from conftest import drain_stateful_stream
+
 import os
 import time as _time
 from datetime import timedelta
@@ -71,7 +73,7 @@ def test_stream_hll_final_estimate_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stateful_stream(q)
 
     emitted = spark.read.parquet(str(tmp_path / "out"))
     # the last emission per stream is the converged sketch; register

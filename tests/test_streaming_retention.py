@@ -9,6 +9,8 @@ the per-key ordered-arrival contract, and the 2-scalar state
 
 from __future__ import annotations
 
+from conftest import drain_stateful_stream
+
 import os
 import time as _time
 from datetime import timedelta
@@ -63,7 +65,7 @@ def test_stream_retention_reaggregates_to_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stateful_stream(q)
 
     emitted = spark.read.parquet(str(tmp_path / "out"))
     # each (user, bucket) must be emitted exactly once — the grid is
