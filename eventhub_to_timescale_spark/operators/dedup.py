@@ -648,10 +648,27 @@ def jaccard_prefix_pairs(
     end-to-end at sf0.1 (18.7 s → 3.2 s warm).  A 100 TB run keeps
     the persist but picks an explicit StorageLevel (DISK_ONLY), same
     contract as ``minhash_lsh_pairs(persist_banded=True)``.
+
+    SHUFFLE-WIDTH NOTE — grams are hashed to 64-bit longs
+    (``xxhash64``) immediately after shingling, and every downstream
+    stage (df count, prefix rank, candidate join key, verify arrays)
+    operates on the hashes.  Jaccard over the hashed sets equals
+    Jaccard over the raw gram sets unless two DISTINCT grams of one
+    document pair collide in 64 bits — birthday bound ~s²/2⁶⁴ ≈ 1e-15
+    per pair at s≈300 — while an n=12 UTF-8 gram costs 12 bytes + 8
+    of UnsafeArray overhead vs a fixed 8 per long: the candidate
+    exchange key and BOTH array-carrying verify exchanges shrink
+    ~2.5×.  (The positional/length filters only read sizes and are
+    unaffected.)  The prefix order becomes (df, hash) instead of
+    (df, gram text); any SHARED total order preserves the pigeonhole
+    recall bound, so output is still exactly brute force.
     """
     d = docs.filter(F.col(text_col).isNotNull())
     g = d.select(
-        "doc_id", char_shingles(F.col(text_col), ngram).alias("grams")
+        "doc_id",
+        F.transform(
+            char_shingles(F.col(text_col), ngram), lambda t: F.xxhash64(t)
+        ).alias("grams"),
     )
     if persist_frames:
         g = g.persist()

@@ -300,17 +300,22 @@ def important_parts(
     supplier: DataFrame,
     nation: DataFrame,
     nation_name: str = "NATION_7",
-    frac_num: int = 1,
-    frac_den: int = 1000,
+    mean_num: int = 2,
+    mean_den: int = 1,
 ) -> DataFrame:
     """TPC-H Q11-shape important stock: parts whose shipped value
-    from one nation's suppliers exceeds ``frac_num/frac_den`` of that
-    nation's total shipped value.
+    from one nation's suppliers exceeds ``mean_num/mean_den`` times
+    the MEAN per-part shipped value of that nation.
 
     Schema adaptation: no ``partsupp``, so "stock value" is the
     discounted revenue shipped per part by the nation's suppliers —
     same share-of-a-global-total shape, same HAVING-against-scalar
-    plan.
+    plan.  The threshold is mean-relative rather than Q11's literal
+    fixed fraction-of-total because the spec itself scales that
+    fraction by 1/SF (0.0001/SF): a fixed fraction returns an empty
+    set as soon as the part count outgrows it, whereas "k× the mean"
+    is the same selectivity at every scale factor — the scale-free
+    rendering of the same HAVING shape.
 
     → (p_partkey, value) — value exact in 1e-4 $ then rounded; the
     threshold compare is integer cross-multiplication
@@ -335,10 +340,17 @@ def important_parts(
         .groupBy("l_partkey")
         .agg(F.sum(rev_u).alias("value_u"))
     )
-    total = per_part.agg(F.sum("value_u").alias("total_u"))
+    total = per_part.agg(
+        F.sum("value_u").alias("total_u"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # value_u > (num/den)·(total_u/cnt) as integer cross-multiplication
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value_u") * frac_den > F.col("total_u") * frac_num)
+        .filter(
+            F.col("value_u") * mean_den * F.col("cnt")
+            > F.col("total_u") * mean_num
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("value_u") / 1e4, 4).alias("value"),
@@ -348,7 +360,7 @@ def important_parts(
 
 
 def important_parts_oracle_sql(
-    nation_name: str = "NATION_7", frac_num: int = 1, frac_den: int = 1000
+    nation_name: str = "NATION_7", mean_num: int = 2, mean_den: int = 1
 ) -> str:
     """DuckDB rendering of ``important_parts``."""
     return f"""
@@ -365,7 +377,8 @@ WITH per_part AS (
 )
 SELECT l_partkey AS p_partkey, round(value_u / 1e4, 4) AS value
 FROM per_part
-WHERE value_u * {frac_den} > (SELECT SUM(value_u) FROM per_part) * {frac_num}
+WHERE value_u * {mean_den} * (SELECT COUNT(*) FROM per_part)
+      > (SELECT SUM(value_u) FROM per_part) * {mean_num}
 ORDER BY p_partkey
 """
 

@@ -179,8 +179,11 @@ class TestImportantParts:
                 (3, 3, 1, 1.0, 25.0, 0.0, "1996-01-01"),  # exactly 1/4
             ],
         )
+        # threshold = (3/4)·mean = (3/4)·(100/3) = 25 — same boundary
+        # as the old fixed-fraction 1/4-of-total over 3 parts, so the
+        # exactly-at-threshold part (25.0) is still excluded by strict >
         got = important_parts(
-            li, supp, nat, nation_name="N", frac_num=1, frac_den=4
+            li, supp, nat, nation_name="N", mean_num=3, mean_den=4
         ).collect()
         assert [(r.p_partkey, r.value) for r in got] == [
             (1, 45.0), (2, 30.0)
