@@ -1503,6 +1503,19 @@ def _sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_union_estimate(_conditions(spark, sf_dir))
 
 
+def _sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch frequency estimates over event
+    user_ids (d=4 md5 row hashes × w=64 cells, est = min over cells,
+    est ≥ exact by construction) with the exact count as concordance
+    column — cell matrix broadcast to the probe, mergeable by
+    per-cell SUM — operators/sketches.py:cms_frequency_estimates."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        cms_frequency_estimates,
+    )
+
+    return cms_frequency_estimates(_events(spark, sf_dir))
+
+
 def _text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-k adjacent-token pairs (the BPE-merge-round
     statistic) via array pairing + TakeOrderedAndProject —
@@ -1790,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_important_parts": _rel_important_parts,
         "rel_dominant_suppliers": _rel_dominant_suppliers,
         "rel_idle_customers": _rel_idle_customers,
+        "sketch_cms_counts": _sketch_cms_counts,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2036,6 +2050,14 @@ def _hll_union_oracle() -> str:
     )
 
     return hll_union_oracle_sql(EVENTS_AS_CONDITIONS_ORACLE)
+
+
+def _cms_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sketches import (
+        cms_frequency_oracle_sql,
+    )
+
+    return cms_frequency_oracle_sql("SELECT user_id FROM events")
 
 
 def _bigram_topk_oracle() -> str:
@@ -2874,6 +2896,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_important_parts": _rel_ext_oracle("q11"),
         "rel_dominant_suppliers": _rel_ext_oracle("q20"),
         "rel_idle_customers": _rel_ext_oracle("q22"),
+        "sketch_cms_counts": _cms_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -446,6 +446,186 @@ FROM per_all
 """
 
 
+CMS_D = 4
+CMS_W = 64
+CMS_SEED = "cms"
+
+
+def _cms_bucket(key: F.Column, j: int, w: int, seed: str) -> F.Column:
+    """Row-j bucket of ``key``: portable 32-bit hash of
+    ``'{seed}{j}:' || key`` mod ``w`` — the ':' separator keeps
+    (j=1, key='23') and (j=12, key='3') from colliding into one
+    hash payload."""
+    from eventhub_to_timescale_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    return portable_hash32(key.cast("string"), f"{seed}{j}:") % w
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Count-min sketch counter matrix over ``df[key_col]`` →
+    (j, bucket, c): ``c`` = number of rows whose row-``j`` hash lands
+    in ``bucket``.  ≤ d·w rows regardless of input size.
+
+    This frame IS the mergeable sketch state: two corpora's cell
+    frames combine with a plain per-cell SUM (pytest pins shard-sum ==
+    global bit-for-bit), which makes it continuous-rollup-able the
+    same way the portable HLL register frame is — store per-day cell
+    frames at ingest, answer any date range by summing cells.
+
+    100 TB posture: the explode is a d-wide array per row, collapsed
+    by map-side partial aggregation to ≤ d·w counters per task before
+    the single exchange; state size is d·w ints independent of key
+    cardinality — the entire point vs an exact per-key count, whose
+    shuffle is Θ(distinct keys).
+    """
+    k = F.col(key_col)
+    jb = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_bucket(k, j, w, seed).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.filter(k.isNotNull())
+        .select(F.explode(jb).alias("jb"))
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_frequency_estimates(
+    events: DataFrame,
+    key_col: str = "user_id",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+    min_share_num: int = 0,
+    min_share_den: int = 1,
+) -> DataFrame:
+    """Count-min frequency estimate per key → (key, est_count,
+    exact_count), est = min over the d row-hash cells (Cormode &
+    Muthukrishnan: est ≥ exact always; E[est − exact] ≤ N/w per row,
+    min over d rows tightens).  ``min_share_num/den`` filters to keys
+    whose ESTIMATE is at least that share of total N — the
+    heavy-hitter gate, exact integer cross-multiplication (0 ⇒ all
+    keys).
+
+    ``exact_count`` is the concordance column (same contract as the
+    sketch family's ``within_tolerance`` frames): it lets the oracle
+    gate est ≥ exact and the min-cell arithmetic itself.  At 100 TB
+    the exact branch is dropped — the sketch answers alone — and the
+    probe side is whatever bounded candidate set you query (here: the
+    distinct keys).
+
+    100 TB posture: the cell matrix (≤ d·w rows) BROADCASTS to the
+    probe join — the corpus is scanned once for cells and once for
+    the probe, both map-side-combinable aggs; no key-on-key shuffle
+    ever happens.
+    """
+    cells = cms_cells(events, key_col, d, w, seed)
+    keys = (
+        events.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = keys.select(
+        "key",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("key"), j, w, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb"),
+    ).select("key", "exact_count", "jb.j", "jb.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("key")
+        .agg(
+            F.min("c").alias("est_count"),
+            F.first("exact_count").alias("exact_count"),
+        )
+    )
+    total = events.filter(F.col(key_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        est.join(F.broadcast(total))
+        .filter(
+            F.col("est_count") * F.lit(min_share_den)
+            >= F.col("n") * F.lit(min_share_num)
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "est_count",
+            "exact_count",
+        )
+        .orderBy(key_col)
+    )
+
+
+def cms_frequency_oracle_sql(
+    events_sql: str,
+    key_col: str = "user_id",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+    min_share_num: int = 0,
+    min_share_den: int = 1,
+) -> str:
+    """DuckDB rendering of ``cms_frequency_estimates`` — same md5
+    row hashes, same cell counts, same min-probe."""
+    return f"""
+WITH e AS (SELECT CAST({key_col} AS VARCHAR) AS key
+           FROM ({events_sql}) WHERE {key_col} IS NOT NULL),
+js AS (SELECT unnest(range({d})) AS j),
+cells AS (
+  SELECT j,
+         CAST(('0x' || substr(md5('{seed}' || CAST(j AS VARCHAR) || ':'
+                                  || key), 1, 8)) AS BIGINT) % {w}
+           AS bucket,
+         COUNT(*) AS c
+  FROM e CROSS JOIN js
+  GROUP BY 1, 2
+),
+keys AS (SELECT key, COUNT(*) AS exact_count FROM e GROUP BY 1),
+probe AS (
+  SELECT k.key, k.exact_count, MIN(c.c) AS est_count
+  FROM keys k
+  CROSS JOIN js
+  JOIN cells c
+    ON c.j = js.j
+   AND c.bucket = CAST(('0x' || substr(md5('{seed}'
+                      || CAST(js.j AS VARCHAR) || ':' || k.key), 1, 8))
+                      AS BIGINT) % {w}
+  GROUP BY 1, 2
+)
+SELECT CAST(key AS BIGINT) AS {key_col}, est_count, exact_count
+FROM probe
+WHERE est_count * {min_share_den}
+      >= (SELECT COUNT(*) FROM e) * {min_share_num}
+ORDER BY {key_col}
+"""
+
+
 __all__ = [
     "approx_distinct_concordance",
     "approx_percentile_concordance",
@@ -456,4 +636,7 @@ __all__ = [
     "hll_estimate_py",
     "hll_union_estimate",
     "hll_union_oracle_sql",
+    "cms_cells",
+    "cms_frequency_estimates",
+    "cms_frequency_oracle_sql",
 ]

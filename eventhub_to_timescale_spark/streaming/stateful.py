@@ -594,3 +594,93 @@ def streaming_hll_distinct(conditions: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_CMS_OUT_SCHEMA = "sketch_group string, n long, cells array<long>"
+_CMS_STATE_SCHEMA = "cells array<long>, n long"
+
+
+def _cms_fn(key, pdf_iter, state):
+    """Streaming count-min fold: per batch, add each unique key's
+    batch count into its d row-hash cells and emit the UPDATED
+    flattened cell matrix (row-major: cell[j*w + bucket]).  Cell
+    addition is commutative — like the HLL register max and unlike
+    the ordered stateful operators, NO ordered-arrival contract is
+    needed; the final emission equals batch ``cms_cells``
+    bit-for-bit.
+
+    Hashing is the portable md5 hash on the batch's UNIQUE keys only
+    (bounds the Python work by batch key cardinality, not row
+    count), counts come from a vectorized value_counts."""
+    import hashlib
+
+    import pandas as pd
+
+    from eventhub_to_timescale_spark.operators.sketches import (
+        CMS_D,
+        CMS_SEED,
+        CMS_W,
+    )
+
+    (grp,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        cells, n = list(state.get[0]), state.get[1]
+    else:
+        cells, n = [0] * (CMS_D * CMS_W), 0
+
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    counts = pdf["key"].dropna().astype(str).value_counts()
+    n += int(counts.sum())
+    for k, c in counts.items():
+        for j in range(CMS_D):
+            h = int(
+                hashlib.md5(
+                    (f"{CMS_SEED}{j}:" + k).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            cells[j * CMS_W + h % CMS_W] += int(c)
+    state.update((cells, n))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield pd.DataFrame(
+        {"sketch_group": [grp], "n": [n], "cells": [list(cells)]}
+    )
+
+
+def streaming_cms_cells(
+    df: DataFrame, key_col: str, group_col=None
+) -> DataFrame:
+    """Continuous count-min sketch per group
+    (operators/sketches.py:cms_cells, streamed): state is the dense
+    d·w cell matrix plus a row counter — CONSTANT size at any key
+    cardinality — and each micro-batch emits the group's updated
+    flattened matrix (take the latest row per group downstream; the
+    `n` column is monotone, so "latest" = max n).  Cell addition is
+    commutative, so arrival order never matters; the converged
+    emission equals the batch operator exactly
+    (tests/test_streaming_cms.py replays SHUFFLED micro-batches).
+    """
+    g = (
+        F.lit("all") if group_col is None else F.col(group_col)
+    ).cast("string")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            g.alias("sketch_group"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .groupBy("sketch_group")
+        .applyInPandasWithState(
+            _cms_fn,
+            outputStructType=_CMS_OUT_SCHEMA,
+            stateStructType=_CMS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

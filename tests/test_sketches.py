@@ -242,3 +242,67 @@ class TestPortableHll:
         ).collect()[0]
         assert merged["nonzero_registers"] == direct["nonzero_registers"]
         assert merged["est_distinct"] == direct["est_distinct"]
+
+
+class TestCountMin:
+    """Portable count-min sketch (operators/sketches.py:cms_cells /
+    cms_frequency_estimates): cell-sum mergeability, the est ≥ exact
+    invariant, and the broadcast-probe plan shape."""
+
+    def _events(self, spark, n=500, mod=37):
+        return spark.range(n).select(
+            (F.col("id") % mod).alias("user_id")
+        )
+
+    def test_estimate_upper_bounds_exact(self, spark):
+        from eventhub_to_timescale_spark.operators.sketches import (
+            cms_frequency_estimates,
+        )
+
+        out = cms_frequency_estimates(
+            self._events(spark), key_col="user_id", w=16
+        ).collect()
+        assert len(out) == 37
+        assert all(r.est_count >= r.exact_count for r in out)
+        # w=16 < 37 keys forces collisions: at least one true over-est
+        assert any(r.est_count > r.exact_count for r in out)
+        # total mass per row-hash is conserved, so min-cell est is
+        # bounded by exact + N/w * d safety margin (loose sanity)
+        assert all(r.est_count <= r.exact_count + 500 for r in out)
+
+    def test_cells_merge_by_sum(self, spark):
+        """CMS over a union == per-shard cell frames summed per cell —
+        the rollup/streaming merge property, bit-for-bit."""
+        from eventhub_to_timescale_spark.operators.sketches import (
+            cms_cells,
+        )
+
+        ev = self._events(spark, 600)
+        a = ev.filter(F.col("user_id") % 2 == 0)
+        b = ev.filter(F.col("user_id") % 2 == 1)
+        merged = (
+            cms_cells(a, "user_id")
+            .unionByName(cms_cells(b, "user_id"))
+            .groupBy("j", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        direct = cms_cells(ev, "user_id")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_probe_join_is_broadcast(self, spark):
+        """The ≤ d·w cell matrix must broadcast to the probe — no
+        shuffle keyed on the (unbounded) key column ever happens."""
+        from eventhub_to_timescale_spark.operators.sketches import (
+            cms_frequency_estimates,
+        )
+
+        plan = (
+            cms_frequency_estimates(self._events(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
