@@ -1665,11 +1665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rel_order_distribution, rel_top_supplier,
     #     rel_small_qty_revenue, layout_zorder_profile,
     #     rollup_upsert_value, docs_global_enumerate,
-    #     docs_wfq_interleave, events_trending_topk).  That is 42
-    #     never/least-recently-gated entries — more than half the
-    #     window — so r9's head takes the newest operator families
+    #     docs_wfq_interleave, events_trending_topk), plus
+    #     sketch_cms_counts (r8 count-min sketch, never gated).  That
+    #     is 43 never/least-recently-gated entries — more than half
+    #     the window — so r9's head takes the newest operator families
     #     first plus the most-overdue demotions, and r10 completes the
-    #     cycle.  With 117 registered queries and a 50-slot window,
+    #     cycle.  With 118 registered queries and a 50-slot window,
     #     alternating ~half the non-core surface each round keeps
     #     every entry driver-witnessed at least once per ~2–3 rounds;
     #     everything outside the window is parity-checked every round
