@@ -684,3 +684,108 @@ def streaming_cms_cells(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_ASOF_OUT_SCHEMA = (
+    "probe_id long, measurement_subject string, probe_time timestamp, "
+    "asof_time timestamp, asof_value double"
+)
+# value and time carry INDEPENDENTLY (mirroring the batch window's two
+# last(..., ignorenulls=True) columns): a measurement row with a null
+# number advances asof_time without touching asof_value
+_ASOF_STATE_SCHEMA = "last_v double, last_t long"
+
+
+def _asof_fn(key, pdf_iter, state):
+    """Streaming as-of carry (operators/asof.py:asof_join, streamed):
+    per subject, ffill the measurement value/time through the
+    (ts, side, m_time, tie)-sorted union — measurements sort before
+    probes at equal ts, matching ASOF's >= — seed the leading NaNs
+    from the carried state, emit the probe rows, and store the last
+    carried (value, time) as the next batch's seed.  One ffill + one
+    mask per batch; no per-row Python.
+
+    ORDERED-ARRIVAL CONTRACT (same as the counter/session operators):
+    micro-batches must arrive per-key event-time-ordered (true for
+    replay/backfill and for an Event-Hub-partitioned source keyed by
+    subject); within a batch any order is fine — the sort handles it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    (subject,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last_v, last_t = (state.get if state.exists else (None, None))
+
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "side", "m_time", "_tie"],
+        kind="stable",
+        ignore_index=True,
+        na_position="first",
+    )
+    v = pdf["m_value"].astype("float64").ffill()
+    t = pdf["m_time"].ffill()
+    if last_v is not None:
+        v = v.fillna(last_v)
+    if last_t is not None:
+        t = t.fillna(pd.Timestamp(last_t, unit="ns"))
+    probes = pdf["side"].to_numpy() == 1
+    nv = v.iloc[-1]
+    nt = t.iloc[-1]
+    state.update(
+        (
+            None if pd.isna(nv) else float(nv),
+            None
+            if pd.isna(nt)
+            else int(pd.Timestamp(nt).value),
+        )
+    )
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    if probes.any():
+        yield pd.DataFrame(
+            {
+                "probe_id": pdf.loc[probes, "probe_id"].astype("int64"),
+                "measurement_subject": subject,
+                "probe_time": pdf.loc[probes, "ts"],
+                "asof_time": t[probes],
+                "asof_value": v[probes],
+            }
+        )
+
+
+def streaming_asof_enrich(
+    probes: DataFrame, conditions: DataFrame, of: str
+) -> DataFrame:
+    """Continuous as-of enrichment: each probe row is emitted with the
+    latest measurement at-or-before its time
+    (operators/asof.py:asof_join, streamed).  State per subject is TWO
+    scalars (last measurement value + time) — constant at any history
+    length, vs the batch path's full-history window sort — and the
+    emitted probe rows equal the batch as-of join exactly under the
+    ordered-arrival contract
+    (tests/test_streaming_asof.py pins row-set equality).
+
+    Both inputs may be streams (the union is stream-stream); the
+    shared ``_sides`` tagging reuses the batch operator's tie-break
+    exactly, so stream and batch resolve duplicate-timestamp
+    measurements identically.
+    """
+    from eventhub_to_timescale_spark.operators.asof import _sides
+
+    meas, pr = _sides(probes, conditions, of)
+    return (
+        meas.unionByName(pr)
+        .groupBy("measurement_subject")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
