@@ -1558,6 +1558,23 @@ def _cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: fixed-point k-means clustering, within-cluster
+    cosine pairs on the exact quantized integers, keep-first
+    survivors via one anti-join —
+    operators/clustering.py:semantic_dedup_keep."""
+    from eventhub_to_timescale_spark.operators.clustering import (
+        semantic_dedup_keep,
+    )
+
+    # threshold 0.4: the synthetic embeddings are near-orthogonal
+    # (max off-diagonal cosine ~0.5), so the paper's 0.9-ish cut
+    # would drop nothing — 0.4 exercises real survivor pruning here
+    return semantic_dedup_keep(
+        _embs(spark, sf_dir), k=8, iters=2, threshold=0.4
+    )
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1666,11 +1683,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rel_small_qty_revenue, layout_zorder_profile,
     #     rollup_upsert_value, docs_global_enumerate,
     #     docs_wfq_interleave, events_trending_topk), plus
-    #     sketch_cms_counts (r8 count-min sketch, never gated).  That
+    #     sketch_cms_counts (r8 count-min sketch, never gated) and
+    #     dedup_semantic_keep (r8 SemDeDup, never gated).  That
     #     is 43 never/least-recently-gated entries — more than half
     #     the window — so r9's head takes the newest operator families
     #     first plus the most-overdue demotions, and r10 completes the
-    #     cycle.  With 118 registered queries and a 50-slot window,
+    #     cycle.  With 119 registered queries and a 50-slot window,
     #     alternating ~half the non-core surface each round keeps
     #     every entry driver-witnessed at least once per ~2–3 rounds;
     #     everything outside the window is parity-checked every round
@@ -1805,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dominant_suppliers": _rel_dominant_suppliers,
         "rel_idle_customers": _rel_idle_customers,
         "sketch_cms_counts": _sketch_cms_counts,
+        "dedup_semantic_keep": _dedup_semantic_keep,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2091,6 +2110,14 @@ def _cluster_balanced_oracle() -> str:
     )
 
     return kmeans_balanced_oracle_sql(k=8, iters=2, per_cluster=20)
+
+
+def _dedup_semantic_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.clustering import (
+        semantic_dedup_oracle_sql,
+    )
+
+    return semantic_dedup_oracle_sql(k=8, iters=2, threshold=0.4)
 
 
 def _funnel_oracle() -> str:
@@ -2898,6 +2925,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_dominant_suppliers": _rel_ext_oracle("q20"),
         "rel_idle_customers": _rel_ext_oracle("q22"),
         "sketch_cms_counts": _cms_oracle(),
+        "dedup_semantic_keep": _dedup_semantic_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

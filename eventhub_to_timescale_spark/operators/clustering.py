@@ -97,6 +97,16 @@ def kmeans_fixed_point(
     → (vec_id, cluster), ordered by vec_id.
     """
     quant = _quantized(embeddings, scale)
+    centroids = _fit_centroids(quant, k, iters, dim)
+    return _assign(quant, centroids).select("vec_id", "cluster").orderBy("vec_id")
+
+
+def _fit_centroids(
+    quant: DataFrame, k: int, iters: int, dim: int
+) -> list[list[int]]:
+    """The Lloyd loop: deterministic lowest-vec_id init, ``iters``
+    exact-integer assign/re-estimate passes → final centroid matrix
+    (k×dim ints on the driver — bounded regardless of corpus size)."""
     seed_rows = (
         quant.orderBy("vec_id").limit(k).select("iv").collect()
     )  # bounded: k rows of dim ints — the deterministic init
@@ -123,7 +133,82 @@ def kmeans_fixed_point(
             )
             for ci, old in enumerate(centroids)
         ]
-    return _assign(quant, centroids).select("vec_id", "cluster").orderBy("vec_id")
+    return centroids
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.8,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the exact
+    fixed-point k-means above, compare pairs ONLY within a cluster,
+    and drop every vector whose cosine to a lower-id cluster-mate is
+    ≥ ``threshold`` (keep-first policy — deterministic, no RNG).
+
+    → (vec_id, cluster) of the SURVIVORS, ordered by vec_id.
+
+    Cross-engine exactness: cosine is computed on the quantized
+    integer components, so dot and the two squared norms are EXACT
+    int64 sums (|v| ≤ 1.2e6 at scale=1e6 → each term ≤ 1.44e12, a
+    64-dim sum ≤ 9.3e13 — inside both int64 and the 2^53 double
+    mantissa).  The only float ops are one multiply, one sqrt and one
+    divide on exactly-representable integers — each correctly rounded
+    IEEE-754 in both engines, so the cosine is bit-identical and the
+    ``≥ threshold`` cut cannot flip across engines.
+
+    100 TB posture: the pair generator is an EQUI-JOIN on cluster id
+    (never an all-pairs cartesian); the within-cluster quadratic is
+    the algorithm's contract, bounded by running k ∝ corpus size so
+    the expected cluster stays constant-sized (the paper's own regime
+    — 50k clusters for LAION-440M).  Per-row norms are computed once
+    before the join, the survivors come from one ANTI-JOIN, and
+    nothing but (vec_id, iv, nsq, cluster) crosses the exchange.
+    """
+    quant = _quantized(embeddings, scale)
+    centroids = _fit_centroids(quant, k, iters, dim)
+    nsq = F.aggregate(
+        F.zip_with("iv", "iv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = _assign(quant, centroids).withColumn("nsq", nsq)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cl"),
+        F.col("iv").alias("a_iv"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cl"),
+        F.col("iv").alias("b_iv"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_iv", "b_iv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("a_nsq").cast("double") * F.col("b_nsq").cast("double")
+    )
+    dropped = (
+        a.join(b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("dot", dot)
+        .filter((F.col("dot") > 0) & (cos >= F.lit(threshold)))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
 
 
 def kmeans_balanced_sample(
@@ -267,3 +352,43 @@ __all__ = [
     "kmeans_oracle_sql",
     "kmeans_balanced_oracle_sql",
 ]
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.8,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB rendering of ``semantic_dedup_keep`` — the same CTE
+    chain as the k-means oracle, then within-cluster pairs with the
+    identical exact-integer dot/norm cosine and keep-first anti-join."""
+    return (
+        _oracle_cte_chain(k, iters, scale)
+        + f""",
+nsq AS (
+  SELECT vec_id, SUM(v * v) AS nsq FROM iv GROUP BY vec_id
+),
+pairs AS (
+  SELECT ia.vec_id AS a_id, ib.vec_id AS b_id, SUM(ia.v * ib.v) AS dot
+  FROM a_final fa
+  JOIN a_final fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+  JOIN iv ia ON ia.vec_id = fa.vec_id
+  JOIN iv ib ON ib.vec_id = fb.vec_id AND ib.dim = ia.dim
+  GROUP BY ia.vec_id, ib.vec_id
+),
+dropped AS (
+  SELECT DISTINCT p.b_id AS vec_id
+  FROM pairs p
+  JOIN nsq na ON na.vec_id = p.a_id
+  JOIN nsq nb ON nb.vec_id = p.b_id
+  WHERE p.dot > 0
+    AND CAST(p.dot AS DOUBLE)
+        / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))
+        >= {threshold!r}
+)
+SELECT f.vec_id, f.cluster FROM a_final f
+LEFT JOIN dropped d ON f.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+ORDER BY f.vec_id"""
+    )

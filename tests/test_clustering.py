@@ -111,3 +111,56 @@ class TestKmeansPlan:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "WindowGroupLimit" in plan
+
+class TestSemanticDedup:
+    def test_keep_first_drops_near_duplicate_cluster_mates(self, spark):
+        from eventhub_to_timescale_spark.operators.clustering import (
+            semantic_dedup_keep,
+        )
+
+        # two tight blobs: vecs 0/2/4 are near-identical around (1,0),
+        # vecs 1/3 near-identical around (0,1); vec 5 is a diagonal
+        # loner (cosine ~0.7 to both blobs — below a 0.95 cut)
+        vecs = [
+            [1.0, 0.0],
+            [0.0, 1.0],
+            [0.999, 0.001],
+            [0.001, 0.999],
+            [1.0, 0.002],
+            [0.7, 0.7],
+        ]
+        out = semantic_dedup_keep(
+            _embs(spark, vecs), k=2, iters=2, threshold=0.95, dim=2
+        ).collect()
+        ids = sorted(r["vec_id"] for r in out)
+        # keep-first: the lowest id of each near-dup group survives;
+        # the loner always survives
+        assert 0 in ids and 1 in ids and 5 in ids
+        assert 2 not in ids and 4 not in ids and 3 not in ids
+
+    def test_survivors_subset_and_min_id_always_kept(self, spark):
+        from eventhub_to_timescale_spark.operators.clustering import (
+            semantic_dedup_keep,
+        )
+
+        vecs = [[float(i % 3) + 0.01 * i, 1.0] for i in range(12)]
+        out = semantic_dedup_keep(
+            _embs(spark, vecs), k=3, iters=1, threshold=0.99, dim=2
+        ).collect()
+        ids = {r["vec_id"] for r in out}
+        assert ids <= set(range(12))
+        assert 0 in ids  # the globally lowest id can never be dropped
+
+    def test_hot_path_is_jvm_only(self, spark):
+        from eventhub_to_timescale_spark.operators.clustering import (
+            semantic_dedup_keep,
+        )
+
+        vecs = [[float(i), 1.0] for i in range(10)]
+        df = semantic_dedup_keep(
+            _embs(spark, vecs), k=2, iters=1, threshold=0.9, dim=2
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
