@@ -1575,6 +1575,17 @@ def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval with exact-integer scoring: one
+    corpus scan, one broadcast stats row, TakeOrderedAndProject top-k
+    — operators/text.py:bm25_topk."""
+    from eventhub_to_timescale_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), terms=("spark", "window", "dup"), k=20
+    )
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1824,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_idle_customers": _rel_idle_customers,
         "sketch_cms_counts": _sketch_cms_counts,
         "dedup_semantic_keep": _dedup_semantic_keep,
+        "text_bm25_topk": _text_bm25_topk,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2118,6 +2130,12 @@ def _dedup_semantic_oracle() -> str:
     )
 
     return semantic_dedup_oracle_sql(k=8, iters=2, threshold=0.4)
+
+
+def _bm25_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.text import bm25_oracle_sql
+
+    return bm25_oracle_sql(terms=("spark", "window", "dup"), k=20)
 
 
 def _funnel_oracle() -> str:
@@ -2926,6 +2944,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_idle_customers": _rel_ext_oracle("q22"),
         "sketch_cms_counts": _cms_oracle(),
         "dedup_semantic_keep": _dedup_semantic_oracle(),
+        "text_bm25_topk": _bm25_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -723,3 +723,145 @@ SELECT doc_id,
          AS quality_prob
 FROM qx
 """
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document retrieval: the top-``k`` documents for a bag of
+    query ``terms`` under Okapi BM25 (k1=1.2, b=0.75) with Lucene's
+    non-negative idf ``ln(1 + (N − df + ½)/(df + ½))`` →
+    (doc_id, bm25), best first.  The ranking a curation pipeline uses
+    to pull topic-relevant training slices out of a raw corpus.
+
+    Cross-engine exactness: floats never accumulate.  idf is rounded
+    ONCE to integer micro-units (same 6-dp ln rule as the LM scores);
+    with k1 = 6/5 and b = 3/4 the per-term saturation
+    tf·(k1+1)/(tf + k1(1−b) + k1·b·dl·N/L) is the exact integer ratio
+    44·tf·L / (20·tf·L + 6·L + 18·dl·N), so each term's contribution
+    is the half-up integer division (2·idf·44·tf·L + den) div (2·den)
+    and the document score is an exact BIGINT sum of them — no
+    rounding tie can flip a rank between engines, and the final
+    (score DESC, doc_id) order is total.  Headroom: 2·idf·44·tf·L ≤
+    2·14e6·44·tf·L — inside int64 through sf10-scale corpora.
+
+    100 TB posture: one corpus scan computes (dl, tf per term); one
+    map-side-combinable aggregation produces the global (N, L, df)
+    row, which re-enters as a BROADCAST cross-join (one row — the
+    corpus never shuffles); scoring is whole-stage-codegen'd integer
+    math and the top-k is TakeOrderedAndProject (per-partition heap,
+    driver merges k rows, no global sort).
+    """
+    t = F.col(text_col)
+    ws = _words(t)
+
+    # NB: the predicate is built by a factory, NOT a loop lambda with
+    # a `_t=term` default — a two-parameter lambda is bound by pyspark
+    # higher-order functions as (element, index), silently turning the
+    # captured term into the array index (the exact bug class the r7
+    # sf1 sweep caught in the MinHash seeds).
+    def term_count(term: str) -> Column:
+        return F.size(F.filter(ws, lambda w: w == F.lit(term))).cast("long")
+
+    sel = [F.col("doc_id"), F.size(ws).cast("long").alias("dl")]
+    for i, term in enumerate(terms):
+        sel.append(term_count(term).alias(f"tf{i}"))
+    per_doc = docs.select(*sel)
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("l_total"),
+    ]
+    for i in range(len(terms)):
+        aggs.append(
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+        )
+    stats = per_doc.agg(*aggs)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+        )
+        stats = stats.withColumn(
+            f"idf{i}",
+            F.round(idf * 1_000_000).cast("long"),
+        )
+
+    contribs = []
+    for i in range(len(terms)):
+        den = f"(20 * tf{i} * l_total + 6 * l_total + 18 * dl * n_docs)"
+        contribs.append(
+            f"CASE WHEN tf{i} > 0 THEN "
+            f"(2 * idf{i} * 44 * tf{i} * l_total + {den}) div (2 * {den}) "
+            f"ELSE 0 END"
+        )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("score_micro", F.expr(" + ".join(contribs)))
+        .filter(F.col("score_micro") > 0)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            (F.col("score_micro") / F.lit(1_000_000.0)).alias("bm25"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    terms: tuple[str, ...], k: int = 20, table: str = "documents"
+) -> str:
+    """DuckDB rendering of ``bm25_topk`` — same single-rounded idf,
+    same exact integer saturation ratio and half-up division."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf_cols = ",\n         ".join(
+        f"CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df{i} + 0.5)"
+        f" / (df{i} + 0.5)) * 1000000) AS BIGINT) AS idf{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n          + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"(2 * idf{i} * 44 * tf{i} * l_total "
+        f"+ (20 * tf{i} * l_total + 6 * l_total + 18 * dl * n_docs)) "
+        f"// (2 * (20 * tf{i} * l_total + 6 * l_total + 18 * dl * n_docs)) "
+        f"ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM {table}
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS l_total,
+         {df_cols}
+  FROM w
+), i AS (
+  SELECT s.*,
+         {idf_cols}
+  FROM s
+), scored AS (
+  SELECT w.doc_id,
+         ({contribs}) AS score_micro
+  FROM w CROSS JOIN i
+)
+SELECT doc_id, CAST(score_micro AS DOUBLE) / 1000000.0 AS bm25
+FROM scored
+WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
