@@ -1586,6 +1586,18 @@ def _text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) with hashed-bigram
+    bucket models: corpus never shuffles, one <=256-row weight map
+    broadcast, TakeOrderedAndProject top-n —
+    operators/dsir.py:dsir_topn."""
+    from eventhub_to_timescale_spark.operators.dsir import dsir_topn
+
+    return dsir_topn(
+        _docs(spark, sf_dir), F.col("lang") == "en", n=100
+    )
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1836,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_counts": _sketch_cms_counts,
         "dedup_semantic_keep": _dedup_semantic_keep,
         "text_bm25_topk": _text_bm25_topk,
+        "sample_dsir_topn": _sample_dsir_topn,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2136,6 +2149,12 @@ def _bm25_oracle() -> str:
     from eventhub_to_timescale_spark.operators.text import bm25_oracle_sql
 
     return bm25_oracle_sql(terms=("spark", "window", "dup"), k=20)
+
+
+def _dsir_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql("lang = 'en'", n=100)
 
 
 def _funnel_oracle() -> str:
@@ -2945,6 +2964,7 @@ JOIN customer ON o_custkey = c_custkey
         "sketch_cms_counts": _cms_oracle(),
         "dedup_semantic_keep": _dedup_semantic_oracle(),
         "text_bm25_topk": _bm25_oracle(),
+        "sample_dsir_topn": _dsir_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos
