@@ -1598,6 +1598,22 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, table A1)
+    as integer-exact per-row flags: word count, mean word length,
+    alpha ratio, stop-word presence, max-frequency repetition — pure
+    scan-side array expressions, no shuffle, no UDF
+    (operators/curation.py:gopher_quality_flags). The stop list is the
+    corpus's own function-word list (operators/text.py:STOPWORDS);
+    the paper's English list is the deploy-time default."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+    from eventhub_to_timescale_spark.operators.text import STOPWORDS
+
+    return gopher_quality_flags(_docs(spark, sf_dir), stopwords=STOPWORDS)
+
+
 def _dedup_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with cross-document boilerplate spans cut out — the
     terminal Lee-et-al. substring-dedup step
@@ -1849,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keep": _dedup_semantic_keep,
         "text_bm25_topk": _text_bm25_topk,
         "sample_dsir_topn": _sample_dsir_topn,
+        "curation_gopher_quality": _curation_gopher_quality,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2155,6 +2172,15 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _gopher_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.curation import (
+        gopher_oracle_sql,
+    )
+    from eventhub_to_timescale_spark.operators.text import STOPWORDS
+
+    return gopher_oracle_sql(stopwords=STOPWORDS)
 
 
 def _funnel_oracle() -> str:
@@ -2965,6 +2991,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_semantic_keep": _dedup_semantic_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "sample_dsir_topn": _dsir_oracle(),
+        "curation_gopher_quality": _gopher_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -163,4 +163,127 @@ __all__ = [
     "repetition_stats",
     "EMAIL_RE",
     "IPV4_RE",
+    "gopher_quality_flags",
+    "gopher_oracle_sql",
+    "GOPHER_STOPWORDS",
 ]
+
+
+# Gopher's doc-level quality gates (Rae et al. 2021, arXiv:2112.11446
+# table A1) re-cut for this corpus's tokenizer. Every rule is an
+# INTEGER cross-multiplication (3·n ≤ chars, 5·alpha ≥ 4·n, ...) so
+# the Spark plan and the DuckDB oracle compare identical BIGINTs —
+# no float ratio can straddle a threshold differently per engine.
+# The paper's English stop list is a deploy-time knob: a corpus whose
+# register lacks "that"/"have" (like the synthetic bench corpus) gates
+# on its own function-word list instead.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    min_words: int = 10,
+    max_words: int = 500,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_words, ok_word_count, ok_mean_len, ok_alpha,
+    ok_stopwords, ok_repetition, keep): Gopher-style document quality
+    gates, one boolean per rule plus the conjunction.
+
+    Rules (integer forms):
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]: 3·n ≤ Σ len(w) ≤ 10·n
+    - ≥80% of words contain an alphabetic char: 5·alpha ≥ 4·n
+    - ≥2 distinct Gopher stop words present
+    - most frequent word ≤20% of tokens: 5·max_cnt ≤ n
+
+    100 TB posture: pure per-row array expressions on the corpus scan
+    (no shuffle, no UDF, pushdown-friendly). The max-frequency rule is
+    O(distinct·n) per document — linear in corpus size with bounded
+    document length, and entirely inside whole-stage codegen.
+    """
+    ws = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+"), 0
+    )
+    n = F.size(ws).cast("long")
+    chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    max_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    flags = {
+        "ok_word_count": (n >= min_words) & (n <= max_words),
+        "ok_mean_len": (3 * n <= chars) & (chars <= 10 * n),
+        "ok_alpha": 5 * alpha >= 4 * n,
+        "ok_stopwords": stops >= 2,
+        "ok_repetition": 5 * max_cnt <= n,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_oracle_sql(
+    min_words: int = 10,
+    max_words: int = 500,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``gopher_quality_flags`` — same tokenizer,
+    same integer cross-multiplied thresholds."""
+    stop_list = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0) AS ws
+  FROM {table}
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(list_transform(ws, x -> strlen(x))), 0)
+              AS BIGINT) AS chars,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS alpha,
+         CAST(len(list_intersect(list_distinct(ws), [{stop_list}]))
+              AS BIGINT) AS stops,
+         CAST(COALESCE(list_max(list_transform(list_distinct(ws),
+              w -> len(list_filter(ws, x -> x = w)))), 0)
+              AS BIGINT) AS max_cnt
+  FROM w
+)
+SELECT doc_id,
+       n AS n_words,
+       (n >= {min_words} AND n <= {max_words}) AS ok_word_count,
+       (3 * n <= chars AND chars <= 10 * n) AS ok_mean_len,
+       (5 * alpha >= 4 * n) AS ok_alpha,
+       (stops >= 2) AS ok_stopwords,
+       (5 * max_cnt <= n) AS ok_repetition,
+       ((n >= {min_words} AND n <= {max_words})
+        AND (3 * n <= chars AND chars <= 10 * n)
+        AND (5 * alpha >= 4 * n)
+        AND (stops >= 2)
+        AND (5 * max_cnt <= n)) AS keep
+FROM m
+"""

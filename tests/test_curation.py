@@ -79,3 +79,60 @@ def test_repetition_stats_ratio(spark):
     assert abs(got[1]["repetition_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
     assert (got[2]["n_ngrams"], got[2]["n_distinct"]) == (3, 3)
     assert got[2]["repetition_ratio"] == 0.0
+
+
+def test_gopher_quality_flags_rules(spark):
+    from eventhub_to_timescale_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            # passes every gate: 12 words, mean len in [3,10], all
+            # alphabetic, two stop words, max word freq 2/12 < 20%
+            (1, "the quick brown fox jumps over that lazy dog near "
+                "the river"),
+            (2, "too few words"),                       # word count
+            (3, "aa " * 6 + "the that"),                # mean len < 3
+            (4, "12 34 56 78 90 11 22 33 44 55 the that"),  # alpha
+            (5, "quick brown foxes jumping over lazy dogs every "
+                "single morning run"),                  # 0 stop words
+            (6, "the the the the the the the the that also more "
+                "words here"),                          # repetition
+        ],
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["ok_word_count"] is False
+    assert got[3]["ok_mean_len"] is False
+    assert got[4]["ok_alpha"] is False
+    assert got[5]["ok_stopwords"] is False
+    assert got[6]["ok_repetition"] is False
+    for d in (2, 3, 4, 5, 6):
+        assert got[d]["keep"] is False
+
+
+def test_gopher_quality_integer_thresholds_exact(spark):
+    """Boundary docs sit EXACTLY on each threshold — the integer
+    cross-multiplication must keep them (>= / <= semantics)."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            # exactly 10 words, mean len exactly 3 (30 chars / 10),
+            # exactly 80% alpha (8/10), 2 stop words, max freq 2/10=20%
+            (1, "the and cat cat dog fox hen 123 456 owl"),
+        ],
+    )
+    r = gopher_quality_flags(docs, min_words=10).collect()[0]
+    assert r["n_words"] == 10
+    assert r["ok_word_count"] is True
+    assert r["ok_mean_len"] is True
+    assert r["ok_alpha"] is True
+    assert r["ok_stopwords"] is True
+    assert r["ok_repetition"] is True
+    assert r["keep"] is True
