@@ -1598,6 +1598,19 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget prefix selection in md5-shuffled
+    order — two-phase: 256-bucket token totals (bounded driver
+    prefix-sum) + wholesale bucket filter, only the boundary bucket
+    pays an ordered window (operators/sampling.py:token_budget_select).
+    """
+    from eventhub_to_timescale_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    return token_budget_select(_docs(spark, sf_dir), budget=5000)
+
+
 def _curation_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality gates (Rae et al. 2021, table A1)
     as integer-exact per-row flags: word count, mean word length,
@@ -1866,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _text_bm25_topk,
         "sample_dsir_topn": _sample_dsir_topn,
         "curation_gopher_quality": _curation_gopher_quality,
+        "sample_token_budget": _sample_token_budget,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2172,6 +2186,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _token_budget_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        token_budget_oracle_sql,
+    )
+
+    return token_budget_oracle_sql(budget=5000)
 
 
 def _gopher_oracle() -> str:
@@ -2992,6 +3014,7 @@ JOIN customer ON o_custkey = c_custkey
         "text_bm25_topk": _bm25_oracle(),
         "sample_dsir_topn": _dsir_oracle(),
         "curation_gopher_quality": _gopher_oracle(),
+        "sample_token_budget": _token_budget_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -315,6 +315,113 @@ def stratified_oracle_predicate(
     )
 
 
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    salt: str = "budget",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex_len: int = 2,
+) -> DataFrame:
+    """Deterministic token-budget corpus selection: walk the corpus in
+    md5-shuffled order and keep documents while the running token
+    total stays ≤ ``budget`` → (doc_id, n_tokens).
+
+    The selection a training run actually wants — "give me ~N tokens,
+    sampled uniformly, reproducibly" — is a prefix of a deterministic
+    global order, but a naive global cumulative sum is ONE total sort
+    on a single window partition.  Two-phase instead:
+
+    1. bucket every doc by the first ``bucket_hex_len`` md5 hex chars
+       (16^len buckets) and aggregate per-bucket token sums — one
+       map-side-combinable groupBy producing ≤16^len rows;
+    2. a bounded driver prefix-sum over those rows finds the boundary
+       bucket b*: buckets before it are kept WHOLESALE (scan filter,
+       no sort), buckets after are dropped, and only the ~1/16^len
+       slice inside b* pays an ordered cumulative-sum window.
+
+    At 100 TB raise ``bucket_hex_len`` (4 hex chars → 65 536 buckets →
+    the sorted slice is ~0.0015% of the corpus).  The driver collect
+    is bounded at 16^len rows by construction.  Token counting uses
+    the same ``[a-z]+|[0-9]+`` lexer as text.token_stats.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+"), 0
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        h.alias("_h"),
+        F.substring(h, 1, bucket_hex_len).alias("_b"),
+    )
+    # phase 1: per-bucket token totals (bounded: 16^bucket_hex_len rows)
+    totals = sorted(
+        base.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: r["_b"],
+    )
+    run = 0
+    boundary, offset = None, 0
+    full_buckets: list[str] = []
+    for r in totals:
+        if run + r["t"] <= budget:
+            full_buckets.append(r["_b"])
+            run += r["t"]
+        else:
+            boundary, offset = r["_b"], run
+            break
+    # phase 2: wholesale filter + one in-bucket cumulative window
+    kept = base.filter(F.col("_b").isin(full_buckets)) if full_buckets \
+        else base.limit(0)
+    if boundary is not None:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("_b")  # one bucket → one partition, no
+            .orderBy("_h", id_col)    # global-sort WindowExec
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            base.filter(F.col("_b") == boundary)
+            .withColumn("_run", F.sum("n_tokens").over(w) + F.lit(offset))
+            .filter(F.col("_run") <= budget)
+            .drop("_run")
+        )
+        kept = kept.unionByName(edge)
+    return kept.select(id_col, "n_tokens")
+
+
+def token_budget_oracle_sql(
+    budget: int,
+    salt: str = "budget",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``token_budget_select`` — the naive global
+    running sum over the identical md5 order (the two-phase Spark plan
+    must select the exact same prefix)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || '{salt}') AS h
+  FROM {table}
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM t
+)
+SELECT doc_id, n_tokens FROM c WHERE run <= {budget}
+"""
+
+
 __all__ = [
     "sample_fraction",
     "sample_stratified",
@@ -327,4 +434,6 @@ __all__ = [
     "sampling_oracle_predicate",
     "stratified_oracle_predicate",
     "weighted_oracle_predicate",
+    "token_budget_select",
+    "token_budget_oracle_sql",
 ]

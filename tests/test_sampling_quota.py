@@ -96,3 +96,73 @@ class TestSampleWeighted:
         a = {r["doc_id"] for r in sample_weighted(df, "doc_id", w).collect()}
         b = {r["doc_id"] for r in sample_weighted(df, "doc_id", w).collect()}
         assert a == b and 0 < len(a) < 200
+
+
+class TestTokenBudget:
+    """token_budget_select: deterministic md5-order prefix under a
+    token budget; the two-phase bucket plan must equal the naive
+    global cumulative sum."""
+
+    def _docs(self, spark, n=40):
+        rows = [(i, " ".join(f"w{j}" for j in range(3 + i % 7)))
+                for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _naive(self, docs, budget, salt="budget"):
+        import hashlib
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        import re
+
+        toks = {
+            d: len(re.findall(r"[a-z]+|[0-9]+", t.lower())) for d, t in rows
+        }
+        order = sorted(
+            toks,
+            key=lambda d: (
+                hashlib.md5(f"{d}{salt}".encode()).hexdigest(),
+                d,
+            ),
+        )
+        kept, run = set(), 0
+        for d in order:
+            run += toks[d]
+            if run > budget:
+                break
+            kept.add(d)
+        return kept
+
+    def test_matches_naive_prefix(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        docs = self._docs(spark)
+        for budget in (0, 7, 50, 120, 10_000):
+            got = {
+                r["doc_id"]
+                for r in token_budget_select(docs, budget).collect()
+            }
+            assert got == self._naive(docs, budget), budget
+
+    def test_budget_respected_and_maximal(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        docs = self._docs(spark)
+        out = token_budget_select(docs, 60).collect()
+        total = sum(r["n_tokens"] for r in out)
+        assert total <= 60
+        # maximal prefix: the next doc in order would overflow
+        assert total > 60 - 10  # every doc has 3..9 tokens
+
+    def test_rejects_negative_budget(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            token_budget_select(self._docs(spark), -1)
