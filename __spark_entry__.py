@@ -1598,6 +1598,15 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags: |v − median| > 3·MAD — two
+    bounded aggregates, two broadcast joins, zero shuffles of the
+    fact table (operators/anomaly.py:mad_outliers)."""
+    from eventhub_to_timescale_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(_events(spark, sf_dir))
+
+
 def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget prefix selection in md5-shuffled
     order — two-phase: 256-bucket token totals (bounded driver
@@ -1880,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_topn": _sample_dsir_topn,
         "curation_gopher_quality": _curation_gopher_quality,
         "sample_token_budget": _sample_token_budget,
+        "events_anomaly_mad": _events_anomaly_mad,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2186,6 +2196,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _mad_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.anomaly import (
+        mad_outliers_oracle_sql,
+    )
+
+    return mad_outliers_oracle_sql()
 
 
 def _token_budget_oracle() -> str:
@@ -3015,6 +3033,7 @@ JOIN customer ON o_custkey = c_custkey
         "sample_dsir_topn": _dsir_oracle(),
         "curation_gopher_quality": _gopher_oracle(),
         "sample_token_budget": _token_budget_oracle(),
+        "events_anomaly_mad": _mad_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos
