@@ -1598,6 +1598,18 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 sign projection 64→16 dims with a
+    plan-time literal Rademacher matrix — single scan-side select, no
+    shuffle/UDF/broadcast; bit-exact cross-engine fold
+    (operators/embeddings.py:random_projection)."""
+    from eventhub_to_timescale_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    return random_projection(_embs(spark, sf_dir))
+
+
 def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier flags: |v − median| > 3·MAD — two
     bounded aggregates, two broadcast joins, zero shuffles of the
@@ -1890,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gopher_quality": _curation_gopher_quality,
         "sample_token_budget": _sample_token_budget,
         "events_anomaly_mad": _events_anomaly_mad,
+        "emb_random_projection": _emb_random_projection,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2196,6 +2209,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _random_projection_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.embeddings import (
+        random_projection_oracle_sql,
+    )
+
+    return random_projection_oracle_sql()
 
 
 def _mad_oracle() -> str:
@@ -3034,6 +3055,7 @@ JOIN customer ON o_custkey = c_custkey
         "curation_gopher_quality": _gopher_oracle(),
         "sample_token_budget": _token_budget_oracle(),
         "events_anomaly_mad": _mad_oracle(),
+        "emb_random_projection": _random_projection_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

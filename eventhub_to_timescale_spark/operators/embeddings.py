@@ -95,4 +95,107 @@ def quantization_error(
     return joined.select("vec_id", F.round(err, 6).alias("max_abs_err"))
 
 
-__all__ = ["l2_norm", "normalize_quantize", "quantization_error"]
+def _sign_matrix(out_dim: int, in_dim: int, salt: str) -> list[list[float]]:
+    """Deterministic ±1 Rademacher matrix from md5 parity — engine-
+    independent (pure Python), reproducible from (salt, dims) alone."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[0], 16)
+            & 1
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: str = "proj",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, proj: array<double>[out_dim]) — Johnson–Lindenstrauss
+    sign projection ``proj_j = (Σ_i S_ji·v_i)/√out_dim`` with a
+    deterministic Rademacher ±1 matrix (Achlioptas 2003: database-
+    friendly random projections — sign matrices preserve pairwise
+    distances with the same JL guarantee as Gaussians).
+
+    The dimensionality-reduction step ahead of ANN indexing / dedup
+    clustering when the embedding column is wider than the index needs.
+
+    100 TB posture: the S matrix is a PLAN-TIME literal (out_dim
+    arrays of in_dim signs baked into the projection expressions), so
+    the operator is a single scan-side ``select`` — no shuffle, no UDF,
+    no broadcast; each output component is one codegen'd zip/fold.
+
+    Cross-engine determinism: the fold sums strictly left-to-right from
+    a 0.0 seed, mirrored textually in the oracle SQL; components are
+    rounded to 6 dp and ``+ 0.0``-normalized so a −0.0 cannot split the
+    value hash. Vectors that are NULL or not exactly ``in_dim`` wide
+    are routed out (no direction to project).
+    """
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError(f"dims must be positive, got {out_dim}x{in_dim}")
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    mat = _sign_matrix(out_dim, in_dim, salt)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in mat[j]])
+        dot = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        comps.append(F.round(dot * F.lit(scale), 6) + F.lit(0.0))
+    return (
+        embeddings.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == in_dim)
+        )
+        .select("vec_id", F.array(*comps).alias("proj"))
+    )
+
+
+def random_projection_oracle_sql(
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: str = "proj",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB rendering of ``random_projection`` — the identical sign
+    matrix expanded to left-associated arithmetic chains (same fold
+    order, same 0.0 seed, same rounding/−0.0 normalization)."""
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    mat = _sign_matrix(out_dim, in_dim, salt)
+    comps = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({mat[j][i]:+.1f})"
+            for i in range(in_dim)
+        )
+        comps.append(f"round((0.0 + {terms}) * {scale}, 6) + 0.0")
+    proj = ",\n         ".join(comps)
+    return f"""
+SELECT vec_id,
+       [{proj}] AS proj
+FROM {table}
+WHERE embedding IS NOT NULL AND len(embedding) = {in_dim}
+"""
+
+
+__all__ = [
+    "l2_norm",
+    "normalize_quantize",
+    "quantization_error",
+    "random_projection",
+    "random_projection_oracle_sql",
+]
