@@ -1598,6 +1598,19 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature source mixing (GPT-3/LLaMA-style w_g ∝ √n_g)
+    with integer-exact ⌊√n⌋ quotas; two-phase bucket plan — full
+    buckets pass a scan filter, only boundary buckets pay a
+    (group, bucket)-partitioned window
+    (operators/sampling.py:temperature_mix)."""
+    from eventhub_to_timescale_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    return temperature_mix(_docs(spark, sf_dir), total=200)
+
+
 def _emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 sign projection 64→16 dims with a
     plan-time literal Rademacher matrix — single scan-side select, no
@@ -1903,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": _sample_token_budget,
         "events_anomaly_mad": _events_anomaly_mad,
         "emb_random_projection": _emb_random_projection,
+        "sample_temperature_mix": _sample_temperature_mix,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2209,6 +2223,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _temperature_mix_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        temperature_mix_oracle_sql,
+    )
+
+    return temperature_mix_oracle_sql(total=200)
 
 
 def _random_projection_oracle() -> str:
@@ -3056,6 +3078,7 @@ JOIN customer ON o_custkey = c_custkey
         "sample_token_budget": _token_budget_oracle(),
         "events_anomaly_mad": _mad_oracle(),
         "emb_random_projection": _random_projection_oracle(),
+        "sample_temperature_mix": _temperature_mix_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

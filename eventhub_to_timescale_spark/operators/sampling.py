@@ -422,6 +422,134 @@ SELECT doc_id, n_tokens FROM c WHERE run <= {budget}
 """
 
 
+def temperature_mix(
+    docs: DataFrame,
+    total: int,
+    group_col: str = "lang",
+    salt: str = "mix",
+    id_col: str = "doc_id",
+    bucket_hex_len: int = 2,
+) -> DataFrame:
+    """α=0.5 temperature source mixing → (doc_id, group): draw a
+    ``total``-doc training mix whose per-group share is flattened from
+    the corpus share — quota_g = total·⌊√n_g⌋ / Σ_h ⌊√n_h⌋ (floor
+    division), then pick each group's quota deterministically in
+    md5-shuffled order.
+
+    The data-mixing step every multi-source LLM corpus runs (GPT-3 /
+    LLaMA style w_g ∝ n_g^α, α=0.5): majority sources are down-
+    weighted, minority sources over-represented relative to raw share.
+    Quotas use ``math.isqrt`` so they are INTEGER-exact — the DuckDB
+    oracle's ``floor(sqrt(n))`` agrees bit-for-bit for any group size
+    below 2^52 (IEEE sqrt is correctly rounded, so it never crosses an
+    integer boundary at representable counts).
+
+    100 TB posture (same two-phase shape as token_budget_select): the
+    corpus is never rank-windowed per group — that would shuffle every
+    row into |groups| skewed partitions.  Phase 1 aggregates per
+    (group, md5-hex-prefix bucket) counts — bounded at
+    |groups|·16^bucket_hex_len rows, collected to the driver.  Phase 2
+    keeps full buckets wholesale with a scan-side membership filter;
+    only each group's single boundary bucket pays a row_number window,
+    partitioned by (group, bucket) so the sorted slice is ~1/16^len of
+    the group.
+    """
+    if total < 0:
+        raise ValueError(f"total must be non-negative, got {total}")
+    import math
+    from collections import defaultdict
+
+    g = F.col(group_col)
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
+    )
+    base = docs.select(
+        F.col(id_col),
+        g,
+        h.alias("_h"),
+        F.substring(h, 1, bucket_hex_len).alias("_b"),
+    )
+    # phase 1: bounded (group, bucket) histogram
+    counts = base.groupBy(group_col, "_b").count().collect()
+    n: dict = defaultdict(int)
+    for r in counts:
+        n[r[group_col]] += r["count"]
+    s = {grp: math.isqrt(v) for grp, v in n.items()}
+    ssum = sum(s.values())
+    quota = {grp: (total * s[grp]) // ssum if ssum else 0 for grp in s}
+    per_group: dict = defaultdict(list)
+    for r in counts:
+        per_group[r[group_col]].append((r["_b"], r["count"]))
+    SEP = "\x00"
+    full_keys: list[str] = []
+    edge_rem: dict[str, int] = {}
+    for grp, buckets in per_group.items():
+        rem = quota[grp]
+        for b, c in sorted(buckets):
+            if c <= rem:
+                full_keys.append(f"{grp}{SEP}{b}")
+                rem -= c
+            else:
+                if rem > 0:
+                    edge_rem[f"{grp}{SEP}{b}"] = rem
+                break
+    key = F.concat_ws(SEP, g.cast("string"), F.col("_b"))
+    kept = (
+        base.filter(key.isin(full_keys))
+        if full_keys
+        else base.limit(0)
+    )
+    if edge_rem:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col, "_b").orderBy("_h", id_col)
+        rem_col = F.lit(None).cast("long")
+        for k, v in edge_rem.items():
+            rem_col = F.when(key == k, F.lit(v)).otherwise(rem_col)
+        edge = (
+            base.filter(key.isin(list(edge_rem)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= rem_col)
+            .drop("_rn")
+        )
+        kept = kept.unionByName(edge)
+    return kept.select(id_col, group_col)
+
+
+def temperature_mix_oracle_sql(
+    total: int,
+    group_col: str = "lang",
+    salt: str = "mix",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``temperature_mix`` — the naive global
+    per-group rank over the identical md5 order, with the same
+    integer-exact ⌊√n⌋ quota arithmetic."""
+    return f"""
+WITH n AS (
+  SELECT {group_col}, count(*) AS cnt FROM {table} GROUP BY {group_col}
+), w AS (
+  SELECT {group_col},
+         CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS s
+  FROM n
+), q AS (
+  SELECT {group_col},
+         ({total} * s) // (SELECT sum(s) FROM w) AS quota
+  FROM w
+), r AS (
+  SELECT doc_id, {group_col},
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{salt}'), doc_id
+         ) AS rk
+  FROM {table}
+)
+SELECT r.doc_id, r.{group_col}
+FROM r JOIN q USING ({group_col})
+WHERE r.rk <= q.quota
+"""
+
+
 __all__ = [
     "sample_fraction",
     "sample_stratified",
@@ -436,4 +564,6 @@ __all__ = [
     "weighted_oracle_predicate",
     "token_budget_select",
     "token_budget_oracle_sql",
+    "temperature_mix",
+    "temperature_mix_oracle_sql",
 ]

@@ -166,3 +166,97 @@ class TestTokenBudget:
 
         with pytest.raises(ValueError):
             token_budget_select(self._docs(spark), -1)
+
+
+class TestTemperatureMix:
+    """temperature_mix: integer-exact sqrt quotas; two-phase plan
+    equals the naive per-group md5-rank selection."""
+
+    def _docs(self, spark):
+        rows = []
+        i = 0
+        for grp, n in (("en", 100), ("de", 25), ("fr", 9)):
+            for _ in range(n):
+                rows.append((i, grp))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def _naive(self, rows, total, salt="mix"):
+        import hashlib
+        import math
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for d, g in rows:
+            by[g].append(d)
+        s = {g: math.isqrt(len(v)) for g, v in by.items()}
+        ssum = sum(s.values())
+        kept = set()
+        for g, ids in by.items():
+            q = total * s[g] // ssum
+            order = sorted(
+                ids,
+                key=lambda d: (
+                    hashlib.md5(f"{d}{salt}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            kept.update(order[:q])
+        return kept
+
+    def test_matches_naive_selection(self, spark):
+        from eventhub_to_timescale_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        docs = self._docs(spark)
+        rows = [(r["doc_id"], r["lang"]) for r in docs.collect()]
+        for total in (0, 10, 50, 134, 1000):
+            got = {
+                r["doc_id"]
+                for r in temperature_mix(docs, total).collect()
+            }
+            assert got == self._naive(rows, total), total
+
+    def test_flattens_majority_share(self, spark):
+        from collections import Counter
+
+        from eventhub_to_timescale_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        # raw shares 100/25/9 = 75%/19%/7%; sqrt weights 10/5/3 →
+        # mixed shares 55%/27%/16% — majority down, minority up
+        got = Counter(
+            r["lang"]
+            for r in temperature_mix(self._docs(spark), 90).collect()
+        )
+        assert got["en"] == 90 * 10 // 18
+        assert got["de"] == 90 * 5 // 18
+        assert got["fr"] == min(90 * 3 // 18, 9)  # quota capped by size
+        raw_en = 100 / 134
+        assert got["en"] / sum(got.values()) < raw_en
+
+    def test_quota_beyond_group_keeps_group(self, spark):
+        from collections import Counter
+
+        from eventhub_to_timescale_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        got = Counter(
+            r["lang"]
+            for r in temperature_mix(self._docs(spark), 10_000).collect()
+        )
+        # fr quota 10000*3//18 = 1666 > 9 docs → whole group survives
+        assert got["fr"] == 9
+
+    def test_rejects_negative_total(self, spark):
+        import pytest
+
+        from eventhub_to_timescale_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        with pytest.raises(ValueError):
+            temperature_mix(self._docs(spark), -5)
