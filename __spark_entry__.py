@@ -1598,6 +1598,23 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank centrality over the MinHash
+    near-dup pair graph — canonical-document choice by duplicate-graph
+    centrality; all arithmetic integral so the unrolled-CTE oracle
+    agrees bit-for-bit (operators/pagerank.py)."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from eventhub_to_timescale_spark.operators.pagerank import pagerank
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=12, bands=6, shingle_n=3,
+        jaccard_threshold=0.5,
+    )
+    return pagerank(pairs, iters=3)
+
+
 def _sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """α=0.5 temperature source mixing (GPT-3/LLaMA-style w_g ∝ √n_g)
     with integer-exact ⌊√n⌋ quotas; two-phase bucket plan — full
@@ -1917,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": _events_anomaly_mad,
         "emb_random_projection": _emb_random_projection,
         "sample_temperature_mix": _sample_temperature_mix,
+        "dedup_pagerank": _dedup_pagerank,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3079,6 +3097,7 @@ JOIN customer ON o_custkey = c_custkey
         "events_anomaly_mad": _mad_oracle(),
         "emb_random_projection": _random_projection_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
+        "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -869,6 +869,53 @@ ORDER BY doc_id
 """
 
 
+def pagerank_oracle(
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    iters: int = 3,
+) -> str:
+    """Integer fixed-point PageRank (operators/pagerank.py) over the
+    MinHash pair graph, iterations unrolled as chained CTEs with the
+    identical `div`-based arithmetic (SCALE=10^12, damping 85/100)."""
+    pairs = dedup_minhash_oracle(num_hashes, bands, threshold)
+    scale, dnum, dden = 10**12, 85, 100
+    cte = f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM edges),
+deg AS (SELECT a AS v, count(*) AS deg FROM edges GROUP BY a),
+consts AS (
+  SELECT {scale} // count(*) AS base,
+         ({dden - dnum} * ({scale} // count(*))) // {dden} AS tp
+  FROM nodes
+),
+p0 AS (SELECT v, (SELECT base FROM consts) AS p FROM nodes)"""
+    for k in range(iters):
+        cte += f""",
+p{k + 1} AS (
+  SELECT n.v,
+         (SELECT tp FROM consts)
+         + ({dnum} * COALESCE(s.inc, 0)) // {dden} AS p
+  FROM nodes n LEFT JOIN (
+    SELECT e.b AS v, sum(p.p // d.deg) AS inc
+    FROM edges e
+    JOIN p{k} p ON p.v = e.a
+    JOIN deg d ON d.v = e.a
+    GROUP BY e.b
+  ) s ON s.v = n.v
+)"""
+    return f"""{cte}
+SELECT v AS doc_id, CAST(p AS BIGINT) AS rank_fp
+FROM p{iters}
+ORDER BY doc_id
+"""
+
+
 def dedup_components_keep_oracle(
     num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
 ) -> str:
