@@ -1598,6 +1598,15 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon word entropy (gibberish / looping-text
+    signal) — scan-side array expressions only
+    (operators/text.py:word_entropy)."""
+    from eventhub_to_timescale_spark.operators.text import word_entropy
+
+    return word_entropy(_docs(spark, sf_dir))
+
+
 def _dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank centrality over the MinHash
     near-dup pair graph — canonical-document choice by duplicate-graph
@@ -1935,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_projection": _emb_random_projection,
         "sample_temperature_mix": _sample_temperature_mix,
         "dedup_pagerank": _dedup_pagerank,
+        "text_word_entropy": _text_word_entropy,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2241,6 +2251,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _word_entropy_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.text import (
+        word_entropy_oracle_sql,
+    )
+
+    return word_entropy_oracle_sql()
 
 
 def _temperature_mix_oracle() -> str:
@@ -3098,6 +3116,7 @@ JOIN customer ON o_custkey = c_custkey
         "emb_random_projection": _random_projection_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
+        "text_word_entropy": _word_entropy_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

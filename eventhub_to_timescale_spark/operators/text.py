@@ -865,3 +865,58 @@ WHERE score_micro > 0
 ORDER BY score_micro DESC, doc_id
 LIMIT {k}
 """
+
+
+def word_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_words, word_entropy): Shannon entropy (bits) of
+    each document's word distribution — the gibberish/boilerplate
+    detector that complements Gopher's max-frequency rule: low entropy
+    = a few tokens dominate (looping text, keyword stuffing); entropy
+    near log2(n) = every token unique.
+
+    Computed as ``log2(n) − (Σ_w c_w·log2(c_w))/n`` — one pass over
+    the distinct-token array, O(distinct·n) per document, entirely
+    scan-side array expressions (no shuffle, no UDF). Rounded to 6 dp;
+    both engines evaluate log2 on small-integer counts where libm
+    implementations agree far beyond the rounding tolerance.
+    """
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)
+    n = F.size(ws).cast("long")
+    cnt = lambda w: F.size(F.filter(ws, lambda x: x == w)).cast(  # noqa: E731
+        "double"
+    )
+    s = F.aggregate(
+        F.transform(F.array_distinct(ws), lambda w: cnt(w) * F.log2(cnt(w))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ent = F.when(n > 0, F.round(F.log2(n) - s / n, 6) + F.lit(0.0)).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id", n.alias("n_words"), ent.alias("word_entropy")
+    )
+
+
+def word_entropy_oracle_sql(table: str = "documents") -> str:
+    """DuckDB rendering of ``word_entropy`` (same lexer, same
+    log2(n) − Σc·log2(c)/n form, same 6-dp/−0.0 normalization)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0) AS ws
+  FROM {table}
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n,
+         COALESCE(list_sum(list_transform(list_distinct(ws),
+           w -> CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)
+                * log2(CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)))),
+           0.0) AS s
+  FROM w
+)
+SELECT doc_id, n AS n_words,
+       CASE WHEN n > 0 THEN round(log2(CAST(n AS DOUBLE)) - s / n, 6) + 0.0
+            ELSE 0.0 END AS word_entropy
+FROM m
+"""

@@ -459,3 +459,28 @@ def test_pack_documents_first_fit_semantics(spark):
 
     with _pytest.raises(ValueError):
         pack_documents(docs, token_budget=0)
+
+
+def test_word_entropy_values(spark):
+    import math
+
+    from eventhub_to_timescale_spark.operators.text import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),           # one token: entropy 0
+            (2, "a b c d"),           # uniform: entropy log2(4) = 2
+            (3, "a a b b"),           # two tokens, 2 each: entropy 1
+            (4, ""),                  # empty: defined 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert got[1]["word_entropy"] == 0.0
+    assert got[2]["word_entropy"] == 2.0
+    assert got[3]["word_entropy"] == 1.0
+    assert got[4]["word_entropy"] == 0.0 and got[4]["n_words"] == 0
+    # mixed: 3x'a', 1x'b' -> log2(4) - (3 log2 3)/4
+    docs2 = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    want = round(2 - 3 * math.log2(3) / 4, 6)
+    assert word_entropy(docs2).collect()[0]["word_entropy"] == want
