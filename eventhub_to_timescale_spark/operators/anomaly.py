@@ -40,6 +40,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mad_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fit → (group, _med, _mad): the bounded per-group robust-stats
+    frame (6-dp rounded).  This is the "model" half — batch
+    ``mad_outliers`` and the stream-static applier
+    (streaming/anomaly.py) both score against it, so batch and
+    streaming flag the identical rows by construction."""
+    g, v = F.col(group_col), F.col(value_col)
+    med = events.groupBy(group_col).agg(
+        F.round(F.median(v), 6).alias("_med")
+    )
+    dev = events.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(v - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.median(F.col("_dev")), 6).alias("_mad")
+    )
+    # both sides are |groups|-sized; hint so the static plan never
+    # falls back to a sort-merge exchange pair for two tiny frames
+    return med.join(F.broadcast(mad), group_col)
+
+
 def mad_outliers(
     events: DataFrame,
     group_col: str = "event_type",
@@ -52,18 +77,10 @@ def mad_outliers(
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     g, v = F.col(group_col), F.col(value_col)
-    med = events.groupBy(group_col).agg(
-        F.round(F.median(v), 6).alias("_med")
-    )
-    dev = events.join(F.broadcast(med), group_col).withColumn(
-        "_dev", F.abs(v - F.col("_med"))
-    )
-    mad = dev.groupBy(group_col).agg(
-        F.round(F.median(F.col("_dev")), 6).alias("_mad")
-    )
+    stats = mad_stats(events, group_col, value_col)
     return (
-        dev.join(F.broadcast(mad), group_col)
-        .filter(F.col("_dev") > F.lit(k) * F.col("_mad"))
+        events.join(F.broadcast(stats), group_col)
+        .filter(F.abs(v - F.col("_med")) > F.lit(k) * F.col("_mad"))
         .select(F.col(id_col), g, v)
     )
 
@@ -95,4 +112,4 @@ WHERE d.dev > {k} * s.mad
 """
 
 
-__all__ = ["mad_outliers", "mad_outliers_oracle_sql"]
+__all__ = ["mad_stats", "mad_outliers", "mad_outliers_oracle_sql"]
