@@ -82,6 +82,39 @@ def _assign(quant: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
+def _assign_vectorized(
+    quant: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Arrow-batched exact-integer argmin assignment — the large-k
+    path.  ``_assign``'s k×dim literal expression tree is the right
+    plan for small k (pure JVM, no Python), but it grows linearly in
+    k and stops being codegen-friendly past a few dozen clusters
+    (same trade-off as similarity.py:_cell_id_udf).  This variant
+    ships the k×dim int matrix in the UDF closure and evaluates
+    argmin(c·c − 2 x·c) per Arrow batch in int64 numpy — every value
+    is exact (|dot| ≤ 9.3e13 < 2^63) and np.argmin's first-minimum
+    tie rule equals _assign's lowest-cluster struct-min, so the two
+    paths are BIT-IDENTICAL (pinned by tests/test_clustering.py).
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.int64)  # (k, dim)
+    c_sq = (c * c).sum(axis=1)  # (k,)
+
+    def assign(vecs):
+        import pandas as pd
+
+        x = np.array(vecs.tolist(), dtype=np.int64)  # (n, dim)
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d = c_sq[None, :] - 2 * (x @ c.T)  # exact int64
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    udf = pandas_udf(assign, "int")
+    return quant.select("vec_id", "iv", udf("iv").alias("cluster"))
+
+
 def kmeans_fixed_point(
     embeddings: DataFrame,
     k: int = 8,
@@ -102,7 +135,8 @@ def kmeans_fixed_point(
 
 
 def _fit_centroids(
-    quant: DataFrame, k: int, iters: int, dim: int
+    quant: DataFrame, k: int, iters: int, dim: int,
+    vectorized: bool = False,
 ) -> list[list[int]]:
     """The Lloyd loop: deterministic lowest-vec_id init, ``iters``
     exact-integer assign/re-estimate passes → final centroid matrix
@@ -111,8 +145,9 @@ def _fit_centroids(
         quant.orderBy("vec_id").limit(k).select("iv").collect()
     )  # bounded: k rows of dim ints — the deterministic init
     centroids = [list(r["iv"]) for r in seed_rows]
+    assign_fn = _assign_vectorized if vectorized else _assign
     for _ in range(iters):
-        assigned = _assign(quant, centroids)
+        assigned = assign_fn(quant, centroids)
         stats = (
             assigned.groupBy("cluster")
             .agg(
@@ -143,6 +178,7 @@ def semantic_dedup_keep(
     threshold: float = 0.8,
     dim: int = 64,
     scale: int = 10**6,
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the exact
@@ -170,13 +206,14 @@ def semantic_dedup_keep(
     nothing but (vec_id, iv, nsq, cluster) crosses the exchange.
     """
     quant = _quantized(embeddings, scale)
-    centroids = _fit_centroids(quant, k, iters, dim)
+    centroids = _fit_centroids(quant, k, iters, dim, vectorized_assign)
     nsq = F.aggregate(
         F.zip_with("iv", "iv", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    assigned = _assign(quant, centroids).withColumn("nsq", nsq)
+    assign_fn = _assign_vectorized if vectorized_assign else _assign
+    assigned = assign_fn(quant, centroids).withColumn("nsq", nsq)
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cl"),

@@ -164,3 +164,43 @@ class TestSemanticDedup:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_vectorized_assign_bit_identical(spark):
+    """The Arrow/numpy large-k assignment path must equal the JVM
+    expression path exactly — same int64 distances, same lowest-index
+    tie rule — including a constructed exact tie."""
+    from eventhub_to_timescale_spark.operators.clustering import (
+        _assign,
+        _assign_vectorized,
+        _quantized,
+    )
+
+    rows = [(i, [float((i * 13 + j * 7) % 9 - 4) for j in range(8)])
+            for i in range(60)]
+    # vector equidistant to centroids 0 and 1 -> both must pick 0
+    rows.append((999, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = _quantized(emb, 10**6)
+    cents = [[10**6] + [0] * 7, [-(10**6)] + [0] * 7,
+             [0, 10**6] + [0] * 6]
+    a = {(r["vec_id"], r["cluster"]) for r in _assign(q, cents).collect()}
+    b = {(r["vec_id"], r["cluster"])
+         for r in _assign_vectorized(q, cents).collect()}
+    assert a == b
+    assert (999, 0) in a
+
+
+def test_semantic_dedup_vectorized_equals_expression(spark):
+    from eventhub_to_timescale_spark.operators.clustering import (
+        semantic_dedup_keep,
+    )
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = [(r["vec_id"], r["cluster"])
+         for r in semantic_dedup_keep(emb, k=6, iters=2).collect()]
+    b = [(r["vec_id"], r["cluster"])
+         for r in semantic_dedup_keep(
+             emb, k=6, iters=2, vectorized_assign=True).collect()]
+    assert a == b and len(a) > 0
