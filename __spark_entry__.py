@@ -1598,6 +1598,22 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup contamination matrix: MinHash pairs bucketed by
+    lexicographic (source, source) — which sources duplicate each
+    other (operators/dedup.py:cross_source_matrix)."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        cross_source_matrix,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.5
+    )
+    return cross_source_matrix(docs, pairs)
+
+
 def _text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (gibberish / looping-text
     signal) — scan-side array expressions only
@@ -1949,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature_mix": _sample_temperature_mix,
         "dedup_pagerank": _dedup_pagerank,
         "text_word_entropy": _text_word_entropy,
+        "dedup_cross_source": _dedup_cross_source,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3121,6 +3138,7 @@ JOIN customer ON o_custkey = c_custkey
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
+        "dedup_cross_source": oc.cross_source_oracle(12, 6, 0.5),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

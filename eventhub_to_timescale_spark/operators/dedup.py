@@ -744,3 +744,47 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def cross_source_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate contamination matrix → (src_a, src_b, n_pairs):
+    how many near-dup pairs cross each (source, source) boundary,
+    with the pair's two group labels ordered lexicographically so the
+    matrix is upper-triangular regardless of pair orientation.
+
+    The corpus-governance question behind every dedup run: WHICH
+    sources duplicate each other (mirror sites, cross-posted docs,
+    licensed re-dumps)? Diagonal entries are within-source dup mass;
+    off-diagonal entries tell you which source to drop or down-weight
+    (feeds temperature_mix / source_quota decisions).
+
+    100 TB posture: two hash joins of the (small) pair set against the
+    (id → group) projection of the corpus — the corpus ships only two
+    columns into each join, the pair side is banding-bounded, and the
+    final aggregate is a map-side-combinable count over ≤|sources|²
+    keys.
+    """
+    lab = docs.select(
+        F.col(id_col), F.col(group_col).cast("string").alias("_g")
+    )
+    both = (
+        pairs.join(lab.withColumnRenamed("_g", "_ga"),
+                   pairs["doc_a"] == lab[id_col])
+        .drop(id_col)
+        .join(lab.withColumnRenamed("_g", "_gb"),
+              F.col("doc_b") == lab[id_col])
+    )
+    return (
+        both.select(
+            F.least("_ga", "_gb").alias("src_a"),
+            F.greatest("_ga", "_gb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )

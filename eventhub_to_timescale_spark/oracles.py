@@ -916,6 +916,27 @@ ORDER BY doc_id
 """
 
 
+def cross_source_oracle(
+    num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
+) -> str:
+    """Near-dup contamination matrix (operators/dedup.py:
+    cross_source_matrix) over the MinHash pair CTE — lexicographically
+    ordered (src_a, src_b) counts."""
+    pairs = dedup_minhash_oracle(num_hashes, bands, threshold)
+    return f"""
+WITH pairs AS ({pairs}),
+lab AS (SELECT doc_id, CAST(source AS VARCHAR) AS g FROM documents)
+SELECT least(la.g, lb.g) AS src_a,
+       greatest(la.g, lb.g) AS src_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN lab la ON la.doc_id = p.doc_a
+JOIN lab lb ON lb.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def dedup_components_keep_oracle(
     num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
 ) -> str:

@@ -51,3 +51,25 @@ class TestJaccardPrefixPairs:
         )
         out = jaccard_prefix_pairs(docs, ngram=5, threshold=0.9).collect()
         assert out == []
+
+
+def test_cross_source_matrix_orientation_and_counts(spark):
+    from eventhub_to_timescale_spark.operators.dedup import (
+        cross_source_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "arxiv")],
+        "doc_id long, source string",
+    )
+    # pair orientation must not matter: (3,1) counts as (books, web)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 1), (1, 4), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {(r["src_a"], r["src_b"]): r["n_pairs"]
+           for r in cross_source_matrix(docs, pairs).collect()}
+    assert got == {
+        ("web", "web"): 1,
+        ("books", "web"): 2,
+        ("arxiv", "web"): 1,
+    }
