@@ -1816,11 +1816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     third-wave additions text_bm25_topk, sample_dsir_topn,
     #     curation_gopher_quality, sample_token_budget,
     #     events_anomaly_mad, emb_random_projection,
-    #     sample_temperature_mix, dedup_pagerank, text_word_entropy.
+    #     sample_temperature_mix, dedup_pagerank, text_word_entropy,
+    #     dedup_cross_source.
     #     That is 50+ never/least-recently-gated entries — more than
     #     the window — so r9's head takes the newest operator families
     #     first plus the most-overdue demotions, and r10 completes the
-    #     cycle.  With 128 registered queries and a 50-slot window,
+    #     cycle.  With 129 registered queries and a 50-slot window,
     #     alternating ~half the non-core surface each round keeps
     #     every entry driver-witnessed at least once per ~2–3 rounds;
     #     everything outside the window is parity-checked every round
