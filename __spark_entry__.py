@@ -1598,6 +1598,18 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(priority, year) subtotal report in one Expand+hash-agg
+    pass — leaf groups, per-priority subtotals and the grand total
+    from a single shuffle (operators/relational.py:revenue_rollup)."""
+    from eventhub_to_timescale_spark.operators.relational import (
+        revenue_rollup,
+    )
+
+    (o,) = _rel_tables(spark, sf_dir, "orders")
+    return revenue_rollup(o)
+
+
 def _dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup contamination matrix: MinHash pairs bucketed by
     lexicographic (source, source) — which sources duplicate each
@@ -1967,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pagerank": _dedup_pagerank,
         "text_word_entropy": _text_word_entropy,
         "dedup_cross_source": _dedup_cross_source,
+        "rel_revenue_rollup": _rel_revenue_rollup,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2273,6 +2286,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _revenue_rollup_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.relational import (
+        revenue_rollup_oracle_sql,
+    )
+
+    return revenue_rollup_oracle_sql()
 
 
 def _word_entropy_oracle() -> str:
@@ -3140,6 +3161,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
         "dedup_cross_source": oc.cross_source_oracle(12, 6, 0.5),
+        "rel_revenue_rollup": _revenue_rollup_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -1036,6 +1036,57 @@ WHERE s.qty * {den} * a.cnt < {num} * a.sum_qty
 """
 
 
+
+def revenue_rollup(orders: DataFrame) -> DataFrame:
+    """Multi-level subtotal report → (o_orderpriority, order_year,
+    total_revenue, n_orders) under ``ROLLUP(priority, year)``: leaf
+    groups, per-priority subtotals (year NULL), and the grand total
+    (both NULL) in ONE aggregation pass.
+
+    The OLAP grouping-sets surface the reference's Grafana dashboards
+    emulate with separate panels; Spark evaluates a rollup as a
+    single Expand+hash-aggregate — each input row fans into its 3
+    grouping sets map-side, partials combine as usual, so the plan
+    costs one shuffle exactly like the plain groupBy (no per-level
+    re-scan, no union of aggregates).
+
+    Revenue sums exact integer cents (1 dp-rounding at the very end);
+    the subtotal NULLs are produced by the same grouping-set rules in
+    both engines, so rows align 1:1.
+    """
+    with_year = orders.withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        with_year.rollup("o_orderpriority", "order_year")
+        .agg(
+            F.round(F.sum(_cents("o_totalprice")) / 100.0, 2).alias(
+                "total_revenue"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("order_year").asc_nulls_first(),
+        )
+    )
+
+
+def revenue_rollup_oracle_sql(table: str = "orders") -> str:
+    """DuckDB rendering of ``revenue_rollup`` — GROUP BY ROLLUP with
+    the identical integer-cents sum."""
+    return f"""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_revenue,
+       count(*) AS n_orders
+FROM {table}
+GROUP BY ROLLUP (o_orderpriority, CAST(year(o_orderdate) AS INTEGER))
+ORDER BY o_orderpriority NULLS FIRST, order_year NULLS FIRST
+"""
+
+
 __all__ = [
     "pricing_summary",
     "revenue_by_nation",
@@ -1064,4 +1115,6 @@ __all__ = [
     "top_supplier_oracle_sql",
     "small_quantity_revenue",
     "small_quantity_revenue_oracle_sql",
+    "revenue_rollup",
+    "revenue_rollup_oracle_sql",
 ]

@@ -221,3 +221,51 @@ class TestSmallQuantityRevenue:
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRevenueRollup:
+    def test_rollup_levels_and_totals(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            revenue_rollup,
+        )
+
+        rows = [
+            (1, "1-URGENT", 10.50, "1996-03-01"),
+            (2, "1-URGENT", 20.00, "1997-05-02"),
+            (3, "2-HIGH", 5.25, "1996-07-09"),
+        ]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderpriority string, "
+                  "o_totalprice double, o_orderdate string"
+        ).withColumn("o_orderdate", __import__("pyspark.sql.functions",
+                     fromlist=["F"]).to_timestamp("o_orderdate"))
+        got = {(r["o_orderpriority"], r["order_year"]):
+               (r["total_revenue"], r["n_orders"])
+               for r in revenue_rollup(orders).collect()}
+        # leaves
+        assert got[("1-URGENT", 1996)] == (10.50, 1)
+        assert got[("1-URGENT", 1997)] == (20.00, 1)
+        assert got[("2-HIGH", 1996)] == (5.25, 1)
+        # per-priority subtotals (year NULL)
+        assert got[("1-URGENT", None)] == (30.50, 2)
+        assert got[("2-HIGH", None)] == (5.25, 1)
+        # grand total
+        assert got[(None, None)] == (35.75, 3)
+        assert len(got) == 6
+
+    def test_single_expand_aggregate_plan(self, spark):
+        from eventhub_to_timescale_spark.operators.relational import (
+            revenue_rollup,
+        )
+        from pyspark.sql import functions as F
+
+        orders = spark.createDataFrame(
+            [(1, "P", 1.0)], "o_orderkey long, o_orderpriority string, "
+                             "o_totalprice double"
+        ).withColumn("o_orderdate", F.to_timestamp(F.lit("1996-01-01")))
+        plan = (revenue_rollup(orders)
+                ._jdf.queryExecution().executedPlan().toString())
+        # one Expand feeding one aggregation pipeline — no union of
+        # per-level scans
+        assert plan.count("Expand") == 1
+        assert "Union" not in plan
