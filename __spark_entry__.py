@@ -1598,6 +1598,18 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ordered 3-step user journeys (behavioral sequence
+    mining): one user-partitioned lead window + two map-side
+    combinable aggregates + total-order top-k
+    (operators/trending.py:journey_ngrams)."""
+    from eventhub_to_timescale_spark.operators.trending import (
+        journey_ngrams,
+    )
+
+    return journey_ngrams(_events(spark, sf_dir), n=3, k=20)
+
+
 def _rel_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(priority, year) subtotal report in one Expand+hash-agg
     pass — leaf groups, per-priority subtotals and the grand total
@@ -1980,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_entropy": _text_word_entropy,
         "dedup_cross_source": _dedup_cross_source,
         "rel_revenue_rollup": _rel_revenue_rollup,
+        "events_journey_trigrams": _events_journey_trigrams,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2286,6 +2299,14 @@ def _dsir_oracle() -> str:
     from eventhub_to_timescale_spark.operators.dsir import dsir_oracle_sql
 
     return dsir_oracle_sql("lang = 'en'", n=100)
+
+
+def _journey_ngrams_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.trending import (
+        journey_ngrams_oracle_sql,
+    )
+
+    return journey_ngrams_oracle_sql(n=3, k=20)
 
 
 def _revenue_rollup_oracle() -> str:
@@ -3162,6 +3183,7 @@ JOIN customer ON o_custkey = c_custkey
         "text_word_entropy": _word_entropy_oracle(),
         "dedup_cross_source": oc.cross_source_oracle(12, 6, 0.5),
         "rel_revenue_rollup": _revenue_rollup_oracle(),
+        "events_journey_trigrams": _journey_ngrams_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

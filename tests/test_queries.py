@@ -561,3 +561,55 @@ def test_bucket_gapfill_policies(spark):
 
     with pytest.raises(ValueError):
         bucket_gapfill(cond, "s1", "temp", start, end, 3600, fill="cubic")
+
+
+def test_journey_ngrams_semantics(spark):
+    """Ordered per-user paths, completeness filter, distinct-traveller
+    ranking, lexicographic tie-break."""
+    from eventhub_to_timescale_spark.operators.trending import (
+        journey_ngrams,
+    )
+
+    rows = [
+        # user 1: a b c a b c  -> a>b>c x2, b>c>a x1, c>a>b x1
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "c"),
+        (4, 1, "2024-01-01 00:03:00", "a"),
+        (5, 1, "2024-01-01 00:04:00", "b"),
+        (6, 1, "2024-01-01 00:05:00", "c"),
+        # user 2: a b c       -> a>b>c x1 (second traveller)
+        (7, 2, "2024-01-01 00:00:00", "a"),
+        (8, 2, "2024-01-01 00:01:00", "b"),
+        (9, 2, "2024-01-01 00:02:00", "c"),
+        # user 3: only 2 events -> no complete trigram
+        (10, 3, "2024-01-01 00:00:00", "x"),
+        (11, 3, "2024-01-01 00:01:00", "y"),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(r["path"], r["n_users"], r["n_occurrences"])
+           for r in journey_ngrams(ev, n=3, k=10).collect()]
+    assert got[0] == ("a>b>c", 2, 3)
+    # remaining single-traveller paths tie on counts -> lexicographic
+    assert got[1:] == [("b>c>a", 1, 1), ("c>a>b", 1, 1)]
+    assert all("x" not in p for p, _, _ in got)
+
+
+def test_journey_ngrams_rejects_bad_params(spark):
+    import pytest
+
+    from eventhub_to_timescale_spark.operators.trending import (
+        journey_ngrams,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError):
+        journey_ngrams(ev, n=1)
+    with pytest.raises(ValueError):
+        journey_ngrams(ev, k=0)
