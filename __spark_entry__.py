@@ -1841,7 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     curation_gopher_quality, sample_token_budget,
     #     events_anomaly_mad, emb_random_projection,
     #     sample_temperature_mix, dedup_pagerank, text_word_entropy,
-    #     dedup_cross_source, rel_revenue_rollup.
+    #     dedup_cross_source, rel_revenue_rollup,
+    #     events_journey_trigrams.
     #     That is 50+ never/least-recently-gated entries — more than
     #     the window — so r9's head takes the newest operator families
     #     first plus the most-overdue demotions, and r10 completes the
