@@ -48,10 +48,19 @@ def pagerank(
     iters: int = 3,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    persist_graph: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b) undirected pair edges → (doc_id, rank_fp) with
     rank_fp the integer fixed-point PageRank mass after ``iters``
-    damped iterations (see module docstring)."""
+    damped iterations (see module docstring).
+
+    ``persist_graph`` (default on) caches the edge/degree/node frames:
+    every iteration joins against all three, so without the cache the
+    upstream pair generation (e.g. the whole MinHash banding plan)
+    re-executes per iteration — the classic iterative-algorithm
+    materialization, same contract as minhash_lsh_pairs'
+    ``persist_banded`` (caller may ``unpersist`` afterwards; the
+    frames are pair-graph-sized, not corpus-sized)."""
     if iters < 0:
         raise ValueError(f"iters must be non-negative, got {iters}")
     edges = (
@@ -61,10 +70,15 @@ def pagerank(
         )
         .distinct()
     )
+    if persist_graph:
+        edges = edges.persist()
     nodes = edges.select(F.col("a").alias("v")).distinct()
     deg = edges.groupBy(F.col("a").alias("v")).agg(
         F.count("*").alias("deg")
     )
+    if persist_graph:
+        nodes = nodes.persist()
+        deg = deg.persist()
     # one bounded driver scalar: the pair-graph node count
     n = nodes.count()
     if n == 0:
