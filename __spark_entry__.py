@@ -1598,6 +1598,26 @@ def _sample_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta vs a synthetic second corpus version (drop
+    id%7==0, edit id%5==0, add id%11==0 under fresh ids): one
+    co-partitioned full-outer join on 8-byte content digests
+    (operators/dedup.py:corpus_diff)."""
+    from eventhub_to_timescale_spark.operators.dedup import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    edited = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return corpus_diff(docs, edited.unionByName(added))
+
+
 def _events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 ordered 3-step user journeys (behavioral sequence
     mining): one user-partitioned lead window + two map-side
@@ -1994,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source": _dedup_cross_source,
         "rel_revenue_rollup": _rel_revenue_rollup,
         "events_journey_trigrams": _events_journey_trigrams,
+        "dedup_corpus_diff": _dedup_corpus_diff,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3185,6 +3206,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_cross_source": oc.cross_source_oracle(12, 6, 0.5),
         "rel_revenue_rollup": _revenue_rollup_oracle(),
         "events_journey_trigrams": _journey_ngrams_oracle(),
+        "dedup_corpus_diff": oc.corpus_diff_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -788,3 +788,46 @@ def cross_source_matrix(
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("src_a", "src_b")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot delta → (doc_id, status ∈ added|removed|changed):
+    which documents appeared, disappeared, or changed content between
+    two corpus versions. Unchanged documents are filtered out — at
+    pipeline scale the delta IS the work-list (re-embed, re-score,
+    re-shard only what moved), so emitting the unchanged majority
+    would defeat the point.
+
+    Content comparison is by ``xxhash64(text)`` so the join carries an
+    8-byte digest instead of document bodies, and the comparison cost
+    is independent of document length past the scan.
+
+    100 TB posture: one full-outer hash join co-partitioned on the id
+    (both sides shuffle once on the same key — with both snapshots
+    bucketed by id on disk, zero Exchange, cf. tests/
+    test_bucketed_store.py); everything else is scan-side projection.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.xxhash64(F.col(text_col)).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.xxhash64(F.col(text_col)).alias("_hn"),
+    )
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return (
+        joined.select(F.col("_id").alias(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+        .orderBy(id_col)
+    )

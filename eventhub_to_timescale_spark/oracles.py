@@ -937,6 +937,31 @@ ORDER BY 1, 2
 """
 
 
+def corpus_diff_oracle(table: str = "documents") -> str:
+    """operators/dedup.py:corpus_diff over the synthetic second
+    snapshot used by the corpus_diff registry entry: drop doc_id%7==0,
+    append ' v2' to text where doc_id%5==0, add fresh ids (+1000000)
+    for doc_id%11==0.  DuckDB's hash() differs from Spark's xxhash64,
+    so the oracle compares the TEXT directly — same verdicts, since
+    the digest comparison is an implementation detail."""
+    new_snap = f"""
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM {table} WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM {table} WHERE doc_id % 11 = 0
+"""
+    return f"""
+WITH n AS ({new_snap})
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed' END AS status
+FROM {table} o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text)
+ORDER BY doc_id
+"""
+
+
 def dedup_components_keep_oracle(
     num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
 ) -> str:

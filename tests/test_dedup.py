@@ -73,3 +73,18 @@ def test_cross_source_matrix_orientation_and_counts(spark):
         ("books", "web"): 2,
         ("arxiv", "web"): 1,
     }
+
+
+def test_corpus_diff_statuses(spark):
+    from eventhub_to_timescale_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["status"])
+           for r in corpus_diff(old, new).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 added
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
