@@ -1653,7 +1653,9 @@ def _dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(
-        docs, num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.5
+        docs, num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.5,
+        persist_banded=True,  # matrix joins pairs twice: share ONE
+        # shingle+signature pass (r8 verdict: double lineage cost 3 s)
     )
     return cross_source_matrix(docs, pairs)
 
@@ -1680,6 +1682,8 @@ def _dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=12, bands=6, shingle_n=3,
         jaccard_threshold=0.5,
+        persist_banded=True,  # pagerank's edge union reads pairs
+        # twice before its own persist: share one signature pass
     )
     return pagerank(pairs, iters=3)
 

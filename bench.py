@@ -72,6 +72,20 @@ def main() -> None:
     bench_queries["b_all_subject_avg"] = _bench_all_subject_avg
     bench_queries["b_full_ingest"] = _bench_full_ingest
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 runs just those queries — the
+    # isolated-vs-in-suite bisect knob (r8 verdict #4: unattributable
+    # warm regressions needed a way to time a query alone in a fresh
+    # JVM without editing this file).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = wanted - set(bench_queries)
+        if unknown:
+            print(f"unknown bench queries: {sorted(unknown)}", file=sys.stderr)
+        bench_queries = {
+            k: v for k, v in bench_queries.items() if k in wanted
+        }
+
     # warm up the JVM + Python workers so the first timed query doesn't
     # absorb session startup (one tiny scan + one pandas-UDF roundtrip)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -114,6 +128,15 @@ def main() -> None:
                 f"/ {warm_min[name]}s warm-min ({n} rows)",
                 file=sys.stderr,
             )
+        # Several operators persist() internal frames (banded
+        # signatures, prefix/gram frames, source docs) under a
+        # caller-releases contract — and THIS loop is the caller.
+        # Before r9 nothing released them, so 134 queries accumulated
+        # cached partitions in the shared JVM and later queries paid
+        # eviction/GC pressure (r8 verdict #3: 1.5-2.5× warm
+        # regressions on untouched code). One query's caches never
+        # outlive its timing block now.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(warm.values()), 3)

@@ -173,12 +173,13 @@ def _fit_centroids(
 
 def semantic_dedup_keep(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.8,
     dim: int = 64,
     scale: int = 10**6,
-    vectorized_assign: bool = False,
+    vectorized_assign: bool | None = None,
+    target_cluster_size: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the exact
@@ -204,8 +205,31 @@ def semantic_dedup_keep(
     — 50k clusters for LAION-440M).  Per-row norms are computed once
     before the join, the survivors come from one ANTI-JOIN, and
     nothing but (vec_id, iv, nsq, cluster) crosses the exchange.
+
+    DEFAULTS ARE THE SCALE-SAFE REGIME (r8 verdict #1: a fixed k makes
+    candidate pairs Θ(N²/k) — the registry's one >1 sf1 exponent):
+
+    - ``k=None`` sizes the clustering to the corpus,
+      ``k = max(8, n // target_cluster_size)`` (one bounded count()
+      up front), so expected cluster size — and with it per-row pair
+      fan-out — stays constant as N grows (measured at sf1: exponent
+      1.17 at fixed k=8 → 0.80 in the k∝N regime, SCALE.md).  Pass an
+      explicit ``k`` only when a FIXED clustering is the point (the
+      stable-oracle gate entry does).
+    - ``vectorized_assign=None`` auto-selects: the pure-JVM expression
+      argmin up to k=32 (codegen-friendly literal tree), the exact-
+      int64 Arrow/numpy argmin above (the literal tree grows linearly
+      in k and falls out of codegen; both paths are bit-identical —
+      pinned by tests/test_clustering.py).
     """
     quant = _quantized(embeddings, scale)
+    if k is None:
+        # bounded driver scalar: corpus row count → k ∝ N (the
+        # Abbas-et-al. regime; constant expected cluster size)
+        n_vecs = quant.count()
+        k = max(8, n_vecs // target_cluster_size)
+    if vectorized_assign is None:
+        vectorized_assign = k > 32
     centroids = _fit_centroids(quant, k, iters, dim, vectorized_assign)
     nsq = F.aggregate(
         F.zip_with("iv", "iv", lambda a, b: a * b),

@@ -59,8 +59,14 @@ def pagerank(
     upstream pair generation (e.g. the whole MinHash banding plan)
     re-executes per iteration — the classic iterative-algorithm
     materialization, same contract as minhash_lsh_pairs'
-    ``persist_banded`` (caller may ``unpersist`` afterwards; the
-    frames are pair-graph-sized, not corpus-sized)."""
+    ``persist_banded``.  The caches are NOT left for the caller to
+    release (the function only returns the rank frame, so the caller
+    never had a handle): after the final iteration the node-sized
+    result is eagerly ``localCheckpoint``-ed — truncating its lineage
+    off the cached frames — and all three caches are unpersisted
+    before returning.  Executor storage is clean on exit; the frames
+    are pair-graph-sized, not corpus-sized, so the one extra
+    materialization is iteration-cost, not corpus-cost."""
     if iters < 0:
         raise ValueError(f"iters must be non-negative, got {iters}")
     edges = (
@@ -82,9 +88,14 @@ def pagerank(
     # one bounded driver scalar: the pair-graph node count
     n = nodes.count()
     if n == 0:
-        return nodes.select(
+        empty = nodes.select(
             F.col("v").alias("doc_id"), F.lit(0).cast("long").alias("rank_fp")
         )
+        if persist_graph:
+            empty = empty.localCheckpoint(eager=True)
+            for frame in (edges, nodes, deg):
+                frame.unpersist()
+        return empty
     base = SCALE // n
     teleport = (100 - DAMP_NUM) * base // DAMP_DEN
     p = nodes.select("v", F.lit(base).cast("long").alias("p"))
@@ -106,9 +117,16 @@ def pagerank(
                 )
             ).cast("long").alias("p"),
         )
-    return p.select(
+    out = p.select(
         F.col("v").alias("doc_id"), F.col("p").alias("rank_fp")
-    ).orderBy("doc_id")
+    )
+    if persist_graph:
+        # node-sized frame: materialize once, cut the lineage, then
+        # release the three graph caches (no handle escapes otherwise)
+        out = out.localCheckpoint(eager=True)
+        for frame in (edges, nodes, deg):
+            frame.unpersist()
+    return out.orderBy("doc_id")
 
 
 __all__ = ["pagerank", "SCALE", "DAMP_NUM", "DAMP_DEN"]

@@ -453,6 +453,12 @@ def temperature_mix(
     only each group's single boundary bucket pays a row_number window,
     partitioned by (group, bucket) so the sorted slice is ~1/16^len of
     the group.
+
+    NULL-group rows are EXCLUDED up front (filter + the oracle's
+    WHERE): the driver-side quota key would stringify None while the
+    Spark-side concat_ws silently skips NULLs, so a NULL group could
+    never round-trip the membership keys — a mix over an ungrouped
+    residue is undefined here by contract, not dropped silently.
     """
     if total < 0:
         raise ValueError(f"total must be non-negative, got {total}")
@@ -463,6 +469,7 @@ def temperature_mix(
     h = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
     )
+    docs = docs.filter(g.isNotNull())
     base = docs.select(
         F.col(id_col),
         g,
@@ -524,10 +531,13 @@ def temperature_mix_oracle_sql(
 ) -> str:
     """DuckDB rendering of ``temperature_mix`` — the naive global
     per-group rank over the identical md5 order, with the same
-    integer-exact ⌊√n⌋ quota arithmetic."""
+    integer-exact ⌊√n⌋ quota arithmetic and the same NULL-group
+    exclusion."""
     return f"""
-WITH n AS (
-  SELECT {group_col}, count(*) AS cnt FROM {table} GROUP BY {group_col}
+WITH base AS (
+  SELECT * FROM {table} WHERE {group_col} IS NOT NULL
+), n AS (
+  SELECT {group_col}, count(*) AS cnt FROM base GROUP BY {group_col}
 ), w AS (
   SELECT {group_col},
          CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS s
@@ -542,7 +552,7 @@ WITH n AS (
            PARTITION BY {group_col}
            ORDER BY md5(CAST(doc_id AS VARCHAR) || '{salt}'), doc_id
          ) AS rk
-  FROM {table}
+  FROM base
 )
 SELECT r.doc_id, r.{group_col}
 FROM r JOIN q USING ({group_col})

@@ -879,6 +879,13 @@ def word_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scan-side array expressions (no shuffle, no UDF). Rounded to 6 dp;
     both engines evaluate log2 on small-integer counts where libm
     implementations agree far beyond the rounding tolerance.
+
+    The Σ folds over the SORTED distinct-token array (both engines):
+    float addition is not associative, and Spark's ``array_distinct``
+    keeps first-occurrence order while DuckDB's ``list_distinct``
+    guarantees no order at all — sorting makes the accumulation order
+    canonical so a knife-edge value cannot round differently at 6 dp
+    across engines.
     """
     ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)
     n = F.size(ws).cast("long")
@@ -886,7 +893,10 @@ def word_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "double"
     )
     s = F.aggregate(
-        F.transform(F.array_distinct(ws), lambda w: cnt(w) * F.log2(cnt(w))),
+        F.transform(
+            F.array_sort(F.array_distinct(ws)),
+            lambda w: cnt(w) * F.log2(cnt(w)),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -900,7 +910,8 @@ def word_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_entropy_oracle_sql(table: str = "documents") -> str:
     """DuckDB rendering of ``word_entropy`` (same lexer, same
-    log2(n) − Σc·log2(c)/n form, same 6-dp/−0.0 normalization)."""
+    log2(n) − Σc·log2(c)/n form, same 6-dp/−0.0 normalization, same
+    SORTED-distinct accumulation order — see the operator docstring)."""
     return f"""
 WITH w AS (
   SELECT doc_id,
@@ -909,7 +920,7 @@ WITH w AS (
 ), m AS (
   SELECT doc_id,
          CAST(len(ws) AS BIGINT) AS n,
-         COALESCE(list_sum(list_transform(list_distinct(ws),
+         COALESCE(list_sum(list_transform(list_sort(list_distinct(ws)),
            w -> CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)
                 * log2(CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)))),
            0.0) AS s

@@ -114,8 +114,12 @@ def journey_ngrams(
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, n)
     ]
+    # the base row's own type participates too: with a NULL
+    # event_type Spark's concat_ws would silently skip the NULL
+    # (shortened path 'a>b') while a SQL || propagates NULL — rows
+    # with ANY null step are excluded identically in both engines
     complete = None
-    for s in steps[1:]:
+    for s in steps:
         c = s.isNotNull()
         complete = c if complete is None else (complete & c)
     paths = (
@@ -154,7 +158,11 @@ def journey_ngrams_oracle_sql(
     ]
     path = " || '>' || ".join(leads)
     notnull = " AND ".join(
-        f"lead(event_type, {i}) OVER w IS NOT NULL" for i in range(1, n)
+        ["event_type IS NOT NULL"]
+        + [
+            f"lead(event_type, {i}) OVER w IS NOT NULL"
+            for i in range(1, n)
+        ]
     )
     return f"""
 WITH p AS (

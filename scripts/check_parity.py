@@ -89,6 +89,10 @@ def main() -> int:
         if only and name not in only:
             continue
         checked += 1
+        # release the previous query's caller-owned operator caches
+        # (persist_banded &c.) so a 130-query sweep doesn't accumulate
+        # JVM storage pressure
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
