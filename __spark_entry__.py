@@ -1618,6 +1618,27 @@ def _dedup_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(docs, edited.unionByName(added))
 
 
+def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee-et-al./Abbas-et-al. dedup chain as ONE plan:
+    substring spans → span removal → MinHash keep-first over the
+    CLEANED text → SemDeDup over the survivors' embeddings — persist
+    boundaries between stages so each corpus scan happens once
+    (operators/dedup_pipeline.py).  k=8 pinned for the stable
+    unrolled-CTE oracle; threshold 0.4 as in dedup_semantic_keep
+    (synthetic embeddings are near-orthogonal)."""
+    from eventhub_to_timescale_spark.operators.dedup_pipeline import (
+        dedup_full_pipeline,
+    )
+
+    return dedup_full_pipeline(
+        _docs(spark, sf_dir),
+        _embs(spark, sf_dir),
+        k=8,
+        iters=2,
+        threshold=0.4,
+    )
+
+
 def _events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 ordered 3-step user journeys (behavioral sequence
     mining): one user-partitioned lead window + two map-side
@@ -1837,48 +1858,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     witnessed).  dedup_simhash stays although unrotated: its
     #     fingerprint widened to 64-bit THIS round and must be
     #     re-witnessed by the driver.
-    #   r9 head: rotate the 16 r8 demotions back in, plus the
-    #     never-yet-gated tail families (toolkit_ohlc,
-    #     toolkit_trend_slope, emb_normalize_quantize, doc_chunks,
-    #     corpus_shard_order, events_sessionize, sketch_histogram,
-    #     toolkit_gauge_delta, rel_revenue_by_nation — sibling-
-    #     witnessed so far, parity-checked every round) and the
-    #     r8-NEW operator families, never yet driver-gated:
-    #     dedup_substr_spans, dedup_substr_clean, dedup_jaccard_prefix,
-    #     the third relational wave (rel_forecast_revenue,
-    #     rel_market_share, rel_nation_profit, rel_important_parts,
-    #     rel_dominant_suppliers, rel_idle_customers),
-    #     rel_cheapest_supplier, rel_priority_late,
-    #     rel_no_return_customers, rel_shipmode_priority,
-    #     rel_promo_share, rel_supplier_variety,
-    #     rel_disjunctive_revenue, cluster_kmeans,
-    #     cluster_balanced_sample, text_bigrams_topk, text_bigram_lm,
-    #     sketch_hll_portable, sketch_hll_union, text_quality_logit,
-    #     and the r8 second-wave operators (rel_cross_nation_volume,
-    #     rel_order_distribution, rel_top_supplier,
-    #     rel_small_qty_revenue, layout_zorder_profile,
-    #     rollup_upsert_value, docs_global_enumerate,
-    #     docs_wfq_interleave, events_trending_topk), plus
-    #     sketch_cms_counts (r8 count-min sketch, never gated) and
-    #     dedup_semantic_keep (r8 SemDeDup, never gated), and the r8
-    #     third-wave additions text_bm25_topk, sample_dsir_topn,
-    #     curation_gopher_quality, sample_token_budget,
-    #     events_anomaly_mad, emb_random_projection,
-    #     sample_temperature_mix, dedup_pagerank, text_word_entropy,
-    #     dedup_cross_source, rel_revenue_rollup,
-    #     events_journey_trigrams.
-    #     That is 50+ never/least-recently-gated entries — more than
-    #     the window — so r9's head takes the newest operator families
-    #     first plus the most-overdue demotions, and r10 completes the
-    #     cycle.  With 129 registered queries and a 50-slot window,
-    #     alternating ~half the non-core surface each round keeps
-    #     every entry driver-witnessed at least once per ~2–3 rounds;
-    #     everything outside the window is parity-checked every round
-    #     by check_parity + test_gate_tail_parity.
+    #   r9 head (this round, VERDICT r8 ask #1): the never-gated
+    #     backlog (47 r8-new entries + 9 r6-tail families + the new
+    #     pipeline_dedup_full) outgrew the 16 rotation slots the
+    #     34-entry always-gated core left, so the core's head
+    #     RESIDENCY IS SUSPENDED for r9-r10 while the backlog clears
+    #     (the core mechanisms all earned driver-green rows in r6-r8
+    #     and keep their tail parity pins every round —
+    #     tests/test_gate_tail_parity.py now pins the planned head
+    #     list itself).  r9 head = newest-first: the 13 r8 third-wave
+    #     entries, pipeline_dedup_full (NEW r9: the composed
+    #     Lee-et-al./Abbas-et-al. chain), the 9 r8 second-wave
+    #     entries, the 6 third-relational-wave entries, the 19 r8
+    #     first-wave entries, plus the 2 most-overdue r6-tail entries
+    #     (sketch_histogram, rel_revenue_by_nation) = 50.
+    #   r10 plan: the remaining 7 never-gated r6-tail families
+    #     (toolkit_ohlc, toolkit_trend_slope, emb_normalize_quantize,
+    #     doc_chunks, corpus_shard_order, events_sessionize,
+    #     toolkit_gauge_delta) + the 34 suspended core entries and the
+    #     16 r8 demotions rotate back through the head (core first —
+    #     they will then be 3 rounds unwitnessed, the documented
+    #     ceiling).  Everything outside the window stays
+    #     parity-checked every round by check_parity +
+    #     test_gate_tail_parity.
     return {
-        # — 34 keepers (gated r6 + r7; sole witnesses of their
-        # mechanism this round — see tests/test_gate_tail_parity.py's
-        # ALWAYS_GATED_CORE)
+        # ---------------- r9 GATE HEAD (50 entries) ----------------
+        # — r8 third wave, first driver gating
+        "text_bm25_topk": _text_bm25_topk,
+        "sample_dsir_topn": _sample_dsir_topn,
+        "curation_gopher_quality": _curation_gopher_quality,
+        "sample_token_budget": _sample_token_budget,
+        "events_anomaly_mad": _events_anomaly_mad,
+        "emb_random_projection": _emb_random_projection,
+        "sample_temperature_mix": _sample_temperature_mix,
+        "dedup_pagerank": _dedup_pagerank,
+        "text_word_entropy": _text_word_entropy,
+        "dedup_cross_source": _dedup_cross_source,
+        "rel_revenue_rollup": _rel_revenue_rollup,
+        "events_journey_trigrams": _events_journey_trigrams,
+        "dedup_corpus_diff": _dedup_corpus_diff,
+        # — NEW in r9: composed dedup pipeline (substr spans → span
+        # removal → MinHash keep-first → SemDeDup, one plan)
+        "pipeline_dedup_full": _pipeline_dedup_full,
+        # — r8 second wave, first driver gating
+        "rel_cross_nation_volume": _rel_cross_nation,
+        "rel_order_distribution": _rel_order_distribution,
+        "rel_top_supplier": _rel_top_supplier,
+        "rel_small_qty_revenue": _rel_small_qty_revenue,
+        "layout_zorder_profile": _layout_zorder_profile,
+        "rollup_upsert_value": _rollup_upsert_value,
+        "docs_global_enumerate": _docs_global_enumerate,
+        "docs_wfq_interleave": _docs_wfq_interleave,
+        "events_trending_topk": _events_trending_topk,
+        # — r8 third relational wave, first driver gating
+        "rel_forecast_revenue": _rel_forecast_revenue,
+        "rel_market_share": _rel_market_share,
+        "rel_nation_profit": _rel_nation_profit,
+        "rel_important_parts": _rel_important_parts,
+        "rel_dominant_suppliers": _rel_dominant_suppliers,
+        "rel_idle_customers": _rel_idle_customers,
+        # — r8 first wave, first driver gating
+        "dedup_substr_spans": _dedup_substr_spans,
+        "dedup_substr_clean": _dedup_substr_clean,
+        "rel_cheapest_supplier": _rel_cheapest_supplier,
+        "rel_priority_late": _rel_priority_late,
+        "rel_no_return_customers": _rel_no_return_customers,
+        "rel_shipmode_priority": _rel_shipmode_priority,
+        "rel_promo_share": _rel_promo_share,
+        "rel_supplier_variety": _rel_supplier_variety,
+        "rel_disjunctive_revenue": _rel_disjunctive_revenue,
+        "cluster_kmeans": _cluster_kmeans,
+        "cluster_balanced_sample": _cluster_balanced_sample,
+        "sketch_hll_portable": _sketch_hll_portable,
+        "sketch_hll_union": _sketch_hll_union,
+        "sketch_cms_counts": _sketch_cms_counts,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "dedup_semantic_keep": _dedup_semantic_keep,
+        "text_quality_logit": _text_quality_logit,
+        "text_bigrams_topk": _text_bigrams_topk,
+        "text_bigram_lm": _text_bigram_lm,
+        # — most-overdue r6-tail families (the other 7 gate in r10)
+        "sketch_histogram": _sketch_histogram,
+        "rel_revenue_by_nation": _rel_revenue_by_nation,
+        # --- tail: entries past the driver's 50-entry gate window.
+        # Every tail entry keeps its own oracle — scripts/check_parity.py
+        # and tests/test_gate_tail_parity.py verify them every run.
+        # — suspended always-gated core (driver-green r6-r8; resume r10)
         "q1_bucket_avg": _q1,
         "q2_resolution_avg": _q2,
         "q3_daily_max": _q3_daily,
@@ -1913,7 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_blob_features": _mm_blob_features,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize": _mm_resize,
-        # — rotation group (a): r7 demotions, last gated r6
+        # — r7 rotation groups (driver-green r8; due again r10)
         "q3_intraday_avg": _q3_intraday,
         "q5_timeweight_linear": _q5_linear,
         "q3_daily_from_cascade": _q3_daily_from_cascade,
@@ -1922,7 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_sample_cut": _text_quality_sample_cut,
         "text_language_id": _text_langid,
         "text_token_stats": _text_tokens,
-        # — rotation group (b): r7-new operators, first driver gating
         "rel_returned_revenue": _rel_returned_revenue,
         "rel_large_orders": _rel_large_orders,
         "sample_source_quota": _sample_source_quota,
@@ -1931,12 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
         "dedup_substr_windows": _dedup_substr_windows,
-        # --- tail: entries past the driver's 50-entry gate window.
-        # Every tail entry keeps its own oracle — scripts/check_parity.py
-        # and tests/test_gate_tail_parity.py verify them every run.
-        # — r8 demotions (ALL gated green in CORRECTNESS_r07.json;
-        # rotate back to the head in r9 — sibling witnesses in the
-        # ledger above)
+        # — r8 demotions (driver-green r7; rotate back r10)
         "dedup_components_keep": _dedup_components_keep,
         "dedup_embedding_cosine": _dedup_embedding,
         "sim_ann_lsh": _sim_ann_lsh,
@@ -1953,72 +2012,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
         "text_unigram_lm": _text_unigram_lm,
-        # — r6 tail families, never yet driver-gated (gated-sibling
-        # mechanism: ohlc/trend_slope/gauge_delta share the toolkit
-        # lag/agg shape with the r7-gated counter_delta + heartbeat;
-        # sketch_histogram shares the sketch shape with the r7-gated
-        # distinct/percentile; events_sessionize is the window-form
-        # equivalent of the r7-gated native form; rel_revenue_by_nation
-        # shares the star-join shape with the r8-gated relational
-        # queries) — first in line for the r9 head
+        # — r6 tail families still never gated (first in line for r10)
         "toolkit_ohlc": _toolkit_ohlc,
         "toolkit_trend_slope": _toolkit_trend_slope,
         "emb_normalize_quantize": _emb_normalize_quantize,
         "doc_chunks": _doc_chunks,
         "corpus_shard_order": _corpus_shard_order,
         "events_sessionize": _events_sessionize,
-        "sketch_histogram": _sketch_histogram,
         "toolkit_gauge_delta": _toolkit_gauge_delta,
-        "rel_revenue_by_nation": _rel_revenue_by_nation,
-        # — r8 additions: new operators, fully oracled; tail-witnessed
-        # this round (check_parity + test_gate_tail_parity), gate in r9
-        "dedup_substr_spans": _dedup_substr_spans,
-        "dedup_substr_clean": _dedup_substr_clean,
-        "rel_cheapest_supplier": _rel_cheapest_supplier,
-        "rel_priority_late": _rel_priority_late,
-        "rel_no_return_customers": _rel_no_return_customers,
-        "rel_shipmode_priority": _rel_shipmode_priority,
-        "rel_promo_share": _rel_promo_share,
-        "rel_supplier_variety": _rel_supplier_variety,
-        "rel_disjunctive_revenue": _rel_disjunctive_revenue,
-        "cluster_kmeans": _cluster_kmeans,
-        "cluster_balanced_sample": _cluster_balanced_sample,
-        "sketch_hll_portable": _sketch_hll_portable,
-        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
-        "text_quality_logit": _text_quality_logit,
-        "sketch_hll_union": _sketch_hll_union,
-        "text_bigrams_topk": _text_bigrams_topk,
-        "text_bigram_lm": _text_bigram_lm,
-        "rel_cross_nation_volume": _rel_cross_nation,
-        "rel_order_distribution": _rel_order_distribution,
-        "rel_top_supplier": _rel_top_supplier,
-        "rel_small_qty_revenue": _rel_small_qty_revenue,
-        "layout_zorder_profile": _layout_zorder_profile,
-        "rollup_upsert_value": _rollup_upsert_value,
-        "docs_global_enumerate": _docs_global_enumerate,
-        "docs_wfq_interleave": _docs_wfq_interleave,
-        "events_trending_topk": _events_trending_topk,
-        "rel_forecast_revenue": _rel_forecast_revenue,
-        "rel_market_share": _rel_market_share,
-        "rel_nation_profit": _rel_nation_profit,
-        "rel_important_parts": _rel_important_parts,
-        "rel_dominant_suppliers": _rel_dominant_suppliers,
-        "rel_idle_customers": _rel_idle_customers,
-        "sketch_cms_counts": _sketch_cms_counts,
-        "dedup_semantic_keep": _dedup_semantic_keep,
-        "text_bm25_topk": _text_bm25_topk,
-        "sample_dsir_topn": _sample_dsir_topn,
-        "curation_gopher_quality": _curation_gopher_quality,
-        "sample_token_budget": _sample_token_budget,
-        "events_anomaly_mad": _events_anomaly_mad,
-        "emb_random_projection": _emb_random_projection,
-        "sample_temperature_mix": _sample_temperature_mix,
-        "dedup_pagerank": _dedup_pagerank,
-        "text_word_entropy": _text_word_entropy,
-        "dedup_cross_source": _dedup_cross_source,
-        "rel_revenue_rollup": _rel_revenue_rollup,
-        "events_journey_trigrams": _events_journey_trigrams,
-        "dedup_corpus_diff": _dedup_corpus_diff,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2313,6 +2314,14 @@ def _dedup_semantic_oracle() -> str:
     )
 
     return semantic_dedup_oracle_sql(k=8, iters=2, threshold=0.4)
+
+
+def _pipeline_dedup_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.dedup_pipeline import (
+        dedup_full_pipeline_oracle_sql,
+    )
+
+    return dedup_full_pipeline_oracle_sql(k=8, iters=2, threshold=0.4)
 
 
 def _bm25_oracle() -> str:
@@ -3211,6 +3220,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_revenue_rollup": _revenue_rollup_oracle(),
         "events_journey_trigrams": _journey_ngrams_oracle(),
         "dedup_corpus_diff": oc.corpus_diff_oracle(),
+        "pipeline_dedup_full": _pipeline_dedup_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

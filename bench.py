@@ -160,13 +160,18 @@ def main() -> None:
         "total_warm_median": total_warm,
     }
     try:
+        # an SPARK_GRAFT_BENCH_ONLY bisect must not clobber the
+        # committed full-suite artifact
+        detail_name = (
+            "BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"
+        )
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            os.path.dirname(os.path.abspath(__file__)), detail_name
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as e:
-        print(f"could not write BENCH_DETAIL.json: {e}", file=sys.stderr)
+        print(f"could not write {detail_name}: {e}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr)
 
     compact = {k: round(v, 2) for k, v in warm.items()}

@@ -305,9 +305,12 @@ def kmeans_balanced_sample(
     )
 
 
-def _oracle_cte_chain(k: int, iters: int, scale: int) -> str:
+def _oracle_cte_chain(
+    k: int, iters: int, scale: int, table: str = "embeddings"
+) -> str:
     """Shared CTE chain: quantize → init → iterate (assign, means)
-    ``iters`` times → final assignment ``a_final``."""
+    ``iters`` times → final assignment ``a_final``.  ``table`` may be
+    a CTE name so the chain composes into larger pipelines."""
     parts = [
         f"""iv AS (
   -- parallel UNNESTs zip in DuckDB: dim index alongside component
@@ -315,11 +318,11 @@ def _oracle_cte_chain(k: int, iters: int, scale: int) -> str:
          UNNEST(generate_series(1, len(embedding))) AS dim,
          CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {scale}.0)
               AS BIGINT) AS v
-  FROM embeddings
+  FROM {table}
 )""",
         f"""seed AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-  FROM embeddings ORDER BY vec_id LIMIT {k}
+  FROM {table} ORDER BY vec_id LIMIT {k}
 )""",
         """c0 AS (
   SELECT seed.cluster, iv.dim, CAST(iv.v AS BIGINT) AS cv
@@ -420,12 +423,13 @@ def semantic_dedup_oracle_sql(
     iters: int = 2,
     threshold: float = 0.8,
     scale: int = 10**6,
+    table: str = "embeddings",
 ) -> str:
     """DuckDB rendering of ``semantic_dedup_keep`` — the same CTE
     chain as the k-means oracle, then within-cluster pairs with the
     identical exact-integer dot/norm cosine and keep-first anti-join."""
     return (
-        _oracle_cte_chain(k, iters, scale)
+        _oracle_cte_chain(k, iters, scale, table)
         + f""",
 nsq AS (
   SELECT vec_id, SUM(v * v) AS nsq FROM iv GROUP BY vec_id

@@ -53,7 +53,11 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def dedup_minhash_oracle(
-    num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    table: str = "documents",
+    text_expr: str = "text",
 ) -> str:
     rows = num_hashes // bands
     sig_items = ", ".join(
@@ -67,7 +71,8 @@ def dedup_minhash_oracle(
     return f"""
 WITH sh AS (
   SELECT doc_id, {_WORD_SHINGLES} AS shingles
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split({text_expr}, ' ') AS w FROM {table}
+        WHERE {text_expr} IS NOT NULL)
 ), sig AS (
   SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh
 ), banded AS (

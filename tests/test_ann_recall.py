@@ -91,3 +91,73 @@ def test_lsh_multiprobe_recall_floor_and_monotonicity(spark, ground_truth):
     # floors with margin under the measured 0.344 / 0.825
     assert recalls[2] >= 0.25, f"r=2 recall {recalls[2]:.3f} (floor 0.25)"
     assert recalls[4] >= 0.70, f"r=4 recall {recalls[4]:.3f} (floor 0.70)"
+
+
+# ---------------------------------------------------------------------------
+# Clustered (non-isotropic) fixture — VERDICT r8 ask #8.  The floors
+# above measure the adversarial isotropic case; real embedding corpora
+# are CLUSTERED, and both methods should sit far above those floors in
+# the production regime.  Mixture of 16 Gaussians, 2 000 points,
+# dim 64: centers ~N(0, I), points = center + N(0, 0.15²·I), so
+# intra-cluster cosine ≈ 0.95 while inter-cluster cosine ≈ 0 — the
+# regime IVF's coarse quantizer is built for.
+# ---------------------------------------------------------------------------
+
+N_CLUSTERED, DIM, N_BLOBS = 2000, 64, 16
+
+
+@pytest.fixture(scope="module")
+def clustered_ground_truth(spark):
+    import numpy as np
+
+    from eventhub_to_timescale_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    rng = np.random.RandomState(20260815)
+    centers = rng.randn(N_BLOBS, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, N_BLOBS, size=N_CLUSTERED)
+    pts = centers[labels] + 0.15 * rng.randn(N_CLUSTERED, DIM) / DIM**0.5
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(N_CLUSTERED)],
+        "vec_id long, embedding array<float>",
+    )
+    exact: dict[int, set] = {}
+    for r in cosine_topk_bruteforce(emb, query_max_id=Q, k=K).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(exact) == Q
+    return emb, exact
+
+
+def test_ivf_recall_on_clustered_fixture(spark, clustered_ground_truth):
+    """Production-regime IVF: same probe budget as the isotropic floor
+    test (16 cells, 4 probes) must recover ≥0.9 of the true top-10
+    when the corpus actually clusters."""
+    from eventhub_to_timescale_spark.operators.similarity import ivf_topk
+
+    emb, exact = clustered_ground_truth
+    r = _recall(
+        ivf_topk(emb, query_max_id=Q, k=K, n_centroids=16, nprobe=4), exact
+    )
+    assert r >= 0.9, f"clustered IVF(16,4) recall@{K} = {r:.3f} (floor 0.9)"
+
+
+def test_lsh_recall_on_clustered_fixture(spark, clustered_ground_truth):
+    """Clustered corpora lift sign-LSH far above its isotropic floor:
+    a true neighbor at cosine ≈0.95 disagrees with the query on a
+    hyperplane with p ≈ 0.10, so a radius-2 probe of 8 planes already
+    recovers most of the top-10 (binomial tail ≥ Σ_{j≤2} C(8,j)
+    0.9^(8-j) 0.1^j ≈ 0.96 expected)."""
+    from eventhub_to_timescale_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+
+    emb, exact = clustered_ground_truth
+    r2 = _recall(
+        cosine_topk_lsh(
+            emb, query_max_id=Q, k=K, num_planes=8, probe_hamming=2
+        ),
+        exact,
+    )
+    assert r2 >= 0.7, f"clustered LSH(r=2) recall@{K} = {r2:.3f} (floor 0.7)"

@@ -84,14 +84,15 @@ def test_tail_entry_matches_oracle(spark, duck, name):
     assert sset == dset, f"{name}: value mismatch"
 
 
-# Entries that must sit in the gate head EVERY round: each is the
-# sole witness of a mechanism no sibling covers.  Entries outside this
-# core may rotate through the remaining head slots (the registry's
-# rotation ledger) so every family earns a driver-witnessed
-# CORRECTNESS row at least once every 2 rounds; whatever rotates OUT
-# must remain registered with its own oracle, where the tail
-# parametrization above keeps witnessing it.
-ALWAYS_GATED_CORE = {
+# The pre-r9 always-gated core: each entry was the sole witness of a
+# mechanism no sibling covers, and sat in the gate head every round.
+# For r9-r10 its head residency is SUSPENDED (registry ledger): the
+# never-gated backlog (47 r8-new + 9 r6-tail + pipeline_dedup_full)
+# outgrew the 16 rotation slots the core left, so r9's head gates the
+# backlog newest-first while the core — driver-green in r6-r8 — is
+# witnessed by the tail parametrization above.  The core resumes head
+# residency in r10.
+SUSPENDED_CORE = {
     # §2 query surface (one witness per reference query function;
     # parameter-branch siblings — intraday, tw-linear — may rotate)
     "q1_bucket_avg", "q2_resolution_avg", "q3_daily_max",
@@ -121,24 +122,66 @@ ALWAYS_GATED_CORE = {
 }
 
 
-def test_gate_head_holds_always_gated_core():
-    """Every never-rotating primary witness sits inside the driver's
-    50-entry window; rotation may only use the remaining slots."""
-    head = set(list(entrymod.queries())[:DRIVER_GATE_WINDOW])
-    missing = ALWAYS_GATED_CORE - head
-    assert not missing, f"gate window lost primary witnesses: {missing}"
+# The planned r9 gate head (registry ledger), pinned EXACTLY so an
+# accidental reorder cannot silently change what the driver witnesses.
+R9_HEAD = [
+    "text_bm25_topk", "sample_dsir_topn", "curation_gopher_quality",
+    "sample_token_budget", "events_anomaly_mad",
+    "emb_random_projection", "sample_temperature_mix",
+    "dedup_pagerank", "text_word_entropy", "dedup_cross_source",
+    "rel_revenue_rollup", "events_journey_trigrams",
+    "dedup_corpus_diff", "pipeline_dedup_full",
+    "rel_cross_nation_volume", "rel_order_distribution",
+    "rel_top_supplier", "rel_small_qty_revenue",
+    "layout_zorder_profile", "rollup_upsert_value",
+    "docs_global_enumerate", "docs_wfq_interleave",
+    "events_trending_topk", "rel_forecast_revenue",
+    "rel_market_share", "rel_nation_profit", "rel_important_parts",
+    "rel_dominant_suppliers", "rel_idle_customers",
+    "dedup_substr_spans", "dedup_substr_clean",
+    "rel_cheapest_supplier", "rel_priority_late",
+    "rel_no_return_customers", "rel_shipmode_priority",
+    "rel_promo_share", "rel_supplier_variety",
+    "rel_disjunctive_revenue", "cluster_kmeans",
+    "cluster_balanced_sample", "sketch_hll_portable",
+    "sketch_hll_union", "sketch_cms_counts", "dedup_jaccard_prefix",
+    "dedup_semantic_keep", "text_quality_logit", "text_bigrams_topk",
+    "text_bigram_lm", "sketch_histogram", "rel_revenue_by_nation",
+]
 
 
-def test_rotated_out_entries_stay_registered_with_oracles():
-    """Whatever the rotation demoted must still be registered and
-    oracle-backed, so the tail parametrization keeps witnessing it."""
+def test_gate_head_matches_r9_rotation_plan():
+    """The driver's 50-entry window holds exactly the ledger's r9
+    rotation plan (newest never-gated families first)."""
+    head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
+    assert head == R9_HEAD, (
+        f"gate head drifted from the r9 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R9_HEAD)) if a != b][:5]}"
+    )
+
+
+def test_suspended_core_stays_registered_with_oracles():
+    """Every suspended-core entry (and every r7/r8 demotion) must stay
+    registered and oracle-backed so the tail parametrization keeps
+    witnessing it until its r10 head rotation."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    rotated_pool = {
+    rotated_pool = SUSPENDED_CORE | {
         "q3_intraday_avg", "q5_timeweight_linear",
         "q3_daily_from_cascade", "dedup_components",
         "dedup_ngram_jaccard", "text_quality_sample_cut",
         "text_language_id", "text_token_stats",
+        "rel_returned_revenue", "rel_large_orders",
+        "sample_source_quota", "sample_docs_weighted",
+        "events_live_intervals", "events_cohort_retention",
+        "events_funnel", "dedup_substr_windows",
+        "dedup_components_keep", "dedup_embedding_cosine",
+        "sim_ann_lsh", "sim_ivf_topk", "text_quality_score",
+        "pipeline_clean_corpus", "text_quality_percentile",
+        "sample_docs_fraction", "sketch_distinct", "sketch_percentile",
+        "toolkit_counter_delta", "toolkit_heartbeat",
+        "events_sessionize_native", "rel_pricing_summary",
+        "rel_top_orders", "text_unigram_lm",
     }
     for name in rotated_pool:
         assert name in qs, f"rotated-out entry {name} left the registry"
