@@ -1575,6 +1575,21 @@ def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the SCALE-SAFE DEFAULTS (r9): k=None resolves to
+    max(8, n // 64) — the Abbas-et-al. k∝N regime — with the
+    auto-selected assignment path (Arrow argmin past k=32, bit-
+    identical to the expression path).  The oracle computes the same
+    k from the table's row count, so the unrolled CTE chain (whose
+    SQL size is O(iters), not O(k)) stays exact
+    (operators/clustering.py:semantic_dedup_keep)."""
+    from eventhub_to_timescale_spark.operators.clustering import (
+        semantic_dedup_keep,
+    )
+
+    return semantic_dedup_keep(_embs(spark, sf_dir), iters=2, threshold=0.4)
+
+
 def _text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval with exact-integer scoring: one
     corpus scan, one broadcast stats row, TakeOrderedAndProject top-k
@@ -2012,6 +2027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
         "text_unigram_lm": _text_unigram_lm,
+        # — NEW in r9 (tail-witnessed; the head is pinned this round):
+        # the SemDeDup scale-safe DEFAULT path (k ∝ N + auto
+        # assignment), beside the fixed-k stable-oracle head entry
+        "dedup_semantic_default": _dedup_semantic_default,
         # — r6 tail families still never gated (first in line for r10)
         "toolkit_ohlc": _toolkit_ohlc,
         "toolkit_trend_slope": _toolkit_trend_slope,
@@ -2322,6 +2341,33 @@ def _pipeline_dedup_oracle() -> str:
     )
 
     return dedup_full_pipeline_oracle_sql(k=8, iters=2, threshold=0.4)
+
+
+def _dedup_semantic_default_oracles() -> dict[str, str]:
+    """Data-dependent oracle (same pattern as sim_ivf_topk): the
+    k∝N default needs the corpus row count at oracle-build time."""
+    import duckdb
+
+    from eventhub_to_timescale_spark.operators.clustering import (
+        semantic_dedup_oracle_sql,
+    )
+
+    path = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        + "/embeddings.parquet"
+    )
+    try:
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        k = max(8, n // 64)
+        return {
+            "dedup_semantic_default": semantic_dedup_oracle_sql(
+                k=k, iters=2, threshold=0.4
+            )
+        }
+    except Exception:
+        return {}
 
 
 def _bm25_oracle() -> str:
@@ -2905,6 +2951,7 @@ ORDER BY 1, 3
         # degrades sim_ivf_topk to the rows-only check instead of
         # breaking EVERY oracle in this dict
         **_ivf_oracle_entry(oc),
+        **_dedup_semantic_default_oracles(),
         "text_language_id": oc.text_langid_oracle(),
         "text_quality_score": oc.text_quality_oracle(),
         "text_token_stats": oc.text_tokens_oracle(),
