@@ -1575,6 +1575,19 @@ def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-content overlap from one bounded KMV
+    θ-sketch per source (k=256 smallest md5 ranks): union /
+    intersection / Jaccard estimates, bit-identical across engines so
+    the estimate itself is the gated value
+    (operators/sketches.py:kmv_source_overlap)."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        kmv_source_overlap,
+    )
+
+    return kmv_source_overlap(_docs(spark, sf_dir), k=256)
+
+
 def _dedup_semantic_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup under the SCALE-SAFE DEFAULTS (r9): k=None resolves to
     max(8, n // 64) — the Abbas-et-al. k∝N regime — with the
@@ -2029,8 +2042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": _text_unigram_lm,
         # — NEW in r9 (tail-witnessed; the head is pinned this round):
         # the SemDeDup scale-safe DEFAULT path (k ∝ N + auto
-        # assignment), beside the fixed-k stable-oracle head entry
+        # assignment), beside the fixed-k stable-oracle head entry,
+        # and the KMV θ-sketch (the set-INTERSECTION sketch the HLL
+        # family lacks; estimate itself is the gated value)
         "dedup_semantic_default": _dedup_semantic_default,
+        "sketch_kmv_overlap": _sketch_kmv_overlap,
         # — r6 tail families still never gated (first in line for r10)
         "toolkit_ohlc": _toolkit_ohlc,
         "toolkit_trend_slope": _toolkit_trend_slope,
@@ -2341,6 +2357,14 @@ def _pipeline_dedup_oracle() -> str:
     )
 
     return dedup_full_pipeline_oracle_sql(k=8, iters=2, threshold=0.4)
+
+
+def _kmv_overlap_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sketches import (
+        kmv_overlap_oracle_sql,
+    )
+
+    return kmv_overlap_oracle_sql(k=256)
 
 
 def _dedup_semantic_default_oracles() -> dict[str, str]:
@@ -3253,6 +3277,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_dominant_suppliers": _rel_ext_oracle("q20"),
         "rel_idle_customers": _rel_ext_oracle("q22"),
         "sketch_cms_counts": _cms_oracle(),
+        "sketch_kmv_overlap": _kmv_overlap_oracle(),
         "dedup_semantic_keep": _dedup_semantic_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "sample_dsir_topn": _dsir_oracle(),

@@ -626,6 +626,184 @@ ORDER BY {key_col}
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta-sketch: cross-source distinct overlap
+# ---------------------------------------------------------------------------
+
+KMV_SEED = "kmv1:"
+
+
+def kmv_source_overlap(
+    docs: DataFrame,
+    k: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    seed: str = KMV_SEED,
+) -> DataFrame:
+    """→ (source_a, source_b, union_est, intersect_est, jaccard_est):
+    estimated DISTINCT-content union / intersection / Jaccard for
+    every source pair, from one bounded KMV (k-minimum-values)
+    θ-sketch per source — the set-operation sketch the HLL family
+    cannot provide (HLL unions; KMV also intersects), and the
+    EXACT-duplicate complement of ``cross_source_matrix``'s near-dup
+    contamination counts.
+
+    Beyer et al. (PODS'07) KMV estimator, made CROSS-ENGINE
+    DETERMINISTIC: the "random" permutation is the md5-derived
+    ``portable_hash32`` of the document text, so both engines keep
+    the same k smallest distinct hash values per source.  For a pair,
+    the merged sketch is the k smallest of the union of the two
+    sketches; with v = the k-th smallest merged hash,
+
+        union_est     = (k-1) · 2^32 / v          (exact if < k seen)
+        jaccard_est   = |both sources' sketches ∩ merged| / k'
+        intersect_est = jaccard_est · union_est
+
+    Every rank and count is exact integer work; the only float ops
+    are one multiply and one divide on exactly-representable ints
+    ((k-1)·2^32 < 2^53 for k ≤ 2^20) plus a 4-dp round — both engines
+    agree bit-for-bit, so the ESTIMATE ITSELF is the gated value
+    (same design as ``hll_distinct_portable``).
+
+    100 TB posture: the per-source sketch is a rank-k window over
+    DISTINCT (source, hash) — the distinct pre-aggregate map-side
+    combines, and Spark 4 plans the rank filter as WindowGroupLimit
+    (map tasks emit ≤ k rows per source before the exchange, the
+    `sample_source_quota` shape).  Everything after operates on
+    |sources| · k rows — driver-scale, broadcastable, and STORABLE:
+    persisted per-day sketch frames re-merge by the same rank-k rule
+    (the continuous-rollup mergeability the HLL registers have).
+    """
+    from pyspark.sql.window import Window
+
+    from eventhub_to_timescale_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = portable_hash32(F.col(text_col), seed)
+    dist = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("src"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("h")
+    kmv = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "h")
+    )
+    a = kmv.select(F.col("src").alias("source_a"), "h")
+    b = kmv.select(F.col("src").alias("source_b"), "h")
+    # per-pair merged values; tag membership on each side.  Each
+    # sketch row replicates to its |sources|-1 partner pairs via an
+    # inequality join against the BROADCAST source list — a
+    # BroadcastNestedLoop over (sketch rows × |sources|): both sides
+    # bounded, never the corpus (a plain non-equi join here would
+    # plan as CartesianProduct — pinned out by tests/test_kmv_sketch).
+    pairs_a = a.join(
+        F.broadcast(kmv.select(F.col("src").alias("source_b")).distinct()),
+        F.col("source_a") < F.col("source_b"),
+    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"),
+             F.lit(0).alias("in_b"))
+    pairs_b = b.join(
+        F.broadcast(kmv.select(F.col("src").alias("source_a")).distinct()),
+        F.col("source_a") < F.col("source_b"),
+    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"),
+             F.lit(1).alias("in_b"))
+    merged = (
+        pairs_a.unionByName(pairs_b)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    ranked = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= k
+    )
+    agg = ranked.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("kp"),          # merged sketch size k'
+        F.max("h").alias("vk"),                  # k'-th smallest value
+        F.sum(F.col("in_a") * F.col("in_b")).alias("nboth"),
+    )
+    exact = F.col("kp") < F.lit(k)  # fewer than k distinct seen: exact
+    union_est = F.when(exact, F.col("kp").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("vk")
+    )
+    jac = F.col("nboth") / F.col("kp")
+    return agg.select(
+        "source_a",
+        "source_b",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("intersect_est"),
+        F.round(jac, 4).alias("jaccard_est"),
+    ).orderBy("source_a", "source_b")
+
+
+def kmv_overlap_oracle_sql(
+    k: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    seed: str = KMV_SEED,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``kmv_source_overlap`` — same md5 ranks,
+    same merged-sketch construction, same lone multiply/divide."""
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT {group_col} AS src,
+         CAST(('0x' || substr(md5('{seed}' || {text_col}), 1, 8))
+              AS BIGINT) AS h
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+kmv AS (
+  SELECT src, h FROM (
+    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+    FROM dist
+  ) WHERE rn <= {k}
+),
+srcs AS (SELECT DISTINCT src FROM kmv),
+tagged AS (
+  SELECT a.src AS source_a, s.src AS source_b, a.h, 1 AS in_a, 0 AS in_b
+  FROM kmv a JOIN srcs s ON a.src < s.src
+  UNION ALL
+  SELECT s.src AS source_a, b.src AS source_b, b.h, 0 AS in_a, 1 AS in_b
+  FROM kmv b JOIN srcs s ON s.src < b.src
+),
+merged AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM tagged GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT source_a, source_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY source_a, source_b
+                              ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {k}
+),
+agg AS (
+  SELECT source_a, source_b,
+         COUNT(*) AS kp,
+         MAX(h) AS vk,
+         SUM(in_a * in_b) AS nboth
+  FROM ranked GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       ROUND(CASE WHEN kp < {k} THEN CAST(kp AS DOUBLE)
+                  ELSE {float(k - 1)} * 4294967296.0 / vk END, 4)
+         AS union_est,
+       ROUND((CAST(nboth AS DOUBLE) / kp)
+             * CASE WHEN kp < {k} THEN CAST(kp AS DOUBLE)
+                    ELSE {float(k - 1)} * 4294967296.0 / vk END, 4)
+         AS intersect_est,
+       ROUND(CAST(nboth AS DOUBLE) / kp, 4) AS jaccard_est
+FROM agg
+ORDER BY source_a, source_b
+"""
+
+
 __all__ = [
     "approx_distinct_concordance",
     "approx_percentile_concordance",
@@ -639,4 +817,6 @@ __all__ = [
     "cms_cells",
     "cms_frequency_estimates",
     "cms_frequency_oracle_sql",
+    "kmv_source_overlap",
+    "kmv_overlap_oracle_sql",
 ]

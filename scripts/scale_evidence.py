@@ -195,6 +195,9 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        # release the previous query's caller-owned operator caches
+        # (same contract note as bench.py / check_parity.py)
+        spark.catalog.clearCache()
         try:
             c0, w0, n0 = time_query(fn, spark, BASE)
             c1, w1, n1 = time_query(fn, spark, SCALED)
