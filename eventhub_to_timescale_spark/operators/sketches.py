@@ -680,6 +680,29 @@ def kmv_source_overlap(
         portable_hash32,
     )
 
+    kmv = kmv_sketch(docs, k, group_col, text_col, seed)
+    return kmv_overlap_from_sketches(kmv, k)
+
+
+def kmv_sketch(
+    docs: DataFrame,
+    k: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    seed: str = KMV_SEED,
+) -> DataFrame:
+    """→ (src, h): the per-source KMV sketch — the k smallest DISTINCT
+    md5-derived 32-bit hashes of the text.  This frame IS the storable
+    state: per-day sketch frames re-merge by the same union-then-rank
+    rule (``kmv_overlap_from_sketches`` consumes any union of sketch
+    frames), and the streaming operator's converged state equals it
+    row-for-row (tests/test_streaming_kmv.py)."""
+    from pyspark.sql.window import Window
+
+    from eventhub_to_timescale_spark.functions.scalars import (
+        portable_hash32,
+    )
+
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = portable_hash32(F.col(text_col), seed)
@@ -689,11 +712,22 @@ def kmv_source_overlap(
         .distinct()
     )
     w = Window.partitionBy("src").orderBy("h")
-    kmv = (
+    return (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("src", "h")
     )
+
+
+def kmv_overlap_from_sketches(kmv: DataFrame, k: int) -> DataFrame:
+    """Pairwise union/intersection/Jaccard estimates from a
+    ``(src, h)`` sketch frame (see ``kmv_source_overlap`` for the
+    estimator math).  Accepts any frame obeying the sketch contract —
+    the batch ``kmv_sketch``, a union of stored per-day sketches
+    (re-ranked here by the same k-smallest rule through the merged
+    window), or exploded streaming state."""
+    from pyspark.sql.window import Window  # noqa: F401
+
     a = kmv.select(F.col("src").alias("source_a"), "h")
     b = kmv.select(F.col("src").alias("source_b"), "h")
     # per-pair merged values; tag membership on each side.  Each

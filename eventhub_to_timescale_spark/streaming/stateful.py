@@ -789,3 +789,95 @@ def streaming_asof_enrich(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_KMV_OUT_SCHEMA = "src string, n long, hashes array<long>"
+_KMV_STATE_SCHEMA = "hashes array<long>, n long"
+
+
+def _make_kmv_fn(k: int):
+    """Factory closing over ``k``: the state function is pickled to
+    the workers, and a closure cell travels with it (a module-level
+    global would re-resolve to its default in the worker's fresh
+    module namespace)."""
+
+    def _kmv_fn(key, pdf_iter, state):
+        """Streaming KMV fold: per batch, hash the batch's UNIQUE
+        texts (md5 portable hash, same as batch ``kmv_sketch``),
+        union into the sorted ≤k-hash state and keep the k smallest.
+        Union-then-rank is commutative AND idempotent — like the HLL
+        register max, NO ordered-arrival contract, and replayed or
+        duplicated records change nothing — so the converged state
+        equals the batch sketch row-for-row.  ``n`` counts processed
+        rows (monotone: "latest" = max n downstream)."""
+        import hashlib
+
+        import pandas as pd
+
+        from eventhub_to_timescale_spark.operators.sketches import (
+            KMV_SEED,
+        )
+
+        (src,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            hashes, n = list(state.get[0]), state.get[1]
+        else:
+            hashes, n = [], 0
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        texts = pdf["text"].dropna()
+        n += int(len(texts))
+        hs = set(hashes)
+        for t in pd.unique(texts.astype(str)):
+            hs.add(
+                int(
+                    hashlib.md5((KMV_SEED + t).encode()).hexdigest()[:8],
+                    16,
+                )
+            )
+        hashes = sorted(hs)[:k]
+        state.update((hashes, n))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {"src": [src], "n": [n], "hashes": [list(hashes)]}
+        )
+
+    return _kmv_fn
+
+
+def streaming_kmv_sketch(
+    docs: DataFrame, k: int = 256, group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous per-source KMV sketch
+    (operators/sketches.py:kmv_sketch, streamed): state is the sorted
+    ≤k-hash array plus a row counter — CONSTANT size at any corpus
+    cardinality — and each micro-batch emits the source's updated
+    sketch (take max-``n`` row per source downstream).  Union-then-
+    rank is commutative and idempotent, so arrival order and replays
+    never matter; the converged emission equals batch ``kmv_sketch``
+    row-for-row and feeds ``kmv_overlap_from_sketches`` for the same
+    pairwise estimates (tests/test_streaming_kmv.py replays SHUFFLED
+    micro-batches and pins both equalities)."""
+    return (
+        docs.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).cast("string").alias("src"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        .groupBy("src")
+        .applyInPandasWithState(
+            _make_kmv_fn(k),
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
