@@ -1575,6 +1575,19 @@ def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text canonicalization (typographic-variant fold,
+    control strip, whitespace collapse, lowercase) — the exact-dedup
+    pre-step; engine-portable by construction (translate map +
+    explicit-class regexes only)
+    (operators/curation.py:normalize_text)."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        normalize_text,
+    )
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
 def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source distinct-content overlap from one bounded KMV
     θ-sketch per source (k=256 smallest md5 ranks): union /
@@ -2047,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family lacks; estimate itself is the gated value)
         "dedup_semantic_default": _dedup_semantic_default,
         "sketch_kmv_overlap": _sketch_kmv_overlap,
+        "curation_normalize": _curation_normalize,
         # — r6 tail families still never gated (first in line for r10)
         "toolkit_ohlc": _toolkit_ohlc,
         "toolkit_trend_slope": _toolkit_trend_slope,
@@ -2357,6 +2371,14 @@ def _pipeline_dedup_oracle() -> str:
     )
 
     return dedup_full_pipeline_oracle_sql(k=8, iters=2, threshold=0.4)
+
+
+def _normalize_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.curation import (
+        normalize_oracle_sql,
+    )
+
+    return normalize_oracle_sql()
 
 
 def _kmv_overlap_oracle() -> str:
@@ -3278,6 +3300,7 @@ JOIN customer ON o_custkey = c_custkey
         "rel_idle_customers": _rel_ext_oracle("q22"),
         "sketch_cms_counts": _cms_oracle(),
         "sketch_kmv_overlap": _kmv_overlap_oracle(),
+        "curation_normalize": _normalize_oracle(),
         "dedup_semantic_keep": _dedup_semantic_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "sample_dsir_topn": _dsir_oracle(),

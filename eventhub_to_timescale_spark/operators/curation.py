@@ -287,3 +287,94 @@ SELECT doc_id,
         AND (5 * max_cnt <= n)) AS keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic text normalization (exact-dedup pre-step)
+# ---------------------------------------------------------------------------
+
+# Typographic variants folded to ASCII before whitespace work.  A
+# TRANSLATE character map (code point → code point, or → space), not a
+# regex: both engines apply translate() per code point with identical
+# semantics, so there is no regex-dialect surface at all.  Curly
+# quotes/apostrophes → straight, en/em dash & minus → hyphen,
+# ellipsis → '.', NBSP and ideographic space → space.
+_XLATE_FROM = "‘’‚‛“”„′″–—−… 　"
+_XLATE_TO = "''''\"\"\"'\"---.  "
+
+# Control characters (C0 minus \t\n\r, plus DEL) dropped outright.
+# Explicit class, not \s / \p{Cntrl}: Java and RE2 agree on explicit
+# ranges; dialect shorthands differ (\s includes \x0B in Java only).
+_CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+_WS_RE = "[ \\t\\n\\r]+"
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, norm_text, changed): canonical text form for
+    exact-match work — the pre-step that makes ``exact_dedup``/KMV
+    catch trivially-different duplicates (curly-quote edits, NBSP,
+    CRLF vs LF, trailing whitespace) that differ byte-wise but not
+    content-wise.  C4/RefinedWeb-style cleanup, minus anything
+    engine-ambiguous: fold typographic variants via a per-code-point
+    TRANSLATE map, strip control characters, collapse all runs of
+    whitespace to one space, trim, lowercase.
+
+    Every step is chosen for CROSS-ENGINE determinism: translate() is
+    per-code-point in both engines; the regexes use explicit character
+    classes only (no ``\\s``, whose membership differs between Java
+    regex and RE2; no ``\\p{...}``, no lookaround), so Spark and the
+    DuckDB oracle agree byte-for-byte.  Unicode NFC/NFKC is
+    deliberately OUT of scope — neither engine exposes it as a
+    built-in expression, and a Python UDF would put per-row Python in
+    a scan-speed path.
+
+    100 TB posture: projection-only expression work — zero shuffle,
+    runs at scan speed inside whole-stage codegen, and composes ahead
+    of any dedup stage without changing that stage's plan.
+    """
+    t = F.col(text_col)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.translate(t, _XLATE_FROM, _XLATE_TO),
+                    _CTRL_RE,
+                    "",
+                ),
+                _WS_RE,
+                " ",
+            )
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(t.isNotNull(), norm).alias("norm_text"),
+        F.when(t.isNotNull(), norm != t).alias("changed"),
+    ).orderBy("doc_id")
+
+
+def normalize_oracle_sql(
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``normalize_text`` — same translate map,
+    same explicit-class regexes, same operation order."""
+    xf = _XLATE_FROM.replace("'", "''")
+    xt = _XLATE_TO.replace("'", "''")
+    return f"""
+WITH n AS (
+  SELECT {id_expr} AS doc_id, {text_expr} AS t,
+         lower(trim(regexp_replace(regexp_replace(
+             translate({text_expr}, '{xf}', '{xt}'),
+             '{_CTRL_RE}', '', 'g'),
+           '{_WS_RE}', ' ', 'g'))) AS norm
+  FROM {table}
+)
+SELECT doc_id,
+       CASE WHEN t IS NOT NULL THEN norm END AS norm_text,
+       CASE WHEN t IS NOT NULL THEN norm != t END AS changed
+FROM n ORDER BY doc_id
+"""

@@ -136,3 +136,100 @@ def test_gopher_quality_integer_thresholds_exact(spark):
     assert r["ok_stopwords"] is True
     assert r["ok_repetition"] is True
     assert r["keep"] is True
+
+
+class TestNormalizeText:
+    CASES = [
+        (0, "Hello’s “world”"),       # curly quotes
+        (1, "a b　c"),                      # NBSP + ideographic
+        (2, "line1\r\nline2\n\nline3"),              # CRLF, blank line
+        (3, "ctl\x00\x07chars\x0Bhere\x7F"),         # C0 + VT + DEL
+        (4, "  MIXED Case\tText  "),                 # trim + lower + tab
+        (5, "en–dash em—dash minus−"),
+        (6, "already clean text"),
+        (7, None),                                   # NULL passthrough
+        (8, ""),                                     # empty
+        (9, "ellipsis… prime′ dbl″"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.CASES, "doc_id long, text string"
+        )
+
+    def test_known_transformations(self, spark):
+        from eventhub_to_timescale_spark.operators.curation import (
+            normalize_text,
+        )
+
+        got = {
+            r["doc_id"]: (r["norm_text"], r["changed"])
+            for r in normalize_text(self._df(spark)).collect()
+        }
+        assert got[0] == ("hello's \"world\"", True)
+        assert got[1] == ("a b c", True)
+        assert got[2] == ("line1 line2 line3", True)
+        assert got[3] == ("ctlcharshere", True)
+        assert got[4] == ("mixed case text", True)
+        assert got[5] == ("en-dash em-dash minus-", True)
+        assert got[6] == ("already clean text", False)
+        assert got[7] == (None, None)
+        assert got[8] == ("", False)
+        assert got[9] == ("ellipsis. prime' dbl\"", True)
+
+    def test_matches_duckdb_oracle_on_adversarial_input(self, spark):
+        """Byte-for-byte cross-engine agreement on exactly the
+        characters where regex dialects usually diverge."""
+        import duckdb
+
+        from eventhub_to_timescale_spark.operators.curation import (
+            normalize_oracle_sql,
+            normalize_text,
+        )
+
+        got = sorted(
+            (r["doc_id"], r["norm_text"], r["changed"])
+            for r in normalize_text(self._df(spark)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", self.CASES
+        )
+        want = sorted(map(tuple, con.execute(normalize_oracle_sql()).fetchall()))
+        assert got == want
+
+    def test_idempotent(self, spark):
+        """normalize(normalize(x)) == normalize(x) — canonical forms
+        are fixed points."""
+        from pyspark.sql import functions as F
+
+        from eventhub_to_timescale_spark.operators.curation import (
+            normalize_text,
+        )
+
+        once = normalize_text(self._df(spark)).select(
+            "doc_id", F.col("norm_text").alias("text")
+        )
+        twice = normalize_text(once)
+        assert [
+            (r["doc_id"], r["norm_text"], r["changed"])
+            for r in twice.collect()
+        ] == [
+            (r["doc_id"], r["text"], False if r["text"] is not None else None)
+            for r in once.orderBy("doc_id").collect()
+        ]
+
+    def test_scan_speed_plan(self, spark):
+        """Projection-only: no shuffle (beyond the output sort), no
+        Python eval."""
+        from eventhub_to_timescale_spark.operators.curation import (
+            normalize_text,
+        )
+
+        df = normalize_text(self._df(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
