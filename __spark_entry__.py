@@ -1575,6 +1575,27 @@ def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize → exact-dedup composition: canonicalize the text
+    first, THEN hash-group — catches duplicates that differ only in
+    typography/whitespace/case, which byte-level exact dedup misses
+    (the reason normalize_text exists).  Same scan-speed projection
+    feeding the same one-shuffle hash groupBy
+    (operators/curation.py:normalize_text +
+    operators/dedup.py:exact_duplicates)."""
+    from eventhub_to_timescale_spark.operators.curation import (
+        normalize_text,
+    )
+    from eventhub_to_timescale_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    norm = normalize_text(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    return exact_duplicates(norm)
+
+
 def _curation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic text canonicalization (typographic-variant fold,
     control strip, whitespace collapse, lowercase) — the exact-dedup
@@ -2061,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_default": _dedup_semantic_default,
         "sketch_kmv_overlap": _sketch_kmv_overlap,
         "curation_normalize": _curation_normalize,
+        "dedup_exact_normalized": _dedup_exact_normalized,
         # — r6 tail families still never gated (first in line for r10)
         "toolkit_ohlc": _toolkit_ohlc,
         "toolkit_trend_slope": _toolkit_trend_slope,
@@ -2379,6 +2401,19 @@ def _normalize_oracle() -> str:
     )
 
     return normalize_oracle_sql()
+
+
+def _exact_normalized_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.curation import (
+        normalize_oracle_sql,
+    )
+
+    return f"""
+WITH n AS ({normalize_oracle_sql()})
+SELECT md5(norm_text) AS text_hash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM n GROUP BY 1 ORDER BY 1
+"""
 
 
 def _kmv_overlap_oracle() -> str:
@@ -3301,6 +3336,7 @@ JOIN customer ON o_custkey = c_custkey
         "sketch_cms_counts": _cms_oracle(),
         "sketch_kmv_overlap": _kmv_overlap_oracle(),
         "curation_normalize": _normalize_oracle(),
+        "dedup_exact_normalized": _exact_normalized_oracle(),
         "dedup_semantic_keep": _dedup_semantic_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "sample_dsir_topn": _dsir_oracle(),
