@@ -1934,14 +1934,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     entries, the 6 third-relational-wave entries, the 19 r8
     #     first-wave entries, plus the 2 most-overdue r6-tail entries
     #     (sketch_histogram, rel_revenue_by_nation) = 50.
-    #   r10 plan: the remaining 7 never-gated r6-tail families
-    #     (toolkit_ohlc, toolkit_trend_slope, emb_normalize_quantize,
-    #     doc_chunks, corpus_shard_order, events_sessionize,
-    #     toolkit_gauge_delta) + the 34 suspended core entries and the
-    #     16 r8 demotions rotate back through the head (core first —
-    #     they will then be 3 rounds unwitnessed, the documented
-    #     ceiling).  Everything outside the window stays
-    #     parity-checked every round by check_parity +
+    #   r10 plan: FIRST the never-gated surface — the 4 r9-new tail
+    #     entries (dedup_semantic_default, sketch_kmv_overlap,
+    #     curation_normalize, dedup_exact_normalized) and the
+    #     remaining 7 never-gated r6-tail families (toolkit_ohlc,
+    #     toolkit_trend_slope, emb_normalize_quantize, doc_chunks,
+    #     corpus_shard_order, events_sessionize, toolkit_gauge_delta)
+    #     — then the 34 suspended core entries and the 16 r8
+    #     demotions rotate back through the remaining slots (core
+    #     first — they will then be 3 rounds unwitnessed, the
+    #     documented ceiling; the r9 head entries, freshly
+    #     driver-green, demote to the tail).  Everything outside the
+    #     window stays parity-checked every round by check_parity +
     #     test_gate_tail_parity.
     return {
         # ---------------- r9 GATE HEAD (50 entries) ----------------
