@@ -928,12 +928,23 @@ def _toolkit_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize + symmetric int8 quantization of the embedding
     column — training-storage prep (operators/embeddings.py); codes
-    are exact ints so the hash carries no float-render risk."""
+    are exact ints so the hash carries no float-render risk.
+
+    Gate surface note: the operator returns ``q`` as ``array<int>``;
+    the driver's value hasher cannot hash list cells (the r9
+    emb_random_projection crash — this entry was the latent twin), so
+    the wrapper posexplodes to (vec_id, dim, norm, component_idx,
+    q_code) scalar rows.  Codegen'd generator, no shuffle."""
     from eventhub_to_timescale_spark.operators.embeddings import (
         normalize_quantize,
     )
 
-    return normalize_quantize(_embs(spark, sf_dir))
+    return normalize_quantize(_embs(spark, sf_dir)).select(
+        "vec_id",
+        "dim",
+        "norm",
+        F.posexplode("q").alias("component_idx", "q_code"),
+    )
 
 
 def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1788,12 +1799,22 @@ def _emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 sign projection 64→16 dims with a
     plan-time literal Rademacher matrix — single scan-side select, no
     shuffle/UDF/broadcast; bit-exact cross-engine fold
-    (operators/embeddings.py:random_projection)."""
+    (operators/embeddings.py:random_projection).
+
+    Gate surface note: the operator itself returns ``proj`` as
+    ``array<double>`` (the shape real callers want), but the driver's
+    value hasher cannot hash list cells (r9 red row), so this wrapper
+    posexplodes to one (vec_id, component_idx, value) row per
+    component — same information, scalar cells, still scan-side (the
+    explode is a codegen'd generator, no shuffle)."""
     from eventhub_to_timescale_spark.operators.embeddings import (
         random_projection,
     )
 
-    return random_projection(_embs(spark, sf_dir))
+    return random_projection(_embs(spark, sf_dir)).select(
+        "vec_id",
+        F.posexplode("proj").alias("component_idx", "value"),
+    )
 
 
 def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1934,82 +1955,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     entries, the 6 third-relational-wave entries, the 19 r8
     #     first-wave entries, plus the 2 most-overdue r6-tail entries
     #     (sketch_histogram, rel_revenue_by_nation) = 50.
-    #   r10 plan: FIRST the never-gated surface — the 4 r9-new tail
-    #     entries (dedup_semantic_default, sketch_kmv_overlap,
-    #     curation_normalize, dedup_exact_normalized) and the
-    #     remaining 7 never-gated r6-tail families (toolkit_ohlc,
-    #     toolkit_trend_slope, emb_normalize_quantize, doc_chunks,
-    #     corpus_shard_order, events_sessionize, toolkit_gauge_delta)
-    #     — then the 34 suspended core entries and the 16 r8
-    #     demotions rotate back through the remaining slots (core
-    #     first — they will then be 3 rounds unwitnessed, the
-    #     documented ceiling; the r9 head entries, freshly
-    #     driver-green, demote to the tail).  Everything outside the
-    #     window stays parity-checked every round by check_parity +
-    #     test_gate_tail_parity.
+    #   r10 head (this round, VERDICT r9 asks #1/#2/#4): three groups,
+    #     exactly 50 —
+    #     (a) the 5 r9 RED ROWS re-gated (a red row must be re-gated,
+    #         not rotated away): the 4 HUGEINT-oracle hash fails, now
+    #         CAST AS BIGINT (rel_shipmode_priority,
+    #         events_journey_trigrams, dedup_substr_clean,
+    #         pipeline_dedup_full) and the array-output _canon crash
+    #         (emb_random_projection), now posexploded to scalar rows
+    #         on both sides;
+    #     (b) the 11 never-gated entries — the 4 r9-new tail entries
+    #         (dedup_semantic_default, sketch_kmv_overlap,
+    #         curation_normalize, dedup_exact_normalized) and the 7
+    #         never-gated r6-tail families (toolkit_ohlc,
+    #         toolkit_trend_slope, emb_normalize_quantize — also
+    #         posexploded, it was the latent twin of the r9 array
+    #         crash — doc_chunks, corpus_shard_order,
+    #         events_sessionize, toolkit_gauge_delta);
+    #     (c) the 34 suspended-core entries, restored at their
+    #         documented 3-round unwitnessed ceiling.
+    #     5 + 11 + 34 = 50 leaves NO slots for the 16 r8 demotions
+    #     (green r7, now 3 rounds unwitnessed) or the 16 r7-rotation
+    #     groups (green r8): both wait for r11 and keep their
+    #     check_parity + test_gate_tail_parity witnesses every round.
+    #     The 45 green r9-head entries demote to the tail, freshly
+    #     driver-green.
+    #   r11 plan: head = the 16 r8 demotions FIRST (most overdue,
+    #     last gated r7), then the 16 r7-rotation groups (last gated
+    #     r8), then 18 slots rotating from the r10 head (never-gated
+    #     group first — they will have exactly one green row).  After
+    #     r10 every oracled entry has at least one driver-green row;
+    #     resume the standing 2-round cadence from r11.
     return {
-        # ---------------- r9 GATE HEAD (50 entries) ----------------
-        # — r8 third wave, first driver gating
-        "text_bm25_topk": _text_bm25_topk,
-        "sample_dsir_topn": _sample_dsir_topn,
-        "curation_gopher_quality": _curation_gopher_quality,
-        "sample_token_budget": _sample_token_budget,
-        "events_anomaly_mad": _events_anomaly_mad,
-        "emb_random_projection": _emb_random_projection,
-        "sample_temperature_mix": _sample_temperature_mix,
-        "dedup_pagerank": _dedup_pagerank,
-        "text_word_entropy": _text_word_entropy,
-        "dedup_cross_source": _dedup_cross_source,
-        "rel_revenue_rollup": _rel_revenue_rollup,
-        "events_journey_trigrams": _events_journey_trigrams,
-        "dedup_corpus_diff": _dedup_corpus_diff,
-        # — NEW in r9: composed dedup pipeline (substr spans → span
-        # removal → MinHash keep-first → SemDeDup, one plan)
-        "pipeline_dedup_full": _pipeline_dedup_full,
-        # — r8 second wave, first driver gating
-        "rel_cross_nation_volume": _rel_cross_nation,
-        "rel_order_distribution": _rel_order_distribution,
-        "rel_top_supplier": _rel_top_supplier,
-        "rel_small_qty_revenue": _rel_small_qty_revenue,
-        "layout_zorder_profile": _layout_zorder_profile,
-        "rollup_upsert_value": _rollup_upsert_value,
-        "docs_global_enumerate": _docs_global_enumerate,
-        "docs_wfq_interleave": _docs_wfq_interleave,
-        "events_trending_topk": _events_trending_topk,
-        # — r8 third relational wave, first driver gating
-        "rel_forecast_revenue": _rel_forecast_revenue,
-        "rel_market_share": _rel_market_share,
-        "rel_nation_profit": _rel_nation_profit,
-        "rel_important_parts": _rel_important_parts,
-        "rel_dominant_suppliers": _rel_dominant_suppliers,
-        "rel_idle_customers": _rel_idle_customers,
-        # — r8 first wave, first driver gating
-        "dedup_substr_spans": _dedup_substr_spans,
-        "dedup_substr_clean": _dedup_substr_clean,
-        "rel_cheapest_supplier": _rel_cheapest_supplier,
-        "rel_priority_late": _rel_priority_late,
-        "rel_no_return_customers": _rel_no_return_customers,
+        # ---------------- r10 GATE HEAD (50 entries) ----------------
+        # — (a) r9 red rows, fixed this round, re-gated
         "rel_shipmode_priority": _rel_shipmode_priority,
-        "rel_promo_share": _rel_promo_share,
-        "rel_supplier_variety": _rel_supplier_variety,
-        "rel_disjunctive_revenue": _rel_disjunctive_revenue,
-        "cluster_kmeans": _cluster_kmeans,
-        "cluster_balanced_sample": _cluster_balanced_sample,
-        "sketch_hll_portable": _sketch_hll_portable,
-        "sketch_hll_union": _sketch_hll_union,
-        "sketch_cms_counts": _sketch_cms_counts,
-        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
-        "dedup_semantic_keep": _dedup_semantic_keep,
-        "text_quality_logit": _text_quality_logit,
-        "text_bigrams_topk": _text_bigrams_topk,
-        "text_bigram_lm": _text_bigram_lm,
-        # — most-overdue r6-tail families (the other 7 gate in r10)
-        "sketch_histogram": _sketch_histogram,
-        "rel_revenue_by_nation": _rel_revenue_by_nation,
-        # --- tail: entries past the driver's 50-entry gate window.
-        # Every tail entry keeps its own oracle — scripts/check_parity.py
-        # and tests/test_gate_tail_parity.py verify them every run.
-        # — suspended always-gated core (driver-green r6-r8; resume r10)
+        "events_journey_trigrams": _events_journey_trigrams,
+        "dedup_substr_clean": _dedup_substr_clean,
+        "pipeline_dedup_full": _pipeline_dedup_full,
+        "emb_random_projection": _emb_random_projection,
+        # — (b) never-gated: r9-new tail entries
+        "dedup_semantic_default": _dedup_semantic_default,
+        "sketch_kmv_overlap": _sketch_kmv_overlap,
+        "curation_normalize": _curation_normalize,
+        "dedup_exact_normalized": _dedup_exact_normalized,
+        # — (b) never-gated: r6-tail families
+        "toolkit_ohlc": _toolkit_ohlc,
+        "toolkit_trend_slope": _toolkit_trend_slope,
+        "emb_normalize_quantize": _emb_normalize_quantize,
+        "doc_chunks": _doc_chunks,
+        "corpus_shard_order": _corpus_shard_order,
+        "events_sessionize": _events_sessionize,
+        "toolkit_gauge_delta": _toolkit_gauge_delta,
+        # — (c) the always-gated core, head residency restored
         "q1_bucket_avg": _q1,
         "q2_resolution_avg": _q2,
         "q3_daily_max": _q3_daily,
@@ -2044,24 +2042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_blob_features": _mm_blob_features,
         "mm_frame_sample": _mm_frame_sample,
         "mm_resize": _mm_resize,
-        # — r7 rotation groups (driver-green r8; due again r10)
-        "q3_intraday_avg": _q3_intraday,
-        "q5_timeweight_linear": _q5_linear,
-        "q3_daily_from_cascade": _q3_daily_from_cascade,
-        "dedup_components": _dedup_components,
-        "dedup_ngram_jaccard": _dedup_ngram,
-        "text_quality_sample_cut": _text_quality_sample_cut,
-        "text_language_id": _text_langid,
-        "text_token_stats": _text_tokens,
-        "rel_returned_revenue": _rel_returned_revenue,
-        "rel_large_orders": _rel_large_orders,
-        "sample_source_quota": _sample_source_quota,
-        "sample_docs_weighted": _sample_docs_weighted,
-        "events_live_intervals": _events_live_intervals,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_funnel": _events_funnel,
-        "dedup_substr_windows": _dedup_substr_windows,
-        # — r8 demotions (driver-green r7; rotate back r10)
+        # --- tail: entries past the driver's 50-entry gate window.
+        # Every tail entry keeps its own oracle — scripts/check_parity.py
+        # and tests/test_gate_tail_parity.py verify them every run.
+        # — r8 demotions (driver-green r7; FIRST in line for the r11
+        #   head — most overdue)
         "dedup_components_keep": _dedup_components_keep,
         "dedup_embedding_cosine": _dedup_embedding,
         "sim_ann_lsh": _sim_ann_lsh,
@@ -2078,23 +2063,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
         "text_unigram_lm": _text_unigram_lm,
-        # — NEW in r9 (tail-witnessed; the head is pinned this round):
-        # the SemDeDup scale-safe DEFAULT path (k ∝ N + auto
-        # assignment), beside the fixed-k stable-oracle head entry,
-        # and the KMV θ-sketch (the set-INTERSECTION sketch the HLL
-        # family lacks; estimate itself is the gated value)
-        "dedup_semantic_default": _dedup_semantic_default,
-        "sketch_kmv_overlap": _sketch_kmv_overlap,
-        "curation_normalize": _curation_normalize,
-        "dedup_exact_normalized": _dedup_exact_normalized,
-        # — r6 tail families still never gated (first in line for r10)
-        "toolkit_ohlc": _toolkit_ohlc,
-        "toolkit_trend_slope": _toolkit_trend_slope,
-        "emb_normalize_quantize": _emb_normalize_quantize,
-        "doc_chunks": _doc_chunks,
-        "corpus_shard_order": _corpus_shard_order,
-        "events_sessionize": _events_sessionize,
-        "toolkit_gauge_delta": _toolkit_gauge_delta,
+        # — r7 rotation groups (driver-green r8; second in line r11)
+        "q3_intraday_avg": _q3_intraday,
+        "q5_timeweight_linear": _q5_linear,
+        "q3_daily_from_cascade": _q3_daily_from_cascade,
+        "dedup_components": _dedup_components,
+        "dedup_ngram_jaccard": _dedup_ngram,
+        "text_quality_sample_cut": _text_quality_sample_cut,
+        "text_language_id": _text_langid,
+        "text_token_stats": _text_tokens,
+        "rel_returned_revenue": _rel_returned_revenue,
+        "rel_large_orders": _rel_large_orders,
+        "sample_source_quota": _sample_source_quota,
+        "sample_docs_weighted": _sample_docs_weighted,
+        "events_live_intervals": _events_live_intervals,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_funnel": _events_funnel,
+        "dedup_substr_windows": _dedup_substr_windows,
+        # — r9-head demotions (driver-green r9, the freshest rows)
+        "text_bm25_topk": _text_bm25_topk,
+        "sample_dsir_topn": _sample_dsir_topn,
+        "curation_gopher_quality": _curation_gopher_quality,
+        "sample_token_budget": _sample_token_budget,
+        "events_anomaly_mad": _events_anomaly_mad,
+        "sample_temperature_mix": _sample_temperature_mix,
+        "dedup_pagerank": _dedup_pagerank,
+        "text_word_entropy": _text_word_entropy,
+        "dedup_cross_source": _dedup_cross_source,
+        "rel_revenue_rollup": _rel_revenue_rollup,
+        "dedup_corpus_diff": _dedup_corpus_diff,
+        "rel_cross_nation_volume": _rel_cross_nation,
+        "rel_order_distribution": _rel_order_distribution,
+        "rel_top_supplier": _rel_top_supplier,
+        "rel_small_qty_revenue": _rel_small_qty_revenue,
+        "layout_zorder_profile": _layout_zorder_profile,
+        "rollup_upsert_value": _rollup_upsert_value,
+        "docs_global_enumerate": _docs_global_enumerate,
+        "docs_wfq_interleave": _docs_wfq_interleave,
+        "events_trending_topk": _events_trending_topk,
+        "rel_forecast_revenue": _rel_forecast_revenue,
+        "rel_market_share": _rel_market_share,
+        "rel_nation_profit": _rel_nation_profit,
+        "rel_important_parts": _rel_important_parts,
+        "rel_dominant_suppliers": _rel_dominant_suppliers,
+        "rel_idle_customers": _rel_idle_customers,
+        "dedup_substr_spans": _dedup_substr_spans,
+        "rel_cheapest_supplier": _rel_cheapest_supplier,
+        "rel_priority_late": _rel_priority_late,
+        "rel_no_return_customers": _rel_no_return_customers,
+        "rel_promo_share": _rel_promo_share,
+        "rel_supplier_variety": _rel_supplier_variety,
+        "rel_disjunctive_revenue": _rel_disjunctive_revenue,
+        "cluster_kmeans": _cluster_kmeans,
+        "cluster_balanced_sample": _cluster_balanced_sample,
+        "sketch_hll_portable": _sketch_hll_portable,
+        "sketch_hll_union": _sketch_hll_union,
+        "sketch_cms_counts": _sketch_cms_counts,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "dedup_semantic_keep": _dedup_semantic_keep,
+        "text_quality_logit": _text_quality_logit,
+        "text_bigrams_topk": _text_bigrams_topk,
+        "text_bigram_lm": _text_bigram_lm,
+        "sketch_histogram": _sketch_histogram,
+        "rel_revenue_by_nation": _rel_revenue_by_nation,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2500,11 +2531,21 @@ def _temperature_mix_oracle() -> str:
 
 
 def _random_projection_oracle() -> str:
+    # Exploded to scalar (vec_id, component_idx, value) rows to match
+    # the gate wrapper (DuckDB zips parallel unnests positionally, so
+    # range(len(proj)) rides along as the component index).
     from eventhub_to_timescale_spark.operators.embeddings import (
         random_projection_oracle_sql,
     )
 
-    return random_projection_oracle_sql()
+    inner = random_projection_oracle_sql()
+    return f"""
+WITH base AS ({inner})
+SELECT vec_id,
+       CAST(unnest(range(len(proj))) AS INT) AS component_idx,
+       CAST(unnest(proj) AS DOUBLE) AS value
+FROM base
+"""
 
 
 def _mad_oracle() -> str:
@@ -3125,11 +3166,17 @@ WITH v AS (
              AS raw_norm,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
   FROM embeddings WHERE embedding IS NOT NULL
+),
+base AS (
+  SELECT vec_id, CAST(dim AS INT) AS dim, ROUND(raw_norm, 6) AS norm,
+         list_transform(vv, x -> CAST(round(127 * x / raw_norm) AS INT))
+             AS q
+  FROM v WHERE raw_norm > 0
 )
-SELECT vec_id, CAST(dim AS INT) AS dim, ROUND(raw_norm, 6) AS norm,
-       list_transform(vv, x -> CAST(round(127 * x / raw_norm) AS INT))
-           AS q
-FROM v WHERE raw_norm > 0
+SELECT vec_id, dim, norm,
+       CAST(unnest(range(len(q))) AS INT) AS component_idx,
+       unnest(q) AS q_code
+FROM base
 """,
         "doc_chunks": _chunking_oracle(),
         "corpus_shard_order": _shard_order_oracle(),

@@ -349,7 +349,8 @@ cut AS (
   GROUP BY seg.doc_id
 ),
 cutlen AS (
-  SELECT doc_id, SUM(char_end - char_start) AS removed FROM s GROUP BY doc_id
+  SELECT doc_id, CAST(SUM(char_end - char_start) AS BIGINT) AS removed
+  FROM s GROUP BY doc_id
 )
 SELECT d.{id_expr} AS doc_id,
        COALESCE(cut.clean_text, d.{text_expr}) AS clean_text,

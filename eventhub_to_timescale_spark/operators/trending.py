@@ -173,7 +173,7 @@ WITH p AS (
 ), pu AS (
   SELECT path, u, count(*) AS c FROM p WHERE ok GROUP BY path, u
 )
-SELECT path, count(*) AS n_users, sum(c) AS n_occurrences
+SELECT path, count(*) AS n_users, CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM pu GROUP BY path
 ORDER BY n_users DESC, n_occurrences DESC, path ASC
 LIMIT {k}

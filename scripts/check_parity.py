@@ -37,6 +37,92 @@ def norm(v):
     return repr(v)
 
 
+# ---------------------------------------------------------------------
+# Type strictness (r9 lesson): post-fetch repr() is blind to exactly the
+# two things the driver's type-tagged value hasher rejects — DuckDB
+# HUGEINT (un-CAST SUM) arrives as a plain Python int, and list cells
+# tuple happily but crash the driver's pandas canonicalizer.  So we
+# classify the DECLARED result types on both sides BEFORE comparing
+# values and hard-fail on:
+#   * any HUGEINT / DECIMAL oracle column (driver hashes these with a
+#     different type tag than Spark's bigint/double → guaranteed red
+#     row even when values are identical — the r9 failure mode),
+#   * any array/struct/map output column on either side (driver _canon
+#     dies with "unhashable type: 'list'"),
+#   * any int/float/str/bool/timestamp class mismatch between the two
+#     engines (int WIDTHS ≤64 are normalized, matching the driver's
+#     observed behavior: bigint-vs-int passes, hugeint does not).
+# ---------------------------------------------------------------------
+
+def duck_class(t) -> str:
+    u = str(t).upper()
+    if "[]" in u or u.startswith(("LIST", "STRUCT", "MAP", "UNION")):
+        return "BANNED-COMPLEX:" + u
+    if u == "HUGEINT" or u == "UHUGEINT" or u.startswith("DECIMAL"):
+        return "BANNED:" + u
+    if u in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if u in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if u in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u == "DATE":
+        return "date"
+    if u == "BOOLEAN":
+        return "bool"
+    return u
+
+
+def spark_class(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith(("array", "struct", "map")):
+        return "BANNED-COMPLEX:" + s
+    if s.startswith("decimal"):
+        return "BANNED:" + s.upper()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s == "string":
+        return "str"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date":
+        return "date"
+    if s == "boolean":
+        return "bool"
+    return s
+
+
+def type_mismatches(sdf, dcols, dtypes) -> list[str]:
+    """Return human-readable per-column type violations (empty = ok)."""
+    problems = []
+    sclasses = {
+        f.name: spark_class(f.dataType) for f in sdf.schema.fields
+    }
+    dclasses = dict(zip(dcols, (duck_class(t) for t in dtypes)))
+    for col in sorted(set(sclasses) | set(dclasses)):
+        sc = sclasses.get(col)
+        dc = dclasses.get(col)
+        for side, cls in (("spark", sc), ("duck", dc)):
+            if cls is not None and cls.startswith("BANNED"):
+                problems.append(f"{col}: {side} output type is {cls}")
+        if (
+            sc is not None
+            and dc is not None
+            and not sc.startswith("BANNED")
+            and not dc.startswith("BANNED")
+            and sc != dc
+        ):
+            problems.append(f"{col}: class mismatch spark={sc} duck={dc}")
+    return problems
+
+
 def row_key(row):
     return tuple(norm(v) for v in row)
 
@@ -113,15 +199,23 @@ def main() -> int:
                 failures.append(name)
             continue
         try:
-            ddf = con.execute(oracles[name])
-            dcols = sorted(d[0] for d in ddf.description)
-            drows = ddf.fetchall()
+            rel = con.sql(oracles[name])
+            raw_dcols = list(rel.columns)
+            dtypes = list(rel.types)
+            dcols = sorted(raw_dcols)
+            drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             results[name] = {"pass": False, "err": str(e)[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
+        tprobs = type_mismatches(sdf, raw_dcols, dtypes)
+        if tprobs:
+            print(f"FAIL {name}: type strictness:")
+            for p in tprobs:
+                print(f"  {p}")
+            ok = False
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             ok = False
@@ -131,7 +225,7 @@ def main() -> int:
         if ok:
             # column-name-sorted, order-insensitive value comparison
             sidx = [sdf.columns.index(c) for c in scols]
-            didx = [[d[0] for d in ddf.description].index(c) for c in dcols]
+            didx = [raw_dcols.index(c) for c in dcols]
             sset = sorted(row_key([r[i] for i in sidx]) for r in srows)
             dset = sorted(row_key([r[i] for i in didx]) for r in drows)
             if sset != dset:

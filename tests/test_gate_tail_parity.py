@@ -84,15 +84,13 @@ def test_tail_entry_matches_oracle(spark, duck, name):
     assert sset == dset, f"{name}: value mismatch"
 
 
-# The pre-r9 always-gated core: each entry was the sole witness of a
-# mechanism no sibling covers, and sat in the gate head every round.
-# For r9-r10 its head residency is SUSPENDED (registry ledger): the
-# never-gated backlog (47 r8-new + 9 r6-tail + pipeline_dedup_full)
-# outgrew the 16 rotation slots the core left, so r9's head gates the
-# backlog newest-first while the core — driver-green in r6-r8 — is
-# witnessed by the tail parametrization above.  The core resumes head
-# residency in r10.
-SUSPENDED_CORE = {
+# The always-gated core: each entry is the sole witness of a mechanism
+# no sibling covers.  Its head residency was SUSPENDED for r9 only
+# (registry ledger) while the never-gated backlog cleared; r10 RESTORES
+# all 34 entries to the gate head (the R10_HEAD pin below enforces the
+# restoration — the ADVICE r9 guard that the suspension cannot be
+# silently deferred again).
+ALWAYS_GATED_CORE = {
     # §2 query surface (one witness per reference query function;
     # parameter-branch siblings — intraday, tw-linear — may rotate)
     "q1_bucket_avg", "q2_resolution_avg", "q3_daily_max",
@@ -122,15 +120,43 @@ SUSPENDED_CORE = {
 }
 
 
-# The planned r9 gate head (registry ledger), pinned EXACTLY so an
-# accidental reorder cannot silently change what the driver witnesses.
-R9_HEAD = [
+# The planned r10 gate head (registry ledger), pinned EXACTLY so an
+# accidental reorder cannot silently change what the driver witnesses:
+# the 5 r9 red rows re-gated (fixed this round), the 11 never-gated
+# entries, then the full 34-entry always-gated core restored.
+R10_HEAD = [
+    # (a) r9 red rows, fixed and re-gated
+    "rel_shipmode_priority", "events_journey_trigrams",
+    "dedup_substr_clean", "pipeline_dedup_full",
+    "emb_random_projection",
+    # (b) never-gated entries
+    "dedup_semantic_default", "sketch_kmv_overlap",
+    "curation_normalize", "dedup_exact_normalized",
+    "toolkit_ohlc", "toolkit_trend_slope", "emb_normalize_quantize",
+    "doc_chunks", "corpus_shard_order", "events_sessionize",
+    "toolkit_gauge_delta",
+    # (c) the always-gated core, restored
+    "q1_bucket_avg", "q2_resolution_avg", "q3_daily_max",
+    "q4_mode_adaptive", "q5_timeweight_locf", "q6_asap_smooth",
+    "q6_lttb_downsample", "q7_unique_subjects", "q8_changed_rows",
+    "q9_state_intervals", "asof_probe_value", "range_overlap_join",
+    "gapfill_linear", "ingest_events_unpivot", "ingest_glow",
+    "ingest_homie", "ingest_emon", "ingest_bmw", "ingest_dynamic",
+    "ingest_records_strict", "ingest_router_union", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
+    "text_fingerprint", "text_vocab_topk", "pack_documents",
+    "curation_pii_redact", "curation_decontaminate",
+    "curation_repetition", "mm_blob_features", "mm_frame_sample",
+    "mm_resize",
+]
+
+_OLD_R9_HEAD_DEMOTIONS = [
     "text_bm25_topk", "sample_dsir_topn", "curation_gopher_quality",
     "sample_token_budget", "events_anomaly_mad",
-    "emb_random_projection", "sample_temperature_mix",
+    "sample_temperature_mix",
     "dedup_pagerank", "text_word_entropy", "dedup_cross_source",
-    "rel_revenue_rollup", "events_journey_trigrams",
-    "dedup_corpus_diff", "pipeline_dedup_full",
+    "rel_revenue_rollup",
+    "dedup_corpus_diff",
     "rel_cross_nation_volume", "rel_order_distribution",
     "rel_top_supplier", "rel_small_qty_revenue",
     "layout_zorder_profile", "rollup_upsert_value",
@@ -138,9 +164,9 @@ R9_HEAD = [
     "events_trending_topk", "rel_forecast_revenue",
     "rel_market_share", "rel_nation_profit", "rel_important_parts",
     "rel_dominant_suppliers", "rel_idle_customers",
-    "dedup_substr_spans", "dedup_substr_clean",
+    "dedup_substr_spans",
     "rel_cheapest_supplier", "rel_priority_late",
-    "rel_no_return_customers", "rel_shipmode_priority",
+    "rel_no_return_customers",
     "rel_promo_share", "rel_supplier_variety",
     "rel_disjunctive_revenue", "cluster_kmeans",
     "cluster_balanced_sample", "sketch_hll_portable",
@@ -150,23 +176,33 @@ R9_HEAD = [
 ]
 
 
-def test_gate_head_matches_r9_rotation_plan():
-    """The driver's 50-entry window holds exactly the ledger's r9
-    rotation plan (newest never-gated families first)."""
+def test_gate_head_matches_r10_rotation_plan():
+    """The driver's 50-entry window holds exactly the ledger's r10
+    rotation plan: 5 re-gated red rows + 11 never-gated entries + the
+    restored 34-entry core.  This pin IS the guard that the core's
+    suspension (r9 only) cannot silently extend another round."""
     head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
-    assert head == R9_HEAD, (
-        f"gate head drifted from the r9 plan: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R9_HEAD)) if a != b][:5]}"
+    assert head == R10_HEAD, (
+        f"gate head drifted from the r10 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R10_HEAD)) if a != b][:5]}"
     )
 
 
-def test_suspended_core_stays_registered_with_oracles():
-    """Every suspended-core entry (and every r7/r8 demotion) must stay
-    registered and oracle-backed so the tail parametrization keeps
-    witnessing it until its r10 head rotation."""
+def test_core_restored_to_head():
+    """ADVICE r9 guard: every always-gated-core entry sits INSIDE the
+    driver's 50-entry window this round (suspension was r9-only)."""
+    head = set(list(entrymod.queries())[:DRIVER_GATE_WINDOW])
+    missing = sorted(ALWAYS_GATED_CORE - head)
+    assert not missing, f"core entries still outside the gate head: {missing}"
+
+
+def test_rotated_out_entries_stay_registered_with_oracles():
+    """Every rotated-out entry (r9-head demotions, r7/r8 demotion
+    pools) must stay registered and oracle-backed so the tail
+    parametrization keeps witnessing it until its next head rotation."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    rotated_pool = SUSPENDED_CORE | {
+    rotated_pool = set(_OLD_R9_HEAD_DEMOTIONS) | {
         "q3_intraday_avg", "q5_timeweight_linear",
         "q3_daily_from_cascade", "dedup_components",
         "dedup_ngram_jaccard", "text_quality_sample_cut",
