@@ -2482,7 +2482,15 @@ def _dedup_semantic_default_oracles() -> dict[str, str]:
                 k=k, iters=2, threshold=0.4
             )
         }
-    except Exception:
+    except Exception as e:
+        # LOUD degradation: without this entry the driver records only
+        # a rows-only check for dedup_semantic_default — a typo'd
+        # SPARK_GRAFT_ORACLE_SF_DIR must not silently drop coverage
+        print(
+            f"WARNING: dedup_semantic_default oracle dropped "
+            f"(rows-only gate): {e!r} (path={path})",
+            file=sys.stderr,
+        )
         return {}
 
 
@@ -2620,7 +2628,13 @@ def _ivf_oracle_entry(oc) -> dict[str, str]:
     )
     try:
         return {"sim_ivf_topk": oc.sim_ivf_oracle(path, 8, 5, 16, 4)}
-    except Exception:
+    except Exception as e:
+        # same loud-degradation rule as _dedup_semantic_default_oracles
+        print(
+            f"WARNING: sim_ivf_topk oracle dropped (rows-only gate): "
+            f"{e!r} (path={path})",
+            file=sys.stderr,
+        )
         return {}
 
 

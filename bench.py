@@ -85,6 +85,11 @@ def main() -> None:
         bench_queries = {
             k: v for k, v in bench_queries.items() if k in wanted
         }
+        if not bench_queries:
+            # an all-typo filter must not bench an empty suite and
+            # still write artifacts that look like a real run
+            print("SPARK_GRAFT_BENCH_ONLY matched no queries", file=sys.stderr)
+            sys.exit(2)
 
     # warm up the JVM + Python workers so the first timed query doesn't
     # absorb session startup (one tiny scan + one pandas-UDF roundtrip)

@@ -308,6 +308,13 @@ _XLATE_TO = "''''\"\"\"'\"---.  "
 _CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 _WS_RE = "[ \\t\\n\\r]+"
 
+# ASCII-only lowercase via translate: JVM lower() applies full Unicode
+# case mapping (U+0130 → 'i' + U+0307) while DuckDB/utf8proc applies
+# the simple mapping (U+0130 → 'i'), so engine lower() is NOT
+# cross-engine deterministic on cased non-ASCII input.
+_UPPER_ASCII = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER_ASCII = "abcdefghijklmnopqrstuvwxyz"
+
 
 def normalize_text(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -324,18 +331,24 @@ def normalize_text(
     Every step is chosen for CROSS-ENGINE determinism: translate() is
     per-code-point in both engines; the regexes use explicit character
     classes only (no ``\\s``, whose membership differs between Java
-    regex and RE2; no ``\\p{...}``, no lookaround), so Spark and the
-    DuckDB oracle agree byte-for-byte.  Unicode NFC/NFKC is
-    deliberately OUT of scope — neither engine exposes it as a
-    built-in expression, and a Python UDF would put per-row Python in
-    a scan-speed path.
+    regex and RE2; no ``\\p{...}``, no lookaround); and the lowercase
+    step is an explicit A-Z→a-z TRANSLATE, not ``lower()`` — JVM full
+    Unicode case mapping and DuckDB/utf8proc simple mapping disagree
+    on cased non-ASCII code points (e.g. U+0130 'İ' → 'i'+combining
+    dot vs plain 'i'), so engine ``lower()`` would break the
+    byte-for-byte guarantee exactly where it matters.  So Spark and
+    the DuckDB oracle agree byte-for-byte on ALL input; non-ASCII
+    letters keep their case (full Unicode case folding, like NFC/NFKC,
+    is deliberately OUT of scope — neither engine exposes a
+    deterministic shared built-in, and a Python UDF would put per-row
+    Python in a scan-speed path).
 
     100 TB posture: projection-only expression work — zero shuffle,
     runs at scan speed inside whole-stage codegen, and composes ahead
     of any dedup stage without changing that stage's plan.
     """
     t = F.col(text_col)
-    norm = F.lower(
+    norm = F.translate(
         F.trim(
             F.regexp_replace(
                 F.regexp_replace(
@@ -346,7 +359,9 @@ def normalize_text(
                 _WS_RE,
                 " ",
             )
-        )
+        ),
+        _UPPER_ASCII,
+        _LOWER_ASCII,
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -367,10 +382,11 @@ def normalize_oracle_sql(
     return f"""
 WITH n AS (
   SELECT {id_expr} AS doc_id, {text_expr} AS t,
-         lower(trim(regexp_replace(regexp_replace(
+         translate(trim(regexp_replace(regexp_replace(
              translate({text_expr}, '{xf}', '{xt}'),
              '{_CTRL_RE}', '', 'g'),
-           '{_WS_RE}', ' ', 'g'))) AS norm
+           '{_WS_RE}', ' ', 'g')),
+           '{_UPPER_ASCII}', '{_LOWER_ASCII}') AS norm
   FROM {table}
 )
 SELECT doc_id,

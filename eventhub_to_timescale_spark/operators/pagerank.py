@@ -66,7 +66,16 @@ def pagerank(
     off the cached frames — and all three caches are unpersisted
     before returning.  Executor storage is clean on exit; the frames
     are pair-graph-sized, not corpus-sized, so the one extra
-    materialization is iteration-cost, not corpus-cost."""
+    materialization is iteration-cost, not corpus-cost.
+
+    Trade-off callers should know: with ``persist_graph=True`` the
+    call is EAGER (the checkpoint executes the plan at call time) and
+    the returned frame is NOT recomputable — ``localCheckpoint`` has
+    no lineage fallback, so on a multi-executor cluster losing an
+    executor's checkpoint blocks fails downstream actions instead of
+    recomputing.  Pass ``persist_graph=False`` for a lazy,
+    fully-recomputable plan (each iteration then re-derives the pair
+    graph — fine when ``pairs`` is itself cached or cheap)."""
     if iters < 0:
         raise ValueError(f"iters must be non-negative, got {iters}")
     edges = (

@@ -150,6 +150,12 @@ class TestNormalizeText:
         (7, None),                                   # NULL passthrough
         (8, ""),                                     # empty
         (9, "ellipsis… prime′ dbl″"),
+        # cased non-ASCII: engine lower() DIVERGES here (JVM full
+        # Unicode mapping: İ → i+U+0307; DuckDB/utf8proc simple
+        # mapping: İ → i), which is why the lowercase step is an
+        # explicit A-Z translate — these code points must pass
+        # through case-UNCHANGED on both engines
+        (10, "İstanbul Émile STRASSE ß Ärger"),
     ]
 
     def _df(self, spark):
@@ -176,6 +182,8 @@ class TestNormalizeText:
         assert got[7] == (None, None)
         assert got[8] == ("", False)
         assert got[9] == ("ellipsis. prime' dbl\"", True)
+        # ASCII letters lowercase; non-ASCII cased letters untouched
+        assert got[10] == ("İstanbul Émile strasse ß Ärger", True)
 
     def test_matches_duckdb_oracle_on_adversarial_input(self, spark):
         """Byte-for-byte cross-engine agreement on exactly the
