@@ -931,3 +931,117 @@ SELECT doc_id, n AS n_words,
             ELSE 0.0 END AS word_entropy
 FROM m
 """
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, term, tf, rank, tfidf): each document's top-``k``
+    terms by smoothed TF-IDF — the per-document keyword extractor a
+    curation pipeline uses for topic labeling, cluster naming, and
+    slice selection (complementing bm25_topk, which ranks DOCUMENTS
+    for a fixed query; this ranks TERMS within every document).
+
+    tfidf = tf · ln((N+1)/(df+1)) with add-one smoothing on both
+    counts, so a corpus-universal term scores exactly 0 and nothing
+    is undefined.  Rank ties break on term ASC, making the top-k
+    total-ordered.
+
+    Cross-engine exactness: idf is rounded ONCE to integer micro-units
+    (the repo's 6-dp ln rule, same as BM25/LM scores); each term's
+    score is then the exact BIGINT product tf·idf_micro, so ranking
+    and the reported ``tfidf`` double (micro/1e6) cannot diverge
+    between engines.
+
+    100 TB posture: one corpus scan explodes tokens into a
+    map-side-combinable (doc_id, term) count; document frequency
+    aggregates from that vocabulary-sized frame on the SAME term key
+    (co-partitioned, no extra corpus shuffle) and joins back on term;
+    the per-document top-k is one window over doc_id.  All shuffles
+    are on post-aggregation vocabulary/document-key frames — the raw
+    corpus is read once.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    ranked = (
+        tf.join(idf, "term")
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score_micro").desc(), F.col("term").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "doc_id",
+        "term",
+        "tf",
+        "rank",
+        (F.col("score_micro") / F.lit(1_000_000.0)).alias("tfidf"),
+    ).orderBy("doc_id", "rank")
+
+
+def tfidf_oracle_sql(k: int = 3, table: str = "documents") -> str:
+    """DuckDB rendering of ``tfidf_top_terms`` — same tokenizer, same
+    single-rounded micro-unit idf, same exact integer score and
+    (score DESC, term ASC) tie rule."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)) AS term
+  FROM {table}
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}
+), idf AS (
+  SELECT term,
+         CAST(round(ln((n_docs + 1.0) / (COUNT(*) + 1.0)) * 1000000)
+              AS BIGINT) AS idf_micro
+  FROM tf CROSS JOIN n
+  GROUP BY term, n_docs
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * idf.idf_micro AS score_micro,
+         CAST(row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * idf.idf_micro DESC, tf.term ASC
+         ) AS INT) AS rank
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, rank,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS tfidf
+FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
+"""
