@@ -1923,6 +1923,25 @@ def _text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed local-reuse dedup: winnowing pairs → connected
+    components (min-label propagation) → one survivor per cluster —
+    the keep-first composition over the NEW candidate family, reusing
+    dedup_components_keep's exact clustering
+    (operators/winnowing.py + operators/dedup.py:580)."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        dedup_components_keep,
+    )
+    from eventhub_to_timescale_spark.operators.winnowing import winnow_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = winnow_pairs(docs, k=5, w=4, min_shared=2)
+    return (
+        dedup_components_keep(docs.select("doc_id"), pairs)
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries (observed in round 5: 53 registered, 50 in
@@ -2152,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TF-IDF keyword extraction
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
+        "dedup_winnow_keep": _dedup_winnow_keep,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -2538,6 +2558,38 @@ def _tfidf_oracle() -> str:
     from eventhub_to_timescale_spark.operators.text import tfidf_oracle_sql
 
     return tfidf_oracle_sql(k=3)
+
+
+def _winnow_keep_oracle() -> str:
+    # winnowing pairs feed the same recursive-CTE transitive closure
+    # the MinHash components oracle uses (oracles.py:851)
+    from eventhub_to_timescale_spark.operators.winnowing import (
+        winnow_pairs_oracle_sql,
+    )
+
+    pairs = winnow_pairs_oracle_sql(k=5, w=4, min_shared=2)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comps AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM comps WHERE doc_id <> cluster_id
+)
+ORDER BY d.doc_id
+"""
 
 
 def _dsir_oracle() -> str:
@@ -3451,6 +3503,7 @@ JOIN customer ON o_custkey = c_custkey
         "emb_random_projection": _random_projection_oracle(),
         "dedup_winnowing": _winnowing_oracle(),
         "text_tfidf_topk": _tfidf_oracle(),
+        "dedup_winnow_keep": _winnow_keep_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
