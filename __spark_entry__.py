@@ -1923,6 +1923,26 @@ def _text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly
+    per-event-type value series (centered 25-point MA trend, 24-phase
+    seasonal, residual) — micro-unit-exact at every stage
+    (operators/seasonal.py:seasonal_decompose)."""
+    from eventhub_to_timescale_spark.operators.seasonal import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(_events(spark, sf_dir))
+
+
+def _seasonal_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.seasonal import (
+        seasonal_decompose_oracle_sql,
+    )
+
+    return seasonal_decompose_oracle_sql()
+
+
 def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed local-reuse dedup: winnowing pairs → connected
     components (min-label propagation) → one survivor per cluster —
@@ -2172,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
+        "events_seasonal_decompose": _events_seasonal,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3504,6 +3525,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_winnowing": _winnowing_oracle(),
         "text_tfidf_topk": _tfidf_oracle(),
         "dedup_winnow_keep": _winnow_keep_oracle(),
+        "events_seasonal_decompose": _seasonal_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
