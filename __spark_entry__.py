@@ -1923,6 +1923,27 @@ def _text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ=1/51 heavy-hitter terms via the two-phase pigeonhole
+    candidate + exact-recount plan — per-partition frequent items are
+    a complete candidate set, so the output equals DuckDB's plain
+    GROUP BY/HAVING while never globally aggregating the full
+    vocabulary (operators/heavyhitters.py:frequent_terms)."""
+    from eventhub_to_timescale_spark.operators.heavyhitters import (
+        frequent_terms,
+    )
+
+    return frequent_terms(_docs(spark, sf_dir), k=50)
+
+
+def _heavy_hitters_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.heavyhitters import (
+        frequent_terms_oracle_sql,
+    )
+
+    return frequent_terms_oracle_sql(k=50)
+
+
 def _events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the hourly
     per-event-type value series (centered 25-point MA trend, 24-phase
@@ -2193,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
         "events_seasonal_decompose": _events_seasonal,
+        "sketch_heavy_hitters": _sketch_heavy_hitters,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3526,6 +3548,7 @@ JOIN customer ON o_custkey = c_custkey
         "text_tfidf_topk": _tfidf_oracle(),
         "dedup_winnow_keep": _winnow_keep_oracle(),
         "events_seasonal_decompose": _seasonal_oracle(),
+        "sketch_heavy_hitters": _heavy_hitters_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
