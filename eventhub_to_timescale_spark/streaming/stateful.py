@@ -881,3 +881,108 @@ def streaming_kmv_sketch(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra–Gries heavy-hitter summary (12th stateful operator)
+# ---------------------------------------------------------------------------
+
+_MG_OUT_SCHEMA = "src string, n long, terms array<string>, counts array<long>"
+_MG_STATE_SCHEMA = "terms array<string>, counts array<long>, n long"
+
+
+def _make_mg_fn(k: int):
+    """Factory closing over ``k`` (same pickling rationale as
+    ``_make_kmv_fn``)."""
+
+    def _mg_fn(key, pdf_iter, state):
+        """Per-source Misra–Gries fold, one SUMMARY MERGE per batch:
+        the batch's exact pandas ``value_counts`` (itself a valid MG
+        summary of the batch) merges into the ≤k-counter state by
+        counter addition, and if more than k counters survive, the
+        (k+1)-th largest value is subtracted from all and non-positive
+        counters dropped — the Agarwal-et-al. ("Mergeability of
+        Summaries", PODS 2012) merge, which preserves the MG
+        guarantee cumulatively: every counter UNDERCOUNTS its term by
+        at most (n − Σ counters)/(k+1), and any term with true
+        frequency above n/(k+1) is present.  Unlike the KMV/HLL folds
+        the summary CONTENTS are arrival-order-dependent; the
+        GUARANTEE is order-free, and that is what downstream (and the
+        tests) rely on."""
+        import pandas as pd
+
+        (src,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            mg = dict(zip(list(state.get[0]), list(state.get[1])))
+            n = int(state.get[2])
+        else:
+            mg, n = {}, 0
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        terms = pdf["term"].dropna().astype(str)
+        n += int(len(terms))
+        for t, c in terms.value_counts().items():
+            mg[t] = mg.get(t, 0) + int(c)
+        if len(mg) > k:
+            # subtract the (k+1)-th largest counter from everyone
+            dec = sorted(mg.values(), reverse=True)[k]
+            mg = {t: c - dec for t, c in mg.items() if c - dec > 0}
+        ts = sorted(mg)  # deterministic emission order
+        state.update((ts, [mg[t] for t in ts], n))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "src": [src],
+                "n": [n],
+                "terms": [ts],
+                "counts": [[mg[t] for t in ts]],
+            }
+        )
+
+    return _mg_fn
+
+
+def streaming_heavy_hitters(
+    occurrences: DataFrame,
+    k: int = 64,
+    group_col: str = "source",
+    term_col: str = "term",
+) -> DataFrame:
+    """Continuous per-source Misra–Gries heavy-hitter summary over a
+    stream of term occurrences → (src, n, terms, counts) per trigger
+    (take the max-``n`` row per source downstream).
+
+    State is ≤k (term, counter) pairs plus a row count — CONSTANT
+    size at any stream length.  The batch-exact contract the other
+    stateful operators pin is impossible here (MG summary contents
+    depend on arrival order); the operator's contract is the MG
+    GUARANTEE, which is order-free: counter ≤ true frequency ≤
+    counter + (n − Σ counters)/(k+1), and every term with true
+    frequency > n/(k+1) appears.  The exact-answer batch counterpart
+    is operators/heavyhitters.py:frequent_terms (two-phase pigeonhole
+    plan); this is its bounded-memory streaming approximation
+    (tests/test_streaming_heavyhitters.py replays shuffled
+    micro-batches and pins both bounds against exact counts).
+    """
+    return (
+        occurrences.filter(
+            F.col(term_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).cast("string").alias("src"),
+            F.col(term_col).cast("string").alias("term"),
+        )
+        .groupBy("src")
+        .applyInPandasWithState(
+            _make_mg_fn(k),
+            outputStructType=_MG_OUT_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
