@@ -1964,6 +1964,56 @@ def _seasonal_oracle() -> str:
     return seasonal_decompose_oracle_sql()
 
 
+def _events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized anomaly detection: seasonal_decompose's residual
+    (level and season removed) scored by the median/MAD outlier rule —
+    the composition the seasonal module's docstring promises
+    (operators/seasonal.py + operators/anomaly.py:mad_outliers)."""
+    from eventhub_to_timescale_spark.operators.anomaly import mad_outliers
+    from eventhub_to_timescale_spark.operators.seasonal import (
+        seasonal_decompose,
+    )
+
+    resid = (
+        seasonal_decompose(_events(spark, sf_dir))
+        .filter(F.col("residual").isNotNull())
+        .select("event_type", "bucket", "residual")
+    )
+    return mad_outliers(
+        resid,
+        group_col="event_type",
+        value_col="residual",
+        id_col="bucket",
+    ).orderBy("event_type", "bucket")
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.anomaly import (
+        mad_outliers_oracle_sql,
+    )
+    from eventhub_to_timescale_spark.operators.seasonal import (
+        seasonal_decompose_oracle_sql,
+    )
+
+    seasonal = seasonal_decompose_oracle_sql()
+    mad = mad_outliers_oracle_sql(
+        group_col="event_type",
+        value_col="residual",
+        id_col="bucket",
+        table="resid",
+    )
+    # graft the seasonal chain ahead of the MAD CTEs (single WITH)
+    prelude = (
+        f"WITH seasonal AS ({seasonal}),\n"
+        "resid AS (\n"
+        "  SELECT event_type, bucket, residual FROM seasonal\n"
+        "  WHERE residual IS NOT NULL\n"
+        "),\nm AS"
+    )
+    sql = mad.replace("WITH m AS", prelude, 1)
+    return sql + "\nORDER BY event_type, bucket"
+
+
 def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed local-reuse dedup: winnowing pairs → connected
     components (min-label propagation) → one survivor per cluster —
@@ -2205,16 +2255,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": _text_bigram_lm,
         "sketch_histogram": _sketch_histogram,
         "rel_revenue_by_nation": _rel_revenue_by_nation,
-        # — NEW in r10 (tail-witnessed; never-gated-first rule puts
-        # them at the r11 head with the r8 demotions): winnowing
-        # (Schleimer et al. local fingerprint dedup — a candidate
-        # family MinHash/SimHash/substr don't cover) and per-document
-        # TF-IDF keyword extraction
+        # — NEW in r10 (tail-witnessed this round; never-gated-first
+        # rule puts all five at the r11 head with the r8 demotions):
+        # winnowing (Schleimer et al. local fingerprint dedup — a
+        # candidate family MinHash/SimHash/substr don't cover) + its
+        # components/keep-first composition, per-document TF-IDF
+        # keyword extraction, classical seasonal decomposition, and
+        # exact two-phase pigeonhole heavy hitters
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
         "events_seasonal_decompose": _events_seasonal,
         "sketch_heavy_hitters": _sketch_heavy_hitters,
+        "events_seasonal_anomaly": _events_seasonal_anomaly,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3549,6 +3602,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_winnow_keep": _winnow_keep_oracle(),
         "events_seasonal_decompose": _seasonal_oracle(),
         "sketch_heavy_hitters": _heavy_hitters_oracle(),
+        "events_seasonal_anomaly": _seasonal_anomaly_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
