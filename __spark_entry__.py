@@ -1964,6 +1964,45 @@ def _seasonal_oracle() -> str:
     return seasonal_decompose_oracle_sql()
 
 
+def _sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: every MinHash near-dup CLUSTER
+    lands on one side atomically (md5-threshold on the
+    cluster-canonical id), so a near-dup pair can never straddle the
+    split (operators/sampling.py:leakage_safe_split)."""
+    from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
+    from eventhub_to_timescale_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=6, jaccard_threshold=0.5
+    )
+    return leakage_safe_split(docs, pairs, test_fraction=0.1)
+
+
+def _leakage_split_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        leakage_safe_split_oracle_predicate,
+    )
+
+    import eventhub_to_timescale_spark.oracles as oc
+
+    comps = oc.dedup_components_oracle(12, 6, 0.5)
+    pred = leakage_safe_split_oracle_predicate("x.cluster", 0.1)
+    return f"""
+WITH comps AS ({comps}),
+x AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comps c USING (doc_id)
+)
+SELECT x.doc_id, x.cluster,
+       CASE WHEN {pred} THEN 'test' ELSE 'train' END AS split
+FROM x ORDER BY x.doc_id
+"""
+
+
 def _events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deseasonalized anomaly detection: seasonal_decompose's residual
     (level and season removed) scored by the median/MAD outlier rule —
@@ -2268,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_decompose": _events_seasonal,
         "sketch_heavy_hitters": _sketch_heavy_hitters,
         "events_seasonal_anomaly": _events_seasonal_anomaly,
+        "sample_leakage_split": _sample_leakage_split,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3603,6 +3643,7 @@ JOIN customer ON o_custkey = c_custkey
         "events_seasonal_decompose": _seasonal_oracle(),
         "sketch_heavy_hitters": _heavy_hitters_oracle(),
         "events_seasonal_anomaly": _seasonal_anomaly_oracle(),
+        "sample_leakage_split": _leakage_split_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),

@@ -577,3 +577,64 @@ __all__ = [
     "temperature_mix",
     "temperature_mix_oracle_sql",
 ]
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_fraction: float = 0.1,
+    salt: str = "lsplit-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, cluster, split): train/test assignment where every
+    near-duplicate CLUSTER lands on one side atomically — the
+    leakage-safe split an evaluation pipeline needs (a per-document
+    md5 split, ``sample_split_counts``'s semantics, puts one near-dup
+    copy in train and its twin in test, leaking the answer; splitting
+    on the cluster-canonical id makes that impossible by
+    construction).
+
+    ``pairs`` is any near-dup pair frame (MinHash, winnowing, …);
+    clusters come from the exact connected components
+    (operators/dedup.py:near_dedup_components), unpaired documents are
+    their own cluster, and the split membership test is the repo's
+    deterministic md5-threshold on the CLUSTER id — so two documents
+    share a split whenever they share a cluster, independent of
+    partitioning, engine, or pair-frame row order.
+
+    100 TB posture: components run on the PAIR graph only (corpus
+    never enters the iteration); the cluster map is pair-graph-sized
+    and enters as one left join; the membership test is a scan-side
+    codegen'd expression.
+    """
+    from eventhub_to_timescale_spark.operators.dedup import (
+        near_dedup_components,
+    )
+
+    comps = near_dedup_components(pairs).select(
+        F.col("doc_id").alias("_cd"), F.col("cluster_id").alias("_cc")
+    )
+    cluster = F.coalesce(F.col("_cc"), F.col("_id"))
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(comps, on=[F.col("_id") == F.col("_cd")], how="left")
+        .select(
+            F.col("_id").alias("doc_id"),
+            cluster.alias("cluster"),
+            F.when(
+                _bucket_hex(cluster, salt)
+                < F.lit(_threshold_hex(test_fraction)),
+                F.lit("test"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def leakage_safe_split_oracle_predicate(
+    cluster_expr: str, test_fraction: float, salt: str = "lsplit-v1"
+) -> str:
+    """DuckDB rendering of the cluster-keyed membership test."""
+    return sampling_oracle_predicate(cluster_expr, test_fraction, salt)
