@@ -2013,10 +2013,15 @@ def _events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal_decompose,
     )
 
+    # persist the bucket-sized residual frame: the MAD rule scans its
+    # input three times (median agg, deviation join, outlier join) and
+    # each scan would otherwise re-run the whole decomposition
+    # (caller-releases contract — the harnesses clearCache() per query)
     resid = (
         seasonal_decompose(_events(spark, sf_dir))
         .filter(F.col("residual").isNotNull())
         .select("event_type", "bucket", "residual")
+        .persist()
     )
     return mad_outliers(
         resid,
