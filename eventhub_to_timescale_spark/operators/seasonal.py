@@ -250,3 +250,88 @@ ORDER BY t.grp, t.bucket
 
 
 __all__ = ["seasonal_decompose", "seasonal_decompose_oracle_sql"]
+
+
+def phase_profile(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket_seconds: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """→ (grp, phase, prof_micro): the CAUSAL seasonal model — mean
+    value per (series, phase-of-period) over history, micro-unit
+    exact (one division+round over exact integer sums).
+
+    ``seasonal_decompose``'s centered-MA trend needs FUTURE buckets,
+    so it cannot score a live row; this profile is the
+    leakage-free alternative a deployed monitor fits on history and
+    applies in-flight (streaming/anomaly.py:
+    streaming_deseasonalized_outliers).  Bounded output:
+    |groups| × period rows.
+    """
+    v = F.col(value_col)
+    phase = (
+        (
+            (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).cast("long")
+            / F.lit(bucket_seconds)
+        ).cast("long")
+        % F.lit(period)
+    )
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), phase.alias("phase"))
+        .agg(
+            F.sum(F.round(v * MICRO).cast("long")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "grp",
+            "phase",
+            F.round(F.col("_s") / F.col("_n")).cast("long").alias("prof_micro"),
+        )
+    )
+
+
+def deseasonalized_rows(
+    events: DataFrame,
+    profile: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket_seconds: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """→ (id, group, value, dev): each row's deviation from its
+    series' phase profile (exact integer subtraction, /1e6 double) —
+    the deseasonalized signal the MAD rule then scores.  Stateless
+    projection + one broadcast join, so it applies identically to a
+    batch frame and a live stream."""
+    v = F.col(value_col)
+    phase = (
+        (
+            (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).cast("long")
+            / F.lit(bucket_seconds)
+        ).cast("long")
+        % F.lit(period)
+    )
+    return (
+        events.filter(v.isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col).alias("grp"),
+            v.alias("value"),
+            F.round(v * MICRO).cast("long").alias("_vm"),
+            phase.alias("phase"),
+        )
+        .join(F.broadcast(profile), ["grp", "phase"])
+        .select(
+            id_col,
+            F.col("grp").alias(group_col),
+            "value",
+            ((F.col("_vm") - F.col("prof_micro")) / F.lit(float(MICRO)))
+            .alias("dev"),
+        )
+    )

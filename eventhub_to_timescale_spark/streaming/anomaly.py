@@ -46,4 +46,45 @@ def streaming_mad_outliers(
     )
 
 
-__all__ = ["streaming_mad_outliers"]
+def streaming_deseasonalized_outliers(
+    stream: DataFrame,
+    profile: DataFrame,
+    stats: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+    bucket_seconds: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """Seasonality-aware live outliers: subtract the batch-fitted
+    CAUSAL phase profile (operators/seasonal.py:phase_profile — the
+    centered-MA decomposition cannot score live rows, it needs future
+    buckets), then apply the frozen per-group MAD rule to the
+    deviation.  Both model frames are bounded (|groups|×period and
+    |groups| rows) and broadcast into every micro-batch; the stream
+    side stays a stateless projection + filter.
+
+    FIT = ``phase_profile(history)`` + ``mad_stats(
+    deseasonalized_rows(history, profile), value_col="dev")``;
+    batch/stream concordance is by construction and pinned by
+    tests/test_streaming_seasonal.py.
+    """
+    from eventhub_to_timescale_spark.operators.seasonal import (
+        deseasonalized_rows,
+    )
+
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    dev = deseasonalized_rows(
+        stream, profile, value_col, "ts", group_col, id_col,
+        bucket_seconds, period,
+    )
+    return (
+        dev.join(F.broadcast(stats), group_col)
+        .filter(F.abs(F.col("dev") - F.col("_med")) > F.lit(k) * F.col("_mad"))
+        .select(id_col, group_col, "value", "dev")
+    )
+
+
+__all__ = ["streaming_mad_outliers", "streaming_deseasonalized_outliers"]
