@@ -1964,6 +1964,61 @@ def _seasonal_oracle() -> str:
     return seasonal_decompose_oracle_sql()
 
 
+def _events_phase_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal deseasonalized outliers: deviations from the
+    phase-profile model (live-scorable, no future leakage) under the
+    MAD rule — the batch twin of the stream-static applier
+    (operators/seasonal.py:phase_profile + deseasonalized_rows,
+    streaming/anomaly.py:streaming_deseasonalized_outliers)."""
+    from eventhub_to_timescale_spark.operators.anomaly import mad_outliers
+    from eventhub_to_timescale_spark.operators.seasonal import (
+        deseasonalized_rows,
+        phase_profile,
+    )
+
+    events = _events(spark, sf_dir)
+    # event-row-sized frame scanned three times by the MAD rule
+    # (caller-releases cache contract, as in events_seasonal_anomaly)
+    dev = deseasonalized_rows(events, phase_profile(events)).persist()
+    return mad_outliers(
+        dev, group_col="event_type", value_col="dev", id_col="event_id"
+    ).orderBy("event_id")
+
+
+def _phase_outliers_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.anomaly import (
+        mad_outliers_oracle_sql,
+    )
+
+    mad = mad_outliers_oracle_sql(
+        group_col="event_type",
+        value_col="dev",
+        id_col="event_id",
+        table="devs",
+    )
+    phase = "(CAST(floor(epoch({t})) AS BIGINT) // 3600) % 24"
+    prelude = f"""WITH prof AS (
+  SELECT event_type, {phase.format(t="ts")} AS phase,
+         CAST(round(SUM(CAST(round(value * 1000000) AS BIGINT)) * 1.0
+                    / COUNT(*)) AS BIGINT) AS prof_micro
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+devs AS (
+  SELECT e.event_id, e.event_type, e.value,
+         CAST(CAST(round(e.value * 1000000) AS BIGINT) - p.prof_micro
+              AS DOUBLE) / 1000000 AS dev
+  FROM events e JOIN prof p
+    ON p.event_type = e.event_type
+   AND p.phase = {phase.format(t="e.ts")}
+  WHERE e.value IS NOT NULL
+),
+m AS"""
+    return (
+        mad.replace("WITH m AS", prelude, 1) + "\nORDER BY event_id"
+    )
+
+
 def _sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split: every MinHash near-dup CLUSTER
     lands on one side atomically (md5-threshold on the
@@ -2313,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": _sketch_heavy_hitters,
         "events_seasonal_anomaly": _events_seasonal_anomaly,
         "sample_leakage_split": _sample_leakage_split,
+        "events_phase_outliers": _events_phase_outliers,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3649,6 +3705,7 @@ JOIN customer ON o_custkey = c_custkey
         "sketch_heavy_hitters": _heavy_hitters_oracle(),
         "events_seasonal_anomaly": _seasonal_anomaly_oracle(),
         "sample_leakage_split": _leakage_split_oracle(),
+        "events_phase_outliers": _phase_outliers_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),

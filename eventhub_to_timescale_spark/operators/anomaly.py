@@ -94,21 +94,25 @@ def mad_outliers_oracle_sql(
 ) -> str:
     """DuckDB rendering of ``mad_outliers`` — same 6-dp-rounded
     median/MAD thresholds."""
+    # the deviation alias is deliberately NOT "dev": a caller scoring a
+    # column literally named dev (events_phase_outliers) must not
+    # collide with the internal alias, or median()/the filter silently
+    # bind to the wrong column
     return f"""
 WITH m AS (
   SELECT {group_col}, round(median({value_col}), 6) AS med
   FROM {table} GROUP BY {group_col}
 ), d AS (
   SELECT e.{id_col}, e.{group_col}, e.{value_col},
-         abs(e.{value_col} - m.med) AS dev
+         abs(e.{value_col} - m.med) AS _absdev
   FROM {table} e JOIN m USING ({group_col})
 ), s AS (
-  SELECT {group_col}, round(median(dev), 6) AS mad
+  SELECT {group_col}, round(median(_absdev), 6) AS mad
   FROM d GROUP BY {group_col}
 )
 SELECT d.{id_col}, d.{group_col}, d.{value_col}
 FROM d JOIN s USING ({group_col})
-WHERE d.dev > {k} * s.mad
+WHERE d._absdev > {k} * s.mad
 """
 
 
