@@ -2210,10 +2210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     driver-green.
     #   r11 plan: head = the 16 r8 demotions FIRST (most overdue,
     #     last gated r7), then the 16 r7-rotation groups (last gated
-    #     r8), then 18 slots rotating from the r10 head (never-gated
+    #     r8), then the 8 r10-NEW never-gated entries
+    #     (dedup_winnowing, text_tfidf_topk, dedup_winnow_keep,
+    #     events_seasonal_decompose, sketch_heavy_hitters,
+    #     events_seasonal_anomaly, sample_leakage_split,
+    #     events_phase_outliers, + any r11 additions), then the
+    #     remaining ~10 slots rotating from the r10 head (never-gated
     #     group first — they will have exactly one green row).  After
-    #     r10 every oracled entry has at least one driver-green row;
-    #     resume the standing 2-round cadence from r11.
+    #     that rotation every oracled entry has at least one
+    #     driver-green row; resume the standing 2-round cadence.
     return {
         # ---------------- r10 GATE HEAD (50 entries) ----------------
         # — (a) r9 red rows, fixed this round, re-gated
