@@ -2019,6 +2019,32 @@ m AS"""
     )
 
 
+def _dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph diagnostics: exact triangle count + global
+    clustering coefficient via the Suri–Vassilvitskii degree-oriented
+    wedge join over the MinHash pair graph
+    (operators/graphstats.py:graph_triangle_stats)."""
+    from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
+    from eventhub_to_timescale_spark.operators.graphstats import (
+        graph_triangle_stats,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=12, bands=6,
+        jaccard_threshold=0.5, persist_banded=True,
+    )
+    return graph_triangle_stats(pairs)
+
+
+def _graph_triangles_oracle() -> str:
+    import eventhub_to_timescale_spark.oracles as oc
+    from eventhub_to_timescale_spark.operators.graphstats import (
+        graph_triangle_stats_oracle_sql,
+    )
+
+    return graph_triangle_stats_oracle_sql(oc.dedup_minhash_oracle(12, 6, 0.5))
+
+
 def _sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split: every MinHash near-dup CLUSTER
     lands on one side atomically (md5-threshold on the
@@ -2374,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": _events_seasonal_anomaly,
         "sample_leakage_split": _sample_leakage_split,
         "events_phase_outliers": _events_phase_outliers,
+        "dedup_graph_triangles": _dedup_graph_triangles,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3711,6 +3738,7 @@ JOIN customer ON o_custkey = c_custkey
         "events_seasonal_anomaly": _seasonal_anomaly_oracle(),
         "sample_leakage_split": _leakage_split_oracle(),
         "events_phase_outliers": _phase_outliers_oracle(),
+        "dedup_graph_triangles": _graph_triangles_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
