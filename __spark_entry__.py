@@ -2019,6 +2019,26 @@ m AS"""
     )
 
 
+def _dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein ≤ 8 near-identical pairs via q-gram blocking +
+    exact JVM-side verify — the character-level record-linkage metric
+    beside the token-level MinHash/winnowing families
+    (operators/editsim.py:edit_distance_pairs)."""
+    from eventhub_to_timescale_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+
+    return edit_distance_pairs(_docs(spark, sf_dir), max_distance=8)
+
+
+def _edit_distance_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.editsim import (
+        edit_distance_pairs_oracle_sql,
+    )
+
+    return edit_distance_pairs_oracle_sql(max_distance=8)
+
+
 def _dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup graph diagnostics: exact triangle count + global
     clustering coefficient via the Suri–Vassilvitskii degree-oriented
@@ -2401,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_leakage_split": _sample_leakage_split,
         "events_phase_outliers": _events_phase_outliers,
         "dedup_graph_triangles": _dedup_graph_triangles,
+        "dedup_edit_distance": _dedup_edit_distance,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3739,6 +3760,7 @@ JOIN customer ON o_custkey = c_custkey
         "sample_leakage_split": _leakage_split_oracle(),
         "events_phase_outliers": _phase_outliers_oracle(),
         "dedup_graph_triangles": _graph_triangles_oracle(),
+        "dedup_edit_distance": _edit_distance_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),

@@ -1,0 +1,114 @@
+"""Edit-distance similarity join (operators/editsim.py): known
+distances, brute-force recall within the q-gram lemma's regime, and
+cross-engine parity."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from eventhub_to_timescale_spark.operators.editsim import (
+    edit_distance_pairs,
+    edit_distance_pairs_oracle_sql,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestEditDistancePairs:
+    def test_known_distances(self, spark):
+        base = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (1, base),
+            (2, base.replace("quick", "quack")),        # distance 1 (i→a)
+            (3, base + " twice"),                       # distance 6
+            (4, "completely different text entirely"),
+        ]
+        got = {
+            (r["doc_a"], r["doc_b"]): r["distance"]
+            for r in edit_distance_pairs(_docs(spark, rows), 6).collect()
+        }
+        assert got[(1, 2)] == 1
+        assert got[(1, 3)] == 6
+        assert got[(2, 3)] == 8 if (2, 3) in got else True
+        assert not any(4 in p for p in got)
+
+    def test_case_insensitive(self, spark):
+        rows = [(1, "Hello World"), (2, "hello world")]
+        got = edit_distance_pairs(_docs(spark, rows), 0).collect()
+        assert [(r["doc_a"], r["doc_b"], r["distance"]) for r in got] == [
+            (1, 2, 0)
+        ]
+
+    def test_recall_matches_brute_force_in_lemma_regime(self, spark):
+        """For strings longer than q·(d+1) chars, q-gram blocking with
+        min_shared=1 and no effective df cap loses nothing: the pair
+        set equals the brute-force Levenshtein filter."""
+        rng = random.Random(5)
+        alpha = "abcdefgh"
+        base = "".join(rng.choices(alpha, k=60))
+        rows = []
+        for i in range(25):
+            s = list(base)
+            for _ in range(rng.randint(0, 6)):  # up to 6 random edits
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+            rows.append((i, "".join(s)))
+        d, q = 4, 4
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["distance"])
+            for r in edit_distance_pairs(
+                _docs(spark, rows), d, q=q, max_df=10_000
+            ).collect()
+        )
+        want = sorted(
+            (a, b, _lev(ta, tb))
+            for (a, ta) in rows
+            for (b, tb) in rows
+            if a < b and _lev(ta, tb) <= d
+        )
+        assert got == want and len(want) > 0
+
+    def test_bad_params_raise(self, spark):
+        with pytest.raises(ValueError):
+            edit_distance_pairs(_docs(spark, [(1, "x")]), -1)
+
+    def test_matches_duckdb_oracle(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilonX"),
+            (3, "alpha beta gamma DELTA epsilon"),
+            (4, None),
+            (5, "zeta eta theta iota kappa"),
+        ]
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(_docs(spark, rows), 6).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    edit_distance_pairs_oracle_sql(max_distance=6)
+                ).fetchall(),
+            )
+        )
+        assert got == want and len(got) >= 1
