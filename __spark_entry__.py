@@ -2019,6 +2019,26 @@ m AS"""
     )
 
 
+def _sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type from MERGEABLE
+    daily HLL registers (register max across the window — the rollup
+    property exact distinct lacks), concordance-gated against the
+    exact trailing count (operators/sketches.py:hll_rolling_distinct)."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        hll_rolling_distinct,
+    )
+
+    return hll_rolling_distinct(_events(spark, sf_dir))
+
+
+def _hll_rolling_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sketches import (
+        hll_rolling_oracle_sql,
+    )
+
+    return hll_rolling_oracle_sql()
+
+
 def _dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein ≤ 8 near-identical pairs via q-gram blocking +
     exact JVM-side verify — the character-level record-linkage metric
@@ -2422,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_phase_outliers": _events_phase_outliers,
         "dedup_graph_triangles": _dedup_graph_triangles,
         "dedup_edit_distance": _dedup_edit_distance,
+        "sketch_hll_rolling": _sketch_hll_rolling,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3761,6 +3782,7 @@ JOIN customer ON o_custkey = c_custkey
         "events_phase_outliers": _phase_outliers_oracle(),
         "dedup_graph_triangles": _graph_triangles_oracle(),
         "dedup_edit_distance": _edit_distance_oracle(),
+        "sketch_hll_rolling": _hll_rolling_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),

@@ -854,3 +854,152 @@ __all__ = [
     "kmv_source_overlap",
     "kmv_overlap_oracle_sql",
 ]
+
+
+def hll_rolling_distinct(
+    events: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    m: int = HLL_M,
+    seed: str = HLL_SEED,
+    tolerance: float = 0.2,
+) -> DataFrame:
+    """Trailing-window distinct counting from MERGEABLE daily HLL
+    registers → (group, day, exact_distinct, within_tolerance): for
+    every active (series, day), the distinct keys over the trailing
+    ``window_days`` window, estimated by merging the per-day register
+    frames with a MAX — the register-sketch property that makes
+    rolling/rollup distinct counting possible at all (exact distinct
+    is not mergeable: yesterday's count + today's count ≠ the union).
+
+    Gate shape (same contract as ``approx_distinct_concordance``):
+    the EXACT trailing distinct is computed alongside and the oracle
+    pins ``within_tolerance`` TRUE, so sketch drift beyond
+    ``tolerance`` (relative, +2 absolute slack for tiny counts; m=256
+    has ~6.5% standard error, so 20% ≈ 3σ) hash-mismatches.
+
+    100 TB posture: production keeps ONLY the register branch — one
+    (series, day, bucket) max aggregation over the corpus (map-side
+    combinable, ≤ m rows per series-day), then a BOUNDED range join
+    of the |series×days| day list against register rows within the
+    window and a second ≤ m-row max per output day; registers stored
+    daily roll up into weekly/monthly counts by the same max.  The
+    exact branch exists to BE the gate; it re-shuffles keys per
+    window and is the thing the sketch replaces.
+    """
+    from eventhub_to_timescale_spark.functions.scalars import (
+        portable_hash32,
+    )
+
+    if m != 256:
+        raise ValueError("portable HLL is pinned to m=256 (8 index bits)")
+    if window_days < 1:
+        raise ValueError(f"window_days must be positive, got {window_days}")
+    base = events.filter(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(key_col).cast("string").alias("k"),
+    )
+    h = portable_hash32(F.col("k"), seed)
+    daily = (
+        base.select(
+            "grp",
+            "day",
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            _hll_rho(F.shiftright(h, 8)).alias("rho"),
+        )
+        .groupBy("grp", "day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    days = daily.select("grp", "day").distinct()
+    regs_src = daily.select(
+        F.col("grp").alias("_g"),
+        F.col("day").alias("_rd"),
+        "bucket",
+        "r",
+    )
+    merged = (
+        days.join(
+            regs_src,
+            (F.col("_g") == F.col("grp"))
+            & (F.col("_rd") <= F.col("day"))
+            & (F.col("_rd") >= F.date_sub(F.col("day"), window_days - 1)),
+        )
+        .groupBy("grp", "day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    per = merged.groupBy("grp", "day").agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - r)")).alias(
+            "z_nonzero"
+        ),
+    )
+    empty = F.lit(m) - F.col("nonzero")
+    z_scaled = F.col("z_nonzero") + empty * F.lit(1 << 25)
+    raw = F.lit(HLL_NUMER) / z_scaled
+    est = F.when(
+        (raw < F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(raw)
+    est_frame = per.select("grp", "day", est.alias("_est"))
+    keys_src = base.select(
+        F.col("grp").alias("_g"), F.col("day").alias("_kd"), "k"
+    )
+    exact = (
+        days.join(
+            keys_src,
+            (F.col("_g") == F.col("grp"))
+            & (F.col("_kd") <= F.col("day"))
+            & (F.col("_kd") >= F.date_sub(F.col("day"), window_days - 1)),
+        )
+        .groupBy("grp", "day")
+        .agg(F.countDistinct("k").alias("exact_distinct"))
+    )
+    err = F.abs(F.col("_est") - F.col("exact_distinct"))
+    return (
+        exact.join(est_frame, ["grp", "day"])
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            "exact_distinct",
+            (
+                err <= F.lit(tolerance) * F.col("exact_distinct") + F.lit(2.0)
+            ).alias("within_tolerance"),
+        )
+        .orderBy(group_col, "day")
+    )
+
+
+def hll_rolling_oracle_sql(
+    window_days: int = 7,
+    key_expr: str = "user_id",
+    group_expr: str = "event_type",
+    ts_expr: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB rendering of ``hll_rolling_distinct``'s gate surface:
+    the EXACT trailing-window distinct with ``within_tolerance``
+    pinned TRUE — register drift beyond the bound flips the Spark-side
+    boolean and hash-mismatches (same pattern as sketch_distinct)."""
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS grp, CAST({ts_expr} AS DATE) AS day,
+         CAST({key_expr} AS VARCHAR) AS k
+  FROM {table}
+  WHERE {key_expr} IS NOT NULL AND {group_expr} IS NOT NULL
+),
+days AS (SELECT DISTINCT grp, day FROM base)
+SELECT d.grp AS {group_expr}, d.day,
+       CAST(COUNT(DISTINCT b.k) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tolerance
+FROM days d
+JOIN base b ON b.grp = d.grp
+           AND b.day <= d.day
+           AND b.day >= d.day - {window_days - 1}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
