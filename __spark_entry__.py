@@ -2019,6 +2019,91 @@ m AS"""
     )
 
 
+def _dedup_evidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup evidence: one row per candidate pair found
+    by ANY of the three near-dup families — MinHash global Jaccard,
+    winnowing local fingerprints, Levenshtein edit distance — with
+    each family's score (NULL where that family did not flag the
+    pair).  The reviewer's surface for tuning thresholds: a pair
+    flagged by all three is a certain duplicate; edit-only pairs are
+    in-place mutations; winnow-only pairs are partial reuse.
+
+    Plan: three already-bounded pair frames FULL OUTER joined on the
+    ordered (doc_a, doc_b) key — pair-graph-sized, never corpus-sized.
+    """
+    from eventhub_to_timescale_spark.operators.dedup import minhash_lsh_pairs
+    from eventhub_to_timescale_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+    from eventhub_to_timescale_spark.operators.winnowing import winnow_pairs
+
+    docs = _docs(spark, sf_dir)
+    mh = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=6, jaccard_threshold=0.5,
+        persist_banded=True,
+    ).select("doc_a", "doc_b", "jaccard")
+    wp = winnow_pairs(docs, k=5, w=4, min_shared=2).select(
+        "doc_a", "doc_b", F.col("shared").alias("shared_fps")
+    )
+    ed = edit_distance_pairs(docs, max_distance=8).select(
+        "doc_a", "doc_b", "distance"
+    )
+    keys = ["doc_a", "doc_b"]
+    return (
+        mh.join(wp, keys, "full_outer")
+        .join(ed, keys, "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "shared_fps",
+            "distance",
+            (
+                F.col("jaccard").isNotNull().cast("int")
+                + F.col("shared_fps").isNotNull().cast("int")
+                + F.col("distance").isNotNull().cast("int")
+            ).alias("n_families"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _dedup_evidence_oracle() -> str:
+    import eventhub_to_timescale_spark.oracles as oc
+    from eventhub_to_timescale_spark.operators.editsim import (
+        edit_distance_pairs_oracle_sql,
+    )
+    from eventhub_to_timescale_spark.operators.winnowing import (
+        winnow_pairs_oracle_sql,
+    )
+
+    mh = oc.dedup_minhash_oracle(12, 6, 0.5)
+    wp = winnow_pairs_oracle_sql(k=5, w=4, min_shared=2)
+    ed = edit_distance_pairs_oracle_sql(max_distance=8)
+    return f"""
+WITH mh AS ({mh}),
+wp AS ({wp}),
+ed AS ({ed}),
+ks AS (
+  SELECT doc_a, doc_b FROM mh
+  UNION
+  SELECT doc_a, doc_b FROM wp
+  UNION
+  SELECT doc_a, doc_b FROM ed
+)
+SELECT k.doc_a, k.doc_b, mh.jaccard,
+       wp.shared AS shared_fps, ed.distance,
+       (CAST(mh.jaccard IS NOT NULL AS INTEGER)
+        + CAST(wp.shared IS NOT NULL AS INTEGER)
+        + CAST(ed.distance IS NOT NULL AS INTEGER)) AS n_families
+FROM ks k
+LEFT JOIN mh ON mh.doc_a = k.doc_a AND mh.doc_b = k.doc_b
+LEFT JOIN wp ON wp.doc_a = k.doc_a AND wp.doc_b = k.doc_b
+LEFT JOIN ed ON ed.doc_a = k.doc_a AND ed.doc_b = k.doc_b
+ORDER BY k.doc_a, k.doc_b
+"""
+
+
 def _sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per event type from MERGEABLE
     daily HLL registers (register max across the window — the rollup
@@ -2443,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_graph_triangles": _dedup_graph_triangles,
         "dedup_edit_distance": _dedup_edit_distance,
         "sketch_hll_rolling": _sketch_hll_rolling,
+        "dedup_evidence_report": _dedup_evidence_report,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3783,6 +3869,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_graph_triangles": _graph_triangles_oracle(),
         "dedup_edit_distance": _edit_distance_oracle(),
         "sketch_hll_rolling": _hll_rolling_oracle(),
+        "dedup_evidence_report": _dedup_evidence_oracle(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
