@@ -2019,6 +2019,49 @@ m AS"""
     )
 
 
+def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the corpus' top-4 principal components —
+    the sufficient-statistics pattern: EXACT integer micro Gram sums
+    (order-free, so Spark / DuckDB / numpy agree bit-for-bit), a
+    bounded 64×64 eigendecomposition on the driver, and a plan-time
+    literal scan-side projection (operators/embeddings.py:
+    pca_project / pca_fit_duckdb; the in-Spark fit twin
+    pca_fit_spark is pinned sum-identical by pytest).  Exploded to
+    scalar rows for the gate like emb_random_projection."""
+    from eventhub_to_timescale_spark.operators.embeddings import (
+        pca_fit_duckdb,
+        pca_project,
+    )
+
+    mean, comps = pca_fit_duckdb(f"{sf_dir}/embeddings.parquet", k=4)
+    return pca_project(_embs(spark, sf_dir), mean, comps)
+
+
+def _pca_oracle_entry() -> dict[str, str]:
+    # data-dependent oracle (same pattern as sim_ivf_topk): the
+    # literal component matrix is fitted from the oracle SF dir's
+    # parquet by the same exact-integer fit
+    from eventhub_to_timescale_spark.operators.embeddings import (
+        pca_fit_duckdb,
+        pca_project_oracle_sql,
+    )
+
+    path = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        + "/embeddings.parquet"
+    )
+    try:
+        mean, comps = pca_fit_duckdb(path, k=4)
+        return {"emb_pca_project": pca_project_oracle_sql(mean, comps)}
+    except Exception as e:
+        print(
+            f"WARNING: emb_pca_project oracle dropped (rows-only gate): "
+            f"{e!r} (path={path})",
+            file=sys.stderr,
+        )
+        return {}
+
+
 def _dedup_evidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-family dedup evidence: one row per candidate pair found
     by ANY of the three near-dup families — MinHash global Jaccard,
@@ -2529,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": _dedup_edit_distance,
         "sketch_hll_rolling": _sketch_hll_rolling,
         "dedup_evidence_report": _dedup_evidence_report,
+        "emb_pca_project": _emb_pca_project,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
         # anti-join atop witnessed pairs, with survivor mechanics
@@ -3870,6 +3914,7 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_edit_distance": _edit_distance_oracle(),
         "sketch_hll_rolling": _hll_rolling_oracle(),
         "dedup_evidence_report": _dedup_evidence_oracle(),
+        **_pca_oracle_entry(),
         "sample_temperature_mix": _temperature_mix_oracle(),
         "dedup_pagerank": oc.pagerank_oracle(12, 6, 0.5, iters=3),
         "text_word_entropy": _word_entropy_oracle(),
