@@ -66,3 +66,37 @@ class TestFrequentTerms:
             map(tuple, con.execute(frequent_terms_oracle_sql(k=10)).fetchall())
         )
         assert got == want
+
+    def test_matches_exact_group_by_across_k(self, spark):
+        """The two-phase plan equals the plain exact GROUP BY/HAVING
+        for every k — the claim the oracle makes, pinned in-process
+        across a k sweep and a partitioning change."""
+        import collections
+
+        # pure-alpha tokens: the operator's lexer splits "w3" into
+        # "w" + "3", which a str.split reference would miscount
+        rng_rows = [
+            (
+                i,
+                " ".join(
+                    "w" + "abcdefghi"[(i * j) % 9] for j in range(1, 8)
+                ),
+            )
+            for i in range(30)
+        ]
+        toks = collections.Counter(
+            t for _, text in rng_rows for t in text.split()
+        )
+        n = sum(toks.values())
+        for k in (2, 5, 20):
+            for parts in (2, 7):
+                got = sorted(
+                    (r["term"], r["freq"])
+                    for r in frequent_terms(
+                        _docs(spark, rng_rows, parts), k=k
+                    ).collect()
+                )
+                want = sorted(
+                    (t, c) for t, c in toks.items() if c * (k + 1) > n
+                )
+                assert got == want, f"k={k} parts={parts}"

@@ -74,3 +74,26 @@ class TestLeakageSafeSplit:
             for r in leakage_safe_split(docs, pairs, frac).collect()
         }
         assert got[witness[0]] == got[witness[1]]
+
+
+class TestLeakageSplitWithWinnowing:
+    def test_winnow_pair_frame_composes(self, spark):
+        """The split accepts any pair frame — here winnowing's local
+        reuse pairs — and keeps planted reuse pairs split-atomic."""
+        from eventhub_to_timescale_spark.operators.winnowing import (
+            winnow_pairs,
+        )
+
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (1, "lead in words " + shared),
+            (2, shared + " trailing words here"),
+        ] + [(i, f"solo document number {i} with its own words") for i in range(3, 40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = winnow_pairs(docs, k=5, w=4, min_shared=1)
+        got = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(docs, pairs, 0.5).collect()
+        }
+        assert got[1] == got[2]
+        assert len(got) == 39
