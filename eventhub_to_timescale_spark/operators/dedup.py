@@ -96,6 +96,74 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 
+def banded_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """→ (doc_id, shingles, band_id, band_key): the LSH-banded MinHash
+    signature frame — the candidate-generation key space shared by the
+    batch self-join (``minhash_lsh_pairs``) and the streaming seen-set
+    operator (``streaming/neardup.py``), built from ONE set of Spark
+    expressions so the two paths band identically by construction.
+    NULL texts are excluded (see ``minhash_lsh_pairs`` for why)."""
+    if num_hashes % bands != 0:
+        # a bare assert vanishes under python -O and would silently
+        # truncate the signature
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    rows_per_band = num_hashes // bands
+    sh = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+
+    def _seeded(seed: str):
+        # MUST return a ONE-parameter lambda: pyspark binds a
+        # two-parameter lambda in transform() as (element, INDEX) —
+        # the infamous `lambda x, i=i:` capture idiom silently turns
+        # the loop variable into the array-index NamedLambdaVariable,
+        # whose repr gets baked into the seed string (wrong seeds,
+        # unstable across plan builds; caught by the 10× parity sweep
+        # in round 7, invisible at sf0.01 because 12 garbage-seeded
+        # hashes are still 12 independent hashes and LSH recall hid it)
+        return lambda x: _hash32(x, seed)
+
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("shingles"), _seeded(f"mh{i}:"))
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -121,64 +189,19 @@ def minhash_lsh_pairs(
     default). Results are identical either way; the caller owns
     ``unpersist`` if it cares about executor memory afterwards.
     """
-    if num_hashes % bands != 0:
-        # a bare assert vanishes under python -O and would silently
-        # truncate the signature
-        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
-    rows_per_band = num_hashes // bands
-    # materialize shingles once, then derive the signature from the
-    # materialized column (avoids re-computing the shingling per hash).
-    # NULL texts are excluded: the slice/concat_ws path would shingle
-    # them as [''] — identical to an empty document — and emit
-    # jaccard-1.0 pairs the oracle (whose NULL band keys never join)
-    # doesn't produce
-    sh = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    # shingles are materialized once inside banded_signatures, then the
+    # signature derives from the materialized column (avoids
+    # re-computing the shingling per hash).  NULL texts are excluded
+    # there: the slice/concat_ws path would shingle them as [''] —
+    # identical to an empty document — and emit jaccard-1.0 pairs the
+    # oracle (whose NULL band keys never join) doesn't produce
+    banded = banded_signatures(
+        docs,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
     )
-    def _seeded(seed: str):
-        # MUST return a ONE-parameter lambda: pyspark binds a
-        # two-parameter lambda in transform() as (element, INDEX) —
-        # the infamous `lambda x, i=i:` capture idiom silently turns
-        # the loop variable into the array-index NamedLambdaVariable,
-        # whose repr gets baked into the seed string (wrong seeds,
-        # unstable across plan builds; caught by the 10× parity sweep
-        # in round 7, invisible at sf0.01 because 12 garbage-seeded
-        # hashes are still 12 independent hashes and LSH recall hid it)
-        return lambda x: _hash32(x, seed)
-
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("shingles"), _seeded(f"mh{i}:"))
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
-    banded = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
     if persist_banded:
         banded = banded.persist()
 

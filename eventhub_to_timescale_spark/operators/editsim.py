@@ -40,14 +40,21 @@ from pyspark.sql import functions as F
 
 def qgram_set(text, q: int):
     """Distinct character q-grams of ``lower(text)`` as an array
-    column expression."""
+    column expression.  Texts shorter than ``q`` yield an EMPTY array:
+    without the guard, ``sequence(1, 0)`` steps DOWN to ``[1, 0]``
+    (Spark's default step is −1 when start > stop), emitting a
+    spurious truncated q-gram that DuckDB's empty ``range(1, 1)``
+    never produces — a cross-engine parity break on short docs."""
     t = F.lower(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - (q - 1), F.lit(0))),
-            lambda i: F.substring(t, i, q),
-        )
-    )
+    return F.when(
+        F.length(t) >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (q - 1)),
+                lambda i: F.substring(t, i, q),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def edit_distance_pairs(

@@ -306,6 +306,7 @@ def pca_fit_spark(
     import pandas as pd  # noqa: F401
 
     dim = in_dim
+    col = vec_col  # close over, so non-default vec_col reaches the worker
 
     def _partial(batches):
         import numpy as np
@@ -316,7 +317,7 @@ def pca_fit_spark(
         s2 = np.zeros((dim, dim), dtype=np.int64)
         for pdf in batches:
             vecs = [
-                v for v in pdf["embedding"] if v is not None and len(v) == dim
+                v for v in pdf[col] if v is not None and len(v) == dim
             ]
             if not vecs:
                 continue
@@ -375,9 +376,10 @@ def pca_fit_duckdb(
         f"""
         SELECT list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-        FROM read_parquet('{parquet_path}')
+        FROM read_parquet(?)
         WHERE embedding IS NOT NULL AND len(embedding) = {in_dim}
-        """
+        """,
+        [parquet_path],
     ).fetchall()
     con.close()
     vm = np.array([r[0] for r in arr], dtype=np.int64)

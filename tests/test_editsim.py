@@ -46,7 +46,9 @@ class TestEditDistancePairs:
         }
         assert got[(1, 2)] == 1
         assert got[(1, 3)] == 6
-        assert got[(2, 3)] == 8 if (2, 3) in got else True
+        # distance(2,3) = 8 > the max_distance=6 threshold, so the
+        # pair must NOT appear
+        assert (2, 3) not in got
         assert not any(4 in p for p in got)
 
     def test_case_insensitive(self, spark):
@@ -87,6 +89,39 @@ class TestEditDistancePairs:
     def test_bad_params_raise(self, spark):
         with pytest.raises(ValueError):
             edit_distance_pairs(_docs(spark, [(1, "x")]), -1)
+
+    def test_short_and_empty_texts_match_oracle(self, spark):
+        """Texts shorter than q must yield NO q-grams (hence no
+        candidate pairs), matching DuckDB's empty range(1, 1).
+        Pre-guard, sequence(1, 0) stepped DOWN to [1, 0] and emitted a
+        spurious truncated gram, so ('ab','ab') and ('','') paired in
+        Spark but not in the oracle."""
+        rows = [
+            (1, "ab"),
+            (2, "ab"),
+            (3, ""),
+            (4, ""),
+            (5, "alpha beta gamma delta"),
+            (6, "alpha beta gamma delta"),
+        ]
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(_docs(spark, rows), 6).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    edit_distance_pairs_oracle_sql(max_distance=6)
+                ).fetchall(),
+            )
+        )
+        assert got == want
+        # only the long pair survives; the sub-q texts produce nothing
+        assert got == [(5, 6, 0)]
 
     def test_matches_duckdb_oracle(self, spark):
         rows = [

@@ -33,6 +33,12 @@ class TestPca:
         assert pca_fit_spark(emb.repartition(3), k=4) == pca_fit_duckdb(
             path, k=4
         )
+        # non-default vec_col reaches the mapInPandas worker (the
+        # partial closure must read the renamed column, not a
+        # hardcoded "embedding")
+        assert pca_fit_spark(
+            emb.withColumnRenamed("embedding", "vec"), k=4, vec_col="vec"
+        ) == pca_fit_duckdb(path, k=4)
 
     def test_component_variances_are_decreasing(self, spark):
         """Projections onto earlier components carry ≥ variance of
