@@ -438,6 +438,21 @@ def _dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_stream_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep-first verdict frame (doc_id, dup_of) — the
+    BATCH TWIN of the streaming MinHash-band seen-set dedup
+    (streaming/neardup.py, the near-dup upgrade of the reference's
+    exact-key ingest dedup, bmw_to_timescale/duplicate_check.py:45-96).
+    tests/test_streaming_neardup.py proves the streaming operator
+    converges row-identically to this frame on a doc_id-ordered
+    replay; this gated entry is its driver-witnessed oracle surface."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        minhash_dup_verdicts,
+    )
+
+    return minhash_dup_verdicts(_docs(spark, sf_dir))
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full connected-components duplicate clustering over the MinHash
     pair graph (min-label propagation; oracle = recursive-CTE
@@ -2402,78 +2417,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     check_parity + test_gate_tail_parity witnesses every round.
     #     The 45 green r9-head entries demote to the tail, freshly
     #     driver-green.
-    #   r11 plan: head = the 16 r8 demotions FIRST (most overdue,
-    #     last gated r7), then the 16 r7-rotation groups (last gated
-    #     r8), then the 8 r10-NEW never-gated entries
-    #     (dedup_winnowing, text_tfidf_topk, dedup_winnow_keep,
-    #     events_seasonal_decompose, sketch_heavy_hitters,
-    #     events_seasonal_anomaly, sample_leakage_split,
-    #     events_phase_outliers, + any r11 additions), then the
-    #     remaining ~10 slots rotating from the r10 head (never-gated
-    #     group first — they will have exactly one green row).  After
-    #     that rotation every oracled entry has at least one
-    #     driver-green row; resume the standing 2-round cadence.
+    #   r11 head (this round, VERDICT r10 ask #1 — the r10 prose plan
+    #     had drifted from the registry, which is why the table of
+    #     record is now GENERATED: scripts/rotation_ledger.py scans
+    #     CORRECTNESS_r01..rN + this dict and writes ROTATION.md,
+    #     exiting nonzero if any never-witnessed entry sits outside
+    #     the head).  Four groups, exactly 50:
+    #     (a) ALL 15 never-witnessed entries — the 13 r10 additions,
+    #         asof_probe_value_salted (never gated in any round; the
+    #         r10 comment missed it), and the NEW r11
+    #         dedup_stream_neardup_twin (the streaming MinHash-band
+    #         near-dup dedup's batch twin, born under the type-strict
+    #         oracle contract like every new entry: integer SUMs CAST
+    #         AS BIGINT, no HUGEINT/DECIMAL/array/struct output —
+    #         enforced by tests/test_oracle_types.py on the whole
+    #         registry);
+    #     (b) the 16 r8 demotions (last gated r7, most overdue);
+    #     (c) the 16 r7-rotation groups (last gated r8);
+    #     (d) 3 rotating r9-head demotions (text_bm25_topk,
+    #         sample_dsir_topn, curation_gopher_quality).
+    #     After this round's gate, every oracled entry has ≥1
+    #     driver-green row (ROTATION.md is the verification artifact);
+    #     r12 resumes the standing 2-round cadence, starting with the
+    #     42 remaining r9-green demotions.
     return {
-        # ---------------- r10 GATE HEAD (50 entries) ----------------
-        # — (a) r9 red rows, fixed this round, re-gated
-        "rel_shipmode_priority": _rel_shipmode_priority,
-        "events_journey_trigrams": _events_journey_trigrams,
-        "dedup_substr_clean": _dedup_substr_clean,
-        "pipeline_dedup_full": _pipeline_dedup_full,
-        "emb_random_projection": _emb_random_projection,
-        # — (b) never-gated: r9-new tail entries
-        "dedup_semantic_default": _dedup_semantic_default,
-        "sketch_kmv_overlap": _sketch_kmv_overlap,
-        "curation_normalize": _curation_normalize,
-        "dedup_exact_normalized": _dedup_exact_normalized,
-        # — (b) never-gated: r6-tail families
-        "toolkit_ohlc": _toolkit_ohlc,
-        "toolkit_trend_slope": _toolkit_trend_slope,
-        "emb_normalize_quantize": _emb_normalize_quantize,
-        "doc_chunks": _doc_chunks,
-        "corpus_shard_order": _corpus_shard_order,
-        "events_sessionize": _events_sessionize,
-        "toolkit_gauge_delta": _toolkit_gauge_delta,
-        # — (c) the always-gated core, head residency restored
-        "q1_bucket_avg": _q1,
-        "q2_resolution_avg": _q2,
-        "q3_daily_max": _q3_daily,
-        "q4_mode_adaptive": _q4_mode,
-        "q5_timeweight_locf": _q5_locf,
-        "q6_asap_smooth": _q6_asap,
-        "q6_lttb_downsample": _q6_lttb,
-        "q7_unique_subjects": _q7_subjects,
-        "q8_changed_rows": _q8_changes,
-        "q9_state_intervals": _q9_intervals,
-        "asof_probe_value": _asof_probe_value,
-        "range_overlap_join": _range_overlap,
-        "gapfill_linear": _gapfill_linear,
-        "ingest_events_unpivot": _ingest_conditions,
-        "ingest_glow": _ingest_glow,
-        "ingest_homie": _ingest_homie,
-        "ingest_emon": _ingest_emon,
-        "ingest_bmw": _ingest_bmw,
-        "ingest_dynamic": _ingest_dynamic,
-        "ingest_records_strict": _ingest_records_strict,
-        "ingest_router_union": _ingest_router,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "sim_cosine_topk": _sim_topk,
-        "text_fingerprint": _text_fingerprint,
-        "text_vocab_topk": _text_vocab_topk,
-        "pack_documents": _pack_documents,
-        "curation_pii_redact": _curation_pii_redact,
-        "curation_decontaminate": _curation_decontaminate,
-        "curation_repetition": _curation_repetition,
-        "mm_blob_features": _mm_blob_features,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_resize": _mm_resize,
-        # --- tail: entries past the driver's 50-entry gate window.
-        # Every tail entry keeps its own oracle — scripts/check_parity.py
-        # and tests/test_gate_tail_parity.py verify them every run.
-        # — r8 demotions (driver-green r7; FIRST in line for the r11
-        #   head — most overdue)
+        # ------------- r11 GATE HEAD (50 entries) -------------
+        # — (a) all 15 never-driver-witnessed entries: the 13 r10
+        #   additions, the never-gated asof salted variant, and the
+        #   NEW r11 streaming-near-dup batch twin
+        "dedup_stream_neardup_twin": _dedup_stream_neardup_twin,
+        "dedup_winnowing": _dedup_winnowing,
+        "text_tfidf_topk": _text_tfidf_topk,
+        "dedup_winnow_keep": _dedup_winnow_keep,
+        "events_seasonal_decompose": _events_seasonal,
+        "sketch_heavy_hitters": _sketch_heavy_hitters,
+        "events_seasonal_anomaly": _events_seasonal_anomaly,
+        "sample_leakage_split": _sample_leakage_split,
+        "events_phase_outliers": _events_phase_outliers,
+        "dedup_graph_triangles": _dedup_graph_triangles,
+        "dedup_edit_distance": _dedup_edit_distance,
+        "sketch_hll_rolling": _sketch_hll_rolling,
+        "dedup_evidence_report": _dedup_evidence_report,
+        "emb_pca_project": _emb_pca_project,
+        "asof_probe_value_salted": _asof_probe_value_salted,
+        # — (b) the 16 r8 demotions (last gated r7, most overdue)
         "dedup_components_keep": _dedup_components_keep,
         "dedup_embedding_cosine": _dedup_embedding,
         "sim_ann_lsh": _sim_ann_lsh,
@@ -2490,7 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
         "text_unigram_lm": _text_unigram_lm,
-        # — r7 rotation groups (driver-green r8; second in line r11)
+        # — (c) the 16 r7-rotation groups (last gated r8)
         "q3_intraday_avg": _q3_intraday,
         "q5_timeweight_linear": _q5_linear,
         "q3_daily_from_cascade": _q3_daily_from_cascade,
@@ -2507,10 +2494,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
         "dedup_substr_windows": _dedup_substr_windows,
-        # — r9-head demotions (driver-green r9, the freshest rows)
+        # — (d) 3 rotating r9-head demotions
         "text_bm25_topk": _text_bm25_topk,
         "sample_dsir_topn": _sample_dsir_topn,
         "curation_gopher_quality": _curation_gopher_quality,
+        # --- tail: entries past the driver's 50-entry gate window.
+        # Every tail entry keeps its own oracle — scripts/check_parity.py
+        # and tests/test_gate_tail_parity.py verify them every run.
+        # — r9-head demotions not promoted this round (green r9;
+        #   first in line for the r12 head)
         "sample_token_budget": _sample_token_budget,
         "events_anomaly_mad": _events_anomaly_mad,
         "sample_temperature_mix": _sample_temperature_mix,
@@ -2553,31 +2545,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": _text_bigram_lm,
         "sketch_histogram": _sketch_histogram,
         "rel_revenue_by_nation": _rel_revenue_by_nation,
-        # — NEW in r10 (tail-witnessed this round; never-gated-first
-        # rule puts all five at the r11 head with the r8 demotions):
-        # winnowing (Schleimer et al. local fingerprint dedup — a
-        # candidate family MinHash/SimHash/substr don't cover) + its
-        # components/keep-first composition, per-document TF-IDF
-        # keyword extraction, classical seasonal decomposition, and
-        # exact two-phase pigeonhole heavy hitters
-        "dedup_winnowing": _dedup_winnowing,
-        "text_tfidf_topk": _text_tfidf_topk,
-        "dedup_winnow_keep": _dedup_winnow_keep,
-        "events_seasonal_decompose": _events_seasonal,
-        "sketch_heavy_hitters": _sketch_heavy_hitters,
-        "events_seasonal_anomaly": _events_seasonal_anomaly,
-        "sample_leakage_split": _sample_leakage_split,
-        "events_phase_outliers": _events_phase_outliers,
-        "dedup_graph_triangles": _dedup_graph_triangles,
-        "dedup_edit_distance": _dedup_edit_distance,
-        "sketch_hll_rolling": _sketch_hll_rolling,
-        "dedup_evidence_report": _dedup_evidence_report,
-        "emb_pca_project": _emb_pca_project,
+        # — r10-head demotions (driver-green r10, the freshest rows)
+        "rel_shipmode_priority": _rel_shipmode_priority,
+        "events_journey_trigrams": _events_journey_trigrams,
+        "dedup_substr_clean": _dedup_substr_clean,
+        "pipeline_dedup_full": _pipeline_dedup_full,
+        "emb_random_projection": _emb_random_projection,
+        "dedup_semantic_default": _dedup_semantic_default,
+        "sketch_kmv_overlap": _sketch_kmv_overlap,
+        "curation_normalize": _curation_normalize,
+        "dedup_exact_normalized": _dedup_exact_normalized,
+        "toolkit_ohlc": _toolkit_ohlc,
+        "toolkit_trend_slope": _toolkit_trend_slope,
+        "emb_normalize_quantize": _emb_normalize_quantize,
+        "doc_chunks": _doc_chunks,
+        "corpus_shard_order": _corpus_shard_order,
+        "events_sessionize": _events_sessionize,
+        "toolkit_gauge_delta": _toolkit_gauge_delta,
+        "q1_bucket_avg": _q1,
+        "q2_resolution_avg": _q2,
+        "q3_daily_max": _q3_daily,
+        "q4_mode_adaptive": _q4_mode,
+        "q5_timeweight_locf": _q5_locf,
+        "q6_asap_smooth": _q6_asap,
+        "q6_lttb_downsample": _q6_lttb,
+        "q7_unique_subjects": _q7_subjects,
+        "q8_changed_rows": _q8_changes,
+        "q9_state_intervals": _q9_intervals,
+        "asof_probe_value": _asof_probe_value,
+        "range_overlap_join": _range_overlap,
+        "gapfill_linear": _gapfill_linear,
+        "ingest_events_unpivot": _ingest_conditions,
+        "ingest_glow": _ingest_glow,
+        "ingest_homie": _ingest_homie,
+        "ingest_emon": _ingest_emon,
+        "ingest_bmw": _ingest_bmw,
+        "ingest_dynamic": _ingest_dynamic,
+        "ingest_records_strict": _ingest_records_strict,
+        "ingest_router_union": _ingest_router,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "sim_cosine_topk": _sim_topk,
+        "text_fingerprint": _text_fingerprint,
+        "text_vocab_topk": _text_vocab_topk,
+        "pack_documents": _pack_documents,
+        "curation_pii_redact": _curation_pii_redact,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_repetition": _curation_repetition,
+        "mm_blob_features": _mm_blob_features,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_resize": _mm_resize,
         # — permanent tail (documented sibling-witnessed mechanisms):
         # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
-        # anti-join atop witnessed pairs, with survivor mechanics
-        # witnessed by dedup_components_keep; sample_split_counts /
-        # sample_events_stratified = the sample_docs_fraction
+        # anti-join atop witnessed pairs (and its verdict twin
+        # dedup_stream_neardup_twin is gated this round); sample_split_
+        # counts / sample_events_stratified = the sample_docs_fraction
         # md5-threshold membership test under another salt / strata
         # column; q6_moving_avg = the trivial rangeBetween fallback
         # beside the gated ASAP/LTTB algorithms; gapfill_locf =
@@ -2590,11 +2613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_moving_avg": _q6_moving_avg,
         "gapfill_locf": _gapfill_locf,
         # — shared-oracle rewrites, property-tested row-identical
-        # to head siblings (tests/test_queries.py, test_asof_salted.py)
+        # to head siblings (tests/test_queries.py, test_asof_salted.py);
+        # asof_probe_value_salted graduated to the r11 head
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
-        "asof_probe_value_salted": _asof_probe_value_salted,
     }
 
 
@@ -3605,6 +3628,7 @@ ORDER BY 1, 3
         # their own oracles; salted/rollup rewrites share the head
         # oracles their property tests prove them identical to
         "q1_all_subjects": q1_all,
+        "dedup_stream_neardup_twin": oc.dedup_verdicts_oracle(12, 6, 0.5),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

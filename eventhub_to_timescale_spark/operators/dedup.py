@@ -508,6 +508,54 @@ def minhash_keep_first(
     return near_dedup_filter(docs, pairs, id_col)
 
 
+def minhash_dup_verdicts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """→ (doc_id, dup_of) for EVERY document: dup_of = the smallest
+    earlier (lower-id) document that band-collides with this one at
+    word-shingle Jaccard ≥ threshold, NULL ⇒ the document survives
+    keep-first dedup. The survivor set {dup_of IS NULL} equals
+    ``minhash_keep_first``'s output; the extra ``dup_of`` column is
+    the evidence a curation run wants in its audit log.
+
+    This is also the BATCH TWIN of the streaming MinHash-band
+    seen-set operator (streaming/neardup.py): on a doc_id-ordered
+    replay the streaming verdicts converge row-identically to this
+    frame (tests/test_streaming_neardup.py), the same
+    batch-convergence contract the other stateful operators pin.
+
+    At scale: pairs come from the banded equi-join (never all-pairs);
+    the verdict join is a left join of the corpus against the
+    pair-graph-sized first-collision frame — broadcast-able whenever
+    the duplicate set is small relative to the corpus.
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
+    firsts = (
+        pairs.groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"))
+        .withColumnRenamed("doc_b", id_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(firsts, id_col, "left")
+        .select(F.col(id_col).alias("doc_id"), "dup_of")
+        .orderBy("doc_id")
+    )
+
+
 def near_dedup_components(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:

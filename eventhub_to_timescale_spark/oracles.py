@@ -760,6 +760,25 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_verdicts_oracle(
+    num_hashes: int = 12, bands: int = 6, threshold: float = 0.5
+) -> str:
+    """Per-document keep-first verdict frame: dup_of = min earlier
+    near-dup partner from the MinHash pair graph, NULL ⇒ survivor —
+    the oracle for ``dedup.minhash_dup_verdicts`` (the batch twin of
+    the streaming band seen-set operator)."""
+    pairs = dedup_minhash_oracle(num_hashes, bands, threshold)
+    return f"""
+WITH pairs AS ({pairs}),
+firsts AS (
+  SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of FROM pairs GROUP BY doc_b
+)
+SELECT d.doc_id, f.dup_of
+FROM documents d LEFT JOIN firsts f USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def mm_frame_oracle(n_frames: int = 4) -> str:
     """REAL frame sampling verified analytically: the engine decodes a
     VID0 container of BMP frames and checksums actual decoded pixels;

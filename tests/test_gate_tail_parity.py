@@ -120,34 +120,67 @@ ALWAYS_GATED_CORE = {
 }
 
 
-# The planned r10 gate head (registry ledger), pinned EXACTLY so an
-# accidental reorder cannot silently change what the driver witnesses:
-# the 5 r9 red rows re-gated (fixed this round), the 11 never-gated
-# entries, then the full 34-entry always-gated core restored.
-R10_HEAD = [
-    # (a) r9 red rows, fixed and re-gated
-    "rel_shipmode_priority", "events_journey_trigrams",
-    "dedup_substr_clean", "pipeline_dedup_full",
-    "emb_random_projection",
-    # (b) never-gated entries
-    "dedup_semantic_default", "sketch_kmv_overlap",
-    "curation_normalize", "dedup_exact_normalized",
-    "toolkit_ohlc", "toolkit_trend_slope", "emb_normalize_quantize",
-    "doc_chunks", "corpus_shard_order", "events_sessionize",
-    "toolkit_gauge_delta",
-    # (c) the always-gated core, restored
-    "q1_bucket_avg", "q2_resolution_avg", "q3_daily_max",
-    "q4_mode_adaptive", "q5_timeweight_locf", "q6_asap_smooth",
-    "q6_lttb_downsample", "q7_unique_subjects", "q8_changed_rows",
-    "q9_state_intervals", "asof_probe_value", "range_overlap_join",
-    "gapfill_linear", "ingest_events_unpivot", "ingest_glow",
-    "ingest_homie", "ingest_emon", "ingest_bmw", "ingest_dynamic",
-    "ingest_records_strict", "ingest_router_union", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
-    "text_fingerprint", "text_vocab_topk", "pack_documents",
-    "curation_pii_redact", "curation_decontaminate",
-    "curation_repetition", "mm_blob_features", "mm_frame_sample",
-    "mm_resize",
+# The planned r11 gate head (ROTATION.md / registry ledger), pinned
+# EXACTLY so an accidental reorder cannot silently change what the
+# driver witnesses: all 15 never-witnessed entries first (after this
+# round every oracled entry has a driver-green row), then the two
+# overdue demotion pools, then 3 rotating r9 demotions.
+R11_HEAD = [
+    # (a) all 15 never-driver-witnessed entries (13 r10 additions,
+    # asof_probe_value_salted, the new r11 streaming-twin entry)
+    "dedup_stream_neardup_twin",
+    "dedup_winnowing",
+    "text_tfidf_topk",
+    "dedup_winnow_keep",
+    "events_seasonal_decompose",
+    "sketch_heavy_hitters",
+    "events_seasonal_anomaly",
+    "sample_leakage_split",
+    "events_phase_outliers",
+    "dedup_graph_triangles",
+    "dedup_edit_distance",
+    "sketch_hll_rolling",
+    "dedup_evidence_report",
+    "emb_pca_project",
+    "asof_probe_value_salted",
+    # (b) the 16 r8 demotions (last gated r7)
+    "dedup_components_keep",
+    "dedup_embedding_cosine",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "text_quality_score",
+    "pipeline_clean_corpus",
+    "text_quality_percentile",
+    "sample_docs_fraction",
+    "sketch_distinct",
+    "sketch_percentile",
+    "toolkit_counter_delta",
+    "toolkit_heartbeat",
+    "events_sessionize_native",
+    "rel_pricing_summary",
+    "rel_top_orders",
+    "text_unigram_lm",
+    # (c) the 16 r7-rotation groups (last gated r8)
+    "q3_intraday_avg",
+    "q5_timeweight_linear",
+    "q3_daily_from_cascade",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "text_quality_sample_cut",
+    "text_language_id",
+    "text_token_stats",
+    "rel_returned_revenue",
+    "rel_large_orders",
+    "sample_source_quota",
+    "sample_docs_weighted",
+    "events_live_intervals",
+    "events_cohort_retention",
+    "events_funnel",
+    "dedup_substr_windows",
+    # (d) 3 rotating r9-head demotions
+    "text_bm25_topk",
+    "sample_dsir_topn",
+    "curation_gopher_quality",
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
@@ -176,24 +209,57 @@ _OLD_R9_HEAD_DEMOTIONS = [
 ]
 
 
-def test_gate_head_matches_r10_rotation_plan():
-    """The driver's 50-entry window holds exactly the ledger's r10
-    rotation plan: 5 re-gated red rows + 11 never-gated entries + the
-    restored 34-entry core.  This pin IS the guard that the core's
-    suspension (r9 only) cannot silently extend another round."""
+def test_gate_head_matches_r11_rotation_plan():
+    """The driver's 50-entry window holds exactly the ledger's r11
+    rotation plan (VERDICT r10 ask #1): every never-witnessed entry is
+    inside the window this round, so after the r11 gate the
+    full-registry driver witness is complete."""
     head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
-    assert head == R10_HEAD, (
-        f"gate head drifted from the r10 plan: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R10_HEAD)) if a != b][:5]}"
+    assert head == R11_HEAD, (
+        f"gate head drifted from the r11 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R11_HEAD)) if a != b][:5]}"
     )
 
 
-def test_core_restored_to_head():
-    """ADVICE r9 guard: every always-gated-core entry sits INSIDE the
-    driver's 50-entry window this round (suspension was r9-only)."""
+def test_rotation_ledger_has_no_drift():
+    """scripts/rotation_ledger.py is the generated table of record
+    (VERDICT r10 ask #7 — the r10 prose ledger drifted); its invariant
+    — every never-driver-witnessed entry sits inside the current gate
+    head — must hold at every commit, not just at round end."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_ledger",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "rotation_ledger.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows, latest, stale = mod.build_table()
+    bad = [
+        r["entry"] for r in rows if r["never_witnessed"] and not r["in_head"]
+    ]
+    assert not bad, f"never-witnessed entries outside the gate head: {bad}"
+
+
+def test_core_witness_cadence_holds():
+    """Every always-gated-core entry is either inside the current gate
+    head or earned a driver-green row LAST round (the standing 2-round
+    cadence; the core demoted to the tail for r11 while the
+    never-witnessed backlog clears, freshly green in r10, due r12)."""
+    import json
+
     head = set(list(entrymod.queries())[:DRIVER_GATE_WINDOW])
-    missing = sorted(ALWAYS_GATED_CORE - head)
-    assert not missing, f"core entries still outside the gate head: {missing}"
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "CORRECTNESS_r10.json")) as f:
+        r10 = json.load(f)
+    green_r10 = {
+        k for k, v in r10.items()
+        if isinstance(v, dict) and v.get("hash_match")
+    }
+    overdue = sorted(ALWAYS_GATED_CORE - head - green_r10)
+    assert not overdue, f"core entries past the 2-round cadence: {overdue}"
 
 
 def test_rotated_out_entries_stay_registered_with_oracles():
