@@ -453,6 +453,30 @@ def _dedup_stream_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_verdicts(_docs(spark, sf_dir))
 
 
+def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM control chart per event_type, distributed-exact via
+    the reflected-running-sum identity (two window functions, pure
+    BIGINT cents) — the sequential-looking recursion the reference
+    class of tools (TimescaleDB toolkit) runs row-at-a-time, expressed
+    as a declarative plan. See operators/changepoint.py."""
+    from eventhub_to_timescale_spark.operators.changepoint import cusum_alarms
+
+    return cusum_alarms(_events(spark, sf_dir))
+
+
+def _dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. 2001) dedup
+    evidence: chunks cut where a rolling window hash ≡ 0 mod divisor,
+    so copied spans share chunk hashes regardless of offset drift —
+    the insertion-robust complement to substrdup's fixed windows. See
+    operators/cdcchunk.py."""
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        cdc_shared_chunks,
+    )
+
+    return cdc_shared_chunks(_docs(spark, sf_dir))
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full connected-components duplicate clustering over the MinHash
     pair graph (min-label propagation; oracle = recursive-CTE
@@ -2434,8 +2458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         registry);
     #     (b) the 16 r8 demotions (last gated r7, most overdue);
     #     (c) the 16 r7-rotation groups (last gated r8);
-    #     (d) 3 rotating r9-head demotions (text_bm25_topk,
-    #         sample_dsir_topn, curation_gopher_quality).
+    #     (d) rotating r9-head demotions as slots allow — after the
+    #         two later r11 additions (events_cusum_alarms,
+    #         dedup_cdc_chunks) took precedence, one slot remained
+    #         (text_bm25_topk).
     #     After this round's gate, every oracled entry has ≥1
     #     driver-green row (ROTATION.md is the verification artifact);
     #     r12 resumes the standing 2-round cadence, starting with the
@@ -2446,6 +2472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   additions, the never-gated asof salted variant, and the
         #   NEW r11 streaming-near-dup batch twin
         "dedup_stream_neardup_twin": _dedup_stream_neardup_twin,
+        "events_cusum_alarms": _events_cusum_alarms,
+        "dedup_cdc_chunks": _dedup_cdc_chunks,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2494,15 +2522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
         "dedup_substr_windows": _dedup_substr_windows,
-        # — (d) 3 rotating r9-head demotions
+        # — (d) 1 rotating r9-head demotion (two slots ceded to the
+        #   new r11 operators above, which are never-witnessed and so
+        #   outrank a green-r9 rotation; dsir + gopher rejoin the r12
+        #   pool)
         "text_bm25_topk": _text_bm25_topk,
-        "sample_dsir_topn": _sample_dsir_topn,
-        "curation_gopher_quality": _curation_gopher_quality,
         # --- tail: entries past the driver's 50-entry gate window.
         # Every tail entry keeps its own oracle — scripts/check_parity.py
         # and tests/test_gate_tail_parity.py verify them every run.
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
+        "sample_dsir_topn": _sample_dsir_topn,
+        "curation_gopher_quality": _curation_gopher_quality,
         "sample_token_budget": _sample_token_budget,
         "events_anomaly_mad": _events_anomaly_mad,
         "sample_temperature_mix": _sample_temperature_mix,
@@ -3263,6 +3294,22 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _cusum_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.changepoint import (
+        cusum_alarms_oracle_sql,
+    )
+
+    return cusum_alarms_oracle_sql()
+
+
+def _cdc_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        cdc_shared_chunks_oracle_sql,
+    )
+
+    return cdc_shared_chunks_oracle_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from eventhub_to_timescale_spark import oracles as oc
 
@@ -3629,6 +3676,8 @@ ORDER BY 1, 3
         # oracles their property tests prove them identical to
         "q1_all_subjects": q1_all,
         "dedup_stream_neardup_twin": oc.dedup_verdicts_oracle(12, 6, 0.5),
+        "events_cusum_alarms": _cusum_oracle(),
+        "dedup_cdc_chunks": _cdc_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

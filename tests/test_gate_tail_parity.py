@@ -122,13 +122,15 @@ ALWAYS_GATED_CORE = {
 
 # The planned r11 gate head (ROTATION.md / registry ledger), pinned
 # EXACTLY so an accidental reorder cannot silently change what the
-# driver witnesses: all 15 never-witnessed entries first (after this
+# driver witnesses: all 17 never-witnessed entries first (after this
 # round every oracled entry has a driver-green row), then the two
-# overdue demotion pools, then 3 rotating r9 demotions.
+# overdue demotion pools, then 1 rotating r9 demotion.
 R11_HEAD = [
-    # (a) all 15 never-driver-witnessed entries (13 r10 additions,
-    # asof_probe_value_salted, the new r11 streaming-twin entry)
+    # (a) all 17 never-driver-witnessed entries (13 r10 additions,
+    # asof_probe_value_salted, 3 new r11 operators)
     "dedup_stream_neardup_twin",
+    "events_cusum_alarms",
+    "dedup_cdc_chunks",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -177,10 +179,8 @@ R11_HEAD = [
     "events_cohort_retention",
     "events_funnel",
     "dedup_substr_windows",
-    # (d) 3 rotating r9-head demotions
+    # (d) 1 rotating r9-head demotion
     "text_bm25_topk",
-    "sample_dsir_topn",
-    "curation_gopher_quality",
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
