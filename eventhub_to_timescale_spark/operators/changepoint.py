@@ -58,12 +58,20 @@ def cusum_alarms(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    mu_cents: int | None = None,
 ) -> DataFrame:
     """→ (event_type, event_id, ts, direction): every event at which a
     one-sided CUSUM statistic first exceeds — is strictly above — the
     threshold ``h_cents``, direction ∈ {'up','down'}. An event tripping
     both sides (impossible for κ > 0, kept for κ = 0 completeness)
-    emits two rows. Ordered by (event_type, event_id, direction)."""
+    emits two rows. Ordered by (event_type, event_id, direction).
+
+    ``mu_cents``: the chart's target mean. None (default) uses each
+    series' own half-up-rounded mean — the retrospective/batch form.
+    An explicit value is the classical monitoring form (known process
+    target) and the form the streaming twin
+    (``streaming/stateful.py streaming_cusum_alarms``) converges to
+    exactly, since a stream cannot know its full-series mean."""
     if kappa_cents < 0 or h_cents <= 0:
         raise ValueError(
             f"need kappa_cents ≥ 0 and h_cents > 0, got {kappa_cents}, {h_cents}"
@@ -77,15 +85,20 @@ def cusum_alarms(
         .cast("long")
         .alias("v_cents"),
     )
-    per_type = Window.partitionBy("event_type")
-    # μ in cents, rounded half-up from the exact integer sums:
-    # floor((2·Σv + n) / (2n)) — pure BIGINT arithmetic, no float mean
-    stats = base.withColumn("_sum", F.sum("v_cents").over(per_type)).withColumn(
-        "_n", F.count(F.lit(1)).over(per_type)
-    )
-    mu = F.floor(
-        (2 * F.col("_sum") + F.col("_n")) / (2 * F.col("_n"))
-    ).cast("long")
+    if mu_cents is None:
+        per_type = Window.partitionBy("event_type")
+        # μ in cents, rounded half-up from the exact integer sums:
+        # floor((2·Σv + n) / (2n)) — pure BIGINT arithmetic, no float
+        # mean
+        stats = base.withColumn(
+            "_sum", F.sum("v_cents").over(per_type)
+        ).withColumn("_n", F.count(F.lit(1)).over(per_type))
+        mu = F.floor(
+            (2 * F.col("_sum") + F.col("_n")) / (2 * F.col("_n"))
+        ).cast("long")
+    else:
+        stats = base
+        mu = F.lit(int(mu_cents))
     x_up = F.col("v_cents") - mu - F.lit(kappa_cents)
     x_dn = mu - F.col("v_cents") - F.lit(kappa_cents)
     ordered = (

@@ -986,3 +986,110 @@ def streaming_heavy_hitters(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# CUSUM change-point alarms (14th stateful operator)
+# ---------------------------------------------------------------------
+
+_CUSUM_OUT_SCHEMA = (
+    "event_type string, event_id long, ts timestamp, direction string"
+)
+# the full chart state is FOUR integers per type: the running cumsum
+# and its running floor-min for each side — the reflected-sum identity
+# (operators/changepoint.py) makes CUSUM exactly resumable from them
+_CUSUM_STATE_SCHEMA = "c_up long, m_up long, c_dn long, m_dn long"
+
+
+def _make_cusum_fn(mu_cents: int, kappa_cents: int, h_cents: int):
+    def _fn(key, pdf_iter, state):
+        """Vectorized incremental CUSUM: within the batch, numpy
+        cumsum + minimum.accumulate continue the carried (C, min)
+        pair; S_t = C_t − min(0-floored running min). Integer cents
+        end to end, so the statistic is bit-identical to the batch
+        window plan on the same ordered input
+        (tests/test_streaming_cusum.py pins the convergence)."""
+        import numpy as np
+        import pandas as pd
+
+        (etype,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            c_up, m_up, c_dn, m_dn = map(int, state.get)
+        else:
+            c_up, m_up, c_dn, m_dn = 0, 0, 0, 0
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            state.update((c_up, m_up, c_dn, m_dn))
+            state.setTimeoutDuration(24 * 3600 * 1000)
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable", ignore_index=True
+        )
+        v = (
+            np.floor(pdf["value"].to_numpy(dtype=np.float64) * 100 + 0.5)
+        ).astype(np.int64)
+        x_up = v - mu_cents - kappa_cents
+        x_dn = mu_cents - v - kappa_cents
+        cu = c_up + np.cumsum(x_up)
+        cd = c_dn + np.cumsum(x_dn)
+        mu_run = np.minimum(m_up, np.minimum.accumulate(cu))
+        md_run = np.minimum(m_dn, np.minimum.accumulate(cd))
+        s_up = cu - np.minimum(0, mu_run)
+        s_dn = cd - np.minimum(0, md_run)
+        state.update(
+            (int(cu[-1]), int(mu_run[-1]), int(cd[-1]), int(md_run[-1]))
+        )
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        frames = []
+        for mask, direction in ((s_up > h_cents, "up"), (s_dn > h_cents, "down")):
+            if mask.any():
+                out = pdf.loc[mask, ["event_id", "ts"]].copy()
+                out.insert(0, "event_type", etype)
+                out["direction"] = direction
+                frames.append(out)
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return _fn
+
+
+def streaming_cusum_alarms(
+    events: DataFrame,
+    mu_cents: int,
+    kappa_cents: int = 3000,
+    h_cents: int = 24_000,
+) -> DataFrame:
+    """Continuous per-type CUSUM against a KNOWN target mean
+    ``mu_cents`` (the classical monitoring form — a stream cannot know
+    its full-series mean, which is why the batch operator's
+    self-centered default has no streaming twin) →
+    (event_type, event_id, ts, direction) alarm rows per trigger.
+
+    State is four int64 per event_type — CONSTANT regardless of stream
+    length — because the reflected-running-sum identity makes the
+    whole chart resumable from (cumsum, running-min) per side. On an
+    ordered replay the alarms are row-identical to
+    ``operators/changepoint.py cusum_alarms(..., mu_cents=...)``; the
+    convergence is exact (integer arithmetic), not approximate.
+    """
+    if kappa_cents < 0 or h_cents <= 0:
+        raise ValueError(
+            f"need kappa_cents ≥ 0 and h_cents > 0, got {kappa_cents}, {h_cents}"
+        )
+    return (
+        events.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_cusum_fn(int(mu_cents), kappa_cents, h_cents),
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
