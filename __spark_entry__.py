@@ -453,6 +453,32 @@ def _dedup_stream_neardup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_verdicts(_docs(spark, sf_dir))
 
 
+def _events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed first-order Markov transition matrix over
+    per-user event sequences (ts-ordered, event_id-tiebroken, the same
+    sequence order as the reference's timestamp-ordered processing in
+    shared_code/timeseries.py): one user_id-partitioned lag window,
+    one bounded-key groupBy, broadcast totals — no collect, no global
+    sort. See operators/markov.py."""
+    from eventhub_to_timescale_spark.operators.markov import (
+        markov_transitions,
+    )
+
+    return markov_transitions(_events(spark, sf_dir))
+
+
+def _events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap statistics + Goh-Barabasi
+    burstiness from EXACT int64 millisecond moments (sum, sum-of-
+    squares) — the doubles are a pure function of the data, no float
+    summation-order dependence. See operators/markov.py."""
+    from eventhub_to_timescale_spark.operators.markov import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(_events(spark, sf_dir))
+
+
 def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM control chart per event_type, distributed-exact via
     the reflected-running-sum identity (two window functions, pure
@@ -2474,6 +2500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_neardup_twin": _dedup_stream_neardup_twin,
         "events_cusum_alarms": _events_cusum_alarms,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
+        "events_markov_transitions": _events_markov_transitions,
+        "events_interarrival": _events_interarrival,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2521,15 +2549,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_live_intervals": _events_live_intervals,
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
-        "dedup_substr_windows": _dedup_substr_windows,
-        # — (d) 1 rotating r9-head demotion (two slots ceded to the
-        #   new r11 operators above, which are never-witnessed and so
-        #   outrank a green-r9 rotation; dsir + gopher rejoin the r12
-        #   pool)
-        "text_bm25_topk": _text_bm25_topk,
+        # — (d) no rotating r9-head demotion: every slot freed by the
+        #   new never-witnessed r11 operators (markov, interarrival,
+        #   ...) goes to the overdue pools first; text_bm25_topk
+        #   (green r9) and dedup_substr_windows (green r8) ceded
+        #   their slots and rejoin the r12 pool, parity-witnessed
+        #   every round by the tail parametrization meanwhile.
         # --- tail: entries past the driver's 50-entry gate window.
         # Every tail entry keeps its own oracle — scripts/check_parity.py
         # and tests/test_gate_tail_parity.py verify them every run.
+        # — r11 cessions (first in line for the r12 head)
+        "dedup_substr_windows": _dedup_substr_windows,
+        "text_bm25_topk": _text_bm25_topk,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3294,6 +3325,22 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _markov_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.markov import (
+        markov_oracle_sql,
+    )
+
+    return markov_oracle_sql()
+
+
+def _interarrival_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.markov import (
+        interarrival_oracle_sql,
+    )
+
+    return interarrival_oracle_sql()
+
+
 def _cusum_oracle() -> str:
     from eventhub_to_timescale_spark.operators.changepoint import (
         cusum_alarms_oracle_sql,
@@ -3678,6 +3725,8 @@ ORDER BY 1, 3
         "dedup_stream_neardup_twin": oc.dedup_verdicts_oracle(12, 6, 0.5),
         "events_cusum_alarms": _cusum_oracle(),
         "dedup_cdc_chunks": _cdc_oracle(),
+        "events_markov_transitions": _markov_oracle(),
+        "events_interarrival": _interarrival_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

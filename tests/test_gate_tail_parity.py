@@ -126,11 +126,13 @@ ALWAYS_GATED_CORE = {
 # round every oracled entry has a driver-green row), then the two
 # overdue demotion pools, then 1 rotating r9 demotion.
 R11_HEAD = [
-    # (a) all 17 never-driver-witnessed entries (13 r10 additions,
-    # asof_probe_value_salted, 3 new r11 operators)
+    # (a) all never-driver-witnessed entries (13 r10 additions,
+    # asof_probe_value_salted, and the new r11 operators)
     "dedup_stream_neardup_twin",
     "events_cusum_alarms",
     "dedup_cdc_chunks",
+    "events_markov_transitions",
+    "events_interarrival",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -178,9 +180,11 @@ R11_HEAD = [
     "events_live_intervals",
     "events_cohort_retention",
     "events_funnel",
-    "dedup_substr_windows",
-    # (d) 1 rotating r9-head demotion
-    "text_bm25_topk",
+    # (d) no rotating r9-head demotion this round — every slot the
+    # new never-witnessed r11 operators free up goes to the overdue
+    # pools first; text_bm25_topk (green r9) and dedup_substr_windows
+    # (green r8, parity-checked every round by the tail
+    # parametrization) ceded their slots.
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
