@@ -479,6 +479,42 @@ def _events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(_events(spark, sf_dir))
 
 
+def _layout_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundaries per event_type: NTILE
+    equal-count tiles with exact per-tile counts and value spans —
+    the split points a 100 TB writer hands to a range partitioner.
+    See operators/layout.py:range_partition_profile (incl. the
+    GK-sketch swap-in note for a single dominant type)."""
+    from eventhub_to_timescale_spark.operators.layout import (
+        range_partition_profile,
+    )
+
+    return range_partition_profile(_events(spark, sf_dir))
+
+
+def _sample_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold CV assignment with exact per-cell balance
+    (salted-md5 deal order, round-robin within each lang stratum),
+    summarized per (stratum, fold) cell — floor/ceil(n/k) everywhere,
+    the guarantee hash-mod folding can't give. See
+    operators/sampling.py:cv_fold_assign."""
+    from eventhub_to_timescale_spark.operators.sampling import (
+        cv_fold_assign,
+    )
+
+    docs = _docs(spark, sf_dir)
+    folds = cv_fold_assign(docs)
+    return (
+        folds.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("stratum", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("stratum", "fold")
+    )
+
+
 def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM control chart per event_type, distributed-exact via
     the reflected-running-sum identity (two window functions, pure
@@ -2502,6 +2538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": _dedup_cdc_chunks,
         "events_markov_transitions": _events_markov_transitions,
         "events_interarrival": _events_interarrival,
+        "layout_range_partition": _layout_range_partition,
+        "sample_cv_folds": _sample_cv_folds,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2547,20 +2585,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_quota": _sample_source_quota,
         "sample_docs_weighted": _sample_docs_weighted,
         "events_live_intervals": _events_live_intervals,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_funnel": _events_funnel,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
-        #   ...) goes to the overdue pools first; text_bm25_topk
-        #   (green r9) and dedup_substr_windows (green r8) ceded
-        #   their slots and rejoin the r12 pool, parity-witnessed
-        #   every round by the tail parametrization meanwhile.
+        #   range-partition, cv-folds, ...) goes to the overdue pools
+        #   first; text_bm25_topk (green r9) plus dedup_substr_windows,
+        #   events_cohort_retention and events_funnel (green r8) ceded
+        #   their slots and lead the r12 pool, parity-witnessed every
+        #   round by the tail parametrization meanwhile.
         # --- tail: entries past the driver's 50-entry gate window.
         # Every tail entry keeps its own oracle — scripts/check_parity.py
         # and tests/test_gate_tail_parity.py verify them every run.
         # — r11 cessions (first in line for the r12 head)
         "dedup_substr_windows": _dedup_substr_windows,
         "text_bm25_topk": _text_bm25_topk,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_funnel": _events_funnel,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3325,6 +3364,22 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _range_partition_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.layout import (
+        range_partition_profile_oracle_sql,
+    )
+
+    return range_partition_profile_oracle_sql()
+
+
+def _cv_fold_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sampling import (
+        cv_fold_oracle_sql,
+    )
+
+    return cv_fold_oracle_sql()
+
+
 def _markov_oracle() -> str:
     from eventhub_to_timescale_spark.operators.markov import (
         markov_oracle_sql,
@@ -3727,6 +3782,8 @@ ORDER BY 1, 3
         "dedup_cdc_chunks": _cdc_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_interarrival": _interarrival_oracle(),
+        "layout_range_partition": _range_partition_oracle(),
+        "sample_cv_folds": _cv_fold_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

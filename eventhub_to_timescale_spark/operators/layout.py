@@ -30,7 +30,7 @@ here is quadratic, stateful, or Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Part1By1: spread a 16-bit int's bits into the even positions of a
@@ -185,10 +185,77 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def range_partition_profile(
+    events: DataFrame, n_buckets: int = 8
+) -> DataFrame:
+    """Balanced range-partition boundaries for a (event_type, value)
+    sort layout: per event_type, split the value distribution into
+    ``n_buckets`` equal-count tiles (NTILE with a total (value,
+    event_id) tiebreak) and report each tile's exact row count and
+    [lo, hi] value span — the split points a writer would hand to a
+    range partitioner so every output file carries the same row count.
+
+    → (event_type, bucket, n_rows, lo, hi), ordered; ≤ |types| x k
+    rows regardless of SF.  min/max pass doubles through untouched
+    (no float arithmetic), so cross-engine parity is exact.
+
+    100 TB posture: the window partitions by event_type, so each
+    type's tile assignment is one reducer — fine when |types| >>
+    cores and types are balanced (this corpus), a straggler when one
+    type dominates.  At that point swap the EXACT tiling for split
+    points from the mergeable GK sketch (operators/sketches.py:
+    gk_quantiles) and keep this operator as the verification path on
+    a sample: the output contract (per-bucket count + span) is
+    unchanged.  Everything after the window is a map-side-combinable
+    agg on a bounded key space.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiled = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    return (
+        tiled.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def range_partition_profile_oracle_sql(
+    n_buckets: int = 8, table: str = "events"
+) -> str:
+    """DuckDB rendering of ``range_partition_profile`` — same NTILE
+    semantics (both engines implement the SQL-standard equal-count
+    tiling with remainder rows going to the leading tiles) over the
+    same total order."""
+    return f"""
+WITH tiled AS (
+  SELECT event_type, value,
+         NTILE({n_buckets}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM {table} WHERE value IS NOT NULL
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM tiled
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 __all__ = [
     "spread16",
     "zvalue16",
     "zorder_layout",
     "zorder_bucket_profile",
     "zorder_bucket_profile_oracle_sql",
+    "range_partition_profile",
+    "range_partition_profile_oracle_sql",
 ]

@@ -638,3 +638,72 @@ def leakage_safe_split_oracle_predicate(
 ) -> str:
     """DuckDB rendering of the cluster-keyed membership test."""
     return sampling_oracle_predicate(cluster_expr, test_fraction, salt)
+
+
+def cv_fold_assign(
+    docs: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "cvfold-v1",
+) -> DataFrame:
+    """Stratified k-fold cross-validation assignment with EXACT
+    balance: within each stratum, rows are ordered by a salted md5 of
+    their id (a deterministic shuffle) and dealt round-robin, so every
+    (stratum, fold) cell holds floor(n/k) or ceil(n/k) rows — the
+    guarantee hash-mod assignment (`fold = hash % k`, fully map-side
+    but binomially noisy) cannot give.  The salt keys the permutation:
+    a different salt is a fresh, reproducible re-deal.
+
+    → (doc_id, stratum, fold); fold in [0, k).
+
+    100 TB posture: one shuffle — the row_number window partitions by
+    stratum, parallel across strata; a single dominant stratum makes
+    that window a straggler, at which point sub-stratify (stratum x
+    md5-prefix) and deal within sub-strata: balance degrades only by
+    the sub-stratum count.  Everything else is scan-side expressions.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _bucket_hex(F.col(id_col), salt), F.col(id_col)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        ((F.row_number().over(w) - 1) % k).alias("fold"),
+    )
+
+
+def cv_fold_oracle_sql(
+    k: int = 5,
+    *,
+    id_expr: str = "doc_id",
+    stratum_expr: str = "lang",
+    salt: str = "cvfold-v1",
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``cv_fold_assign`` + the per-cell balance
+    summary — same salted-md5 deal order, same round-robin."""
+    coord = (
+        f"substring(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, "
+        f"{_PREFIX_LEN})"
+    )
+    return f"""
+WITH dealt AS (
+  SELECT {id_expr} AS doc_id, {stratum_expr} AS stratum, n_chars,
+         (ROW_NUMBER() OVER (
+            PARTITION BY {stratum_expr}
+            ORDER BY {coord}, {id_expr}) - 1) % {k} AS fold
+  FROM {table}
+)
+SELECT stratum, CAST(fold AS INT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM dealt
+GROUP BY stratum, fold
+ORDER BY stratum, fold
+"""

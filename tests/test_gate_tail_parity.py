@@ -133,6 +133,8 @@ R11_HEAD = [
     "dedup_cdc_chunks",
     "events_markov_transitions",
     "events_interarrival",
+    "layout_range_partition",
+    "sample_cv_folds",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -178,13 +180,12 @@ R11_HEAD = [
     "sample_source_quota",
     "sample_docs_weighted",
     "events_live_intervals",
-    "events_cohort_retention",
-    "events_funnel",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
-    # pools first; text_bm25_topk (green r9) and dedup_substr_windows
-    # (green r8, parity-checked every round by the tail
-    # parametrization) ceded their slots.
+    # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
+    # events_cohort_retention and events_funnel (green r8, parity-
+    # checked every round by the tail parametrization) ceded their
+    # slots and lead the r12 pool.
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
