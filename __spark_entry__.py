@@ -515,6 +515,24 @@ def _sample_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate image pairs: REAL BMP
+    decode → 9x8 nearest-neighbor resize → integer luma → 64-bit
+    gradient hash in one Arrow mapInPandas pass, then a pigeonhole-
+    lossless banded Hamming equi-join (8 byte-bands > max_distance 6,
+    so banding ≡ all-pairs, which is what the oracle computes
+    analytically from the closed-form synthetic pixels). See
+    operators/multimodal.py:dhash_images/phash_neardup_pairs."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        dhash_images,
+        document_image_blobs,
+        phash_neardup_pairs,
+    )
+
+    blobs = document_image_blobs(_docs(spark, sf_dir))
+    return phash_neardup_pairs(dhash_images(blobs))
+
+
 def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM control chart per event_type, distributed-exact via
     the reflected-running-sum identity (two window functions, pure
@@ -2540,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": _events_interarrival,
         "layout_range_partition": _layout_range_partition,
         "sample_cv_folds": _sample_cv_folds,
+        "mm_phash_neardup": _mm_phash_neardup,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2584,7 +2603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_large_orders": _rel_large_orders,
         "sample_source_quota": _sample_source_quota,
         "sample_docs_weighted": _sample_docs_weighted,
-        "events_live_intervals": _events_live_intervals,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, ...) goes to the overdue pools
@@ -2600,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _text_bm25_topk,
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
+        "events_live_intervals": _events_live_intervals,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3364,6 +3383,14 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _phash_neardup_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        phash_neardup_oracle_sql,
+    )
+
+    return phash_neardup_oracle_sql()
+
+
 def _range_partition_oracle() -> str:
     from eventhub_to_timescale_spark.operators.layout import (
         range_partition_profile_oracle_sql,
@@ -3784,6 +3811,7 @@ ORDER BY 1, 3
         "events_interarrival": _interarrival_oracle(),
         "layout_range_partition": _range_partition_oracle(),
         "sample_cv_folds": _cv_fold_oracle(),
+        "mm_phash_neardup": _phash_neardup_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

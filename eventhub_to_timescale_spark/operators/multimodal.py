@@ -368,3 +368,181 @@ def frame_samples_sql_checkable(blobs: DataFrame, n_frames: int = 4) -> DataFram
     return blobs.select("doc_id", "payload").mapInPandas(
         batches, schema=FRAME_CHECKSUM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (dHash + banded Hamming join)
+# ---------------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 grayscale -> 8x8 horizontal-gradient bits
+
+
+def _luma(arr: np.ndarray) -> np.ndarray:
+    """Integer Rec.601-style luma: (299 R + 587 G + 114 B) // 1000 —
+    exact integer arithmetic so the SQL oracle reproduces it."""
+    a = arr.astype(np.int64)
+    return (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+
+
+def dhash_bits(arr: np.ndarray) -> int:
+    """64-bit dHash of an RGB array: resize to 9x8, luma, and one bit
+    per horizontal neighbor pair (set iff brightness increases
+    left-to-right).  Returned as the SIGNED int64 reinterpretation of
+    the 64-bit pattern (bit 63 = sign), matching what a BIGINT column
+    carries in any engine."""
+    g = _luma(ic.resize_nearest(arr, DHASH_W, DHASH_H))
+    bits = np.uint64(0)
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if g[y][x + 1] > g[y][x]:
+                bits |= np.uint64(1) << np.uint64(y * 8 + x)
+    return int(bits.astype(np.int64))
+
+
+def dhash_images(blobs: DataFrame) -> DataFrame:
+    """→ (doc_id, dhash) via Arrow-batched ``mapInPandas``: REAL BMP
+    decode → nearest-neighbor 9x8 resize → integer luma → dHash.  One
+    Python pass per blob; the 8-byte hash is all that returns to the
+    JVM, so the shuffle downstream moves 16 bytes/row no matter how
+    large the images are."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dhash": np.int64(
+                        [
+                            dhash_bits(ic.decode_bmp(bytes(p)))
+                            for p in pdf["payload"]
+                        ]
+                    ),
+                }
+            )
+
+    return blobs.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, dhash long"
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_distance: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over dHash.
+
+    The 64-bit hash splits into ``n_bands`` byte bands; a pair within
+    ``max_distance`` differing bits has at most ``max_distance`` dirty
+    bands, so with ``n_bands > max_distance`` the pigeonhole principle
+    guarantees at least one INTACT shared band — the banded equi-join
+    is a lossless candidate generator (identical results to all-pairs,
+    which is exactly what the DuckDB oracle computes), never a
+    recall/precision trade.
+
+    → (doc_a, doc_b, hamming), doc_a < doc_b, exact Hamming ≤ t.
+
+    100 TB posture: candidates come from an equi-join on (band_idx,
+    band_value) — never an all-pairs product; the verify step is one
+    JVM-side xor+bit_count per candidate.  8-bit bands saturate at
+    billions of images (256 buckets/band); at that scale switch to
+    16-bit bands with max_distance ≤ 3 (same pigeonhole argument,
+    65 536 buckets/band) or hash-prefix-salt the heavy buckets — the
+    plan shape is unchanged.
+    """
+    if n_bands <= max_distance:
+        raise ValueError(
+            f"need n_bands > max_distance for lossless banding, got "
+            f"{n_bands} <= {max_distance}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("dhash"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def phash_neardup_oracle_sql(
+    max_distance: int = 6, table: str = "documents"
+) -> str:
+    """DuckDB rendering: the dHash is recomputed ANALYTICALLY from the
+    synthetic corpus's closed-form pixel formula (imagecodec.py
+    synth_pixels — affine channels mod 256, W = 24 + id%17, H = 16 +
+    id%13, nearest-neighbor (x*W)//9, (y*H)//8, integer luma), packed
+    into a signed BIGINT (bit 63 contributes -2^63), then compared
+    ALL-PAIRS — the ground truth the banded join must reproduce
+    exactly.  Quadratic by design: the oracle's job is adjudication at
+    gate scale, not scale itself."""
+    luma = (
+        "(299 * ((19 * d.doc_id + 7 * sx + 13 * sy) % 256)"
+        " + 587 * ((23 * d.doc_id + 5 * sx + 11 * sy) % 256)"
+        " + 114 * ((29 * d.doc_id + 3 * sx + 17 * sy) % 256)) // 1000"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 24 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+  FROM {table}
+),
+gray AS (
+  SELECT d.doc_id, gx.x, gy.y,
+         (SELECT {luma.replace('sx', '((gx.x * d.w) // 9)').replace('sy', '((gy.y * d.h) // 8)')}) AS g
+  FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)
+),
+bits AS (
+  SELECT a.doc_id, a.y, a.x,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM gray a
+  JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit = 0 THEN 0
+                       WHEN y * 8 + x = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << (y * 8 + x)) END)
+              AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_distance}
+ORDER BY doc_a, doc_b
+"""

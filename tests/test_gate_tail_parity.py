@@ -135,6 +135,7 @@ R11_HEAD = [
     "events_interarrival",
     "layout_range_partition",
     "sample_cv_folds",
+    "mm_phash_neardup",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -179,7 +180,6 @@ R11_HEAD = [
     "rel_large_orders",
     "sample_source_quota",
     "sample_docs_weighted",
-    "events_live_intervals",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
     # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,

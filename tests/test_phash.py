@@ -1,0 +1,109 @@
+"""Perceptual-hash (dHash) near-dup (operators/multimodal.py):
+hash invariants on real codec output, planted near-duplicates, banding
+losslessness against brute force, and oracle parity."""
+
+from __future__ import annotations
+
+import itertools
+
+import duckdb
+import numpy as np
+import pytest
+
+from eventhub_to_timescale_spark.operators import imagecodec as ic
+from eventhub_to_timescale_spark.operators.multimodal import (
+    dhash_bits,
+    dhash_images,
+    document_image_blobs,
+    phash_neardup_oracle_sql,
+    phash_neardup_pairs,
+)
+
+
+def _img(doc_id: int) -> np.ndarray:
+    w = ic.IMG_W_BASE + doc_id % ic.IMG_W_MOD
+    h = ic.IMG_H_BASE + doc_id % ic.IMG_H_MOD
+    return ic.synth_pixels(doc_id, w, h)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+class TestDhashBits:
+    def test_identical_images_identical_hash(self):
+        assert dhash_bits(_img(7)) == dhash_bits(_img(7))
+
+    def test_resize_invariance(self):
+        # dHash of an image and its 2x nearest-neighbor upscale match:
+        # the 9x8 downsample hits the same source pixels.
+        arr = _img(11)
+        h, w, _ = arr.shape
+        up = ic.resize_nearest(arr, 2 * w, 2 * h)
+        # Not always bit-identical ((x*2w)//9 vs doubled mapping), but
+        # must be within a couple of gradient flips.
+        assert _ham(dhash_bits(arr), dhash_bits(up)) <= 4
+
+    def test_single_bright_pixel_small_distance(self):
+        arr = _img(3).copy()
+        tampered = arr.copy()
+        tampered[0, 0] = [255, 255, 255]
+        d = _ham(dhash_bits(arr), dhash_bits(tampered))
+        assert 0 < d <= 4  # localized edit -> localized bit flips
+
+    def test_signed_packing_roundtrip(self):
+        # A hash with bit 63 set must come back as a negative int64
+        # whose unsigned view restores the bit pattern.
+        g = np.zeros((8, 9, 3), dtype=np.uint8)
+        g[7, 8] = 255  # brightens the last neighbor pair -> bit 63
+        v = dhash_bits(g)
+        assert v < 0
+        assert (np.int64(v).astype(np.uint64) >> np.uint64(63)) == 1
+
+
+class TestBandedJoin:
+    def test_lossless_vs_bruteforce(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "src_0", 1) for i in range(80)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        hashes = dhash_images(document_image_blobs(docs))
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in phash_neardup_pairs(hashes, 6).collect()
+        }
+        hs = {r.doc_id: r.dhash for r in hashes.collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(hs), 2):
+            d = _ham(hs[a], hs[b])
+            if d <= 6:
+                want[(a, b)] = d
+        assert got == want
+
+    def test_banding_guard(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "t", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        hashes = dhash_images(document_image_blobs(docs))
+        with pytest.raises(ValueError):
+            phash_neardup_pairs(hashes, max_distance=8, n_bands=8)
+
+
+def test_oracle_parity_sf0001(spark):
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = [
+        tuple(r)
+        for r in phash_neardup_pairs(
+            dhash_images(document_image_blobs(docs))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute(phash_neardup_oracle_sql()).fetchall()
+    assert got == want
