@@ -533,6 +533,19 @@ def _mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(dhash_images(blobs))
 
 
+def _events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust per-type stats: value clipped at the
+    ceil(q*n)-th ORDER STATISTICS of integer cents (no interpolated
+    percentiles — order statistics are actual data points, exact in
+    both engines), then an exact-integer clipped mean. See
+    operators/winsorize.py."""
+    from eventhub_to_timescale_spark.operators.winsorize import (
+        winsorized_stats,
+    )
+
+    return winsorized_stats(_events(spark, sf_dir))
+
+
 def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM control chart per event_type, distributed-exact via
     the reflected-running-sum identity (two window functions, pure
@@ -2559,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_range_partition": _layout_range_partition,
         "sample_cv_folds": _sample_cv_folds,
         "mm_phash_neardup": _mm_phash_neardup,
+        "events_winsorize": _events_winsorize,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2602,14 +2616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_returned_revenue": _rel_returned_revenue,
         "rel_large_orders": _rel_large_orders,
         "sample_source_quota": _sample_source_quota,
-        "sample_docs_weighted": _sample_docs_weighted,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
-        #   range-partition, cv-folds, ...) goes to the overdue pools
-        #   first; text_bm25_topk (green r9) plus dedup_substr_windows,
-        #   events_cohort_retention and events_funnel (green r8) ceded
-        #   their slots and lead the r12 pool, parity-witnessed every
-        #   round by the tail parametrization meanwhile.
+        #   range-partition, cv-folds, phash, winsorize, ...) goes to
+        #   the overdue pools first; text_bm25_topk (green r9) plus
+        #   dedup_substr_windows, events_cohort_retention,
+        #   events_funnel, events_live_intervals and
+        #   sample_docs_weighted (green r8) ceded their slots and lead
+        #   the r12 pool, parity-witnessed every round by the tail
+        #   parametrization meanwhile.
         # --- tail: entries past the driver's 50-entry gate window.
         # Every tail entry keeps its own oracle — scripts/check_parity.py
         # and tests/test_gate_tail_parity.py verify them every run.
@@ -2619,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
         "events_live_intervals": _events_live_intervals,
+        "sample_docs_weighted": _sample_docs_weighted,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3383,6 +3399,14 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _winsorize_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.winsorize import (
+        winsorize_oracle_sql,
+    )
+
+    return winsorize_oracle_sql()
+
+
 def _phash_neardup_oracle() -> str:
     from eventhub_to_timescale_spark.operators.multimodal import (
         phash_neardup_oracle_sql,
@@ -3812,6 +3836,7 @@ ORDER BY 1, 3
         "layout_range_partition": _range_partition_oracle(),
         "sample_cv_folds": _cv_fold_oracle(),
         "mm_phash_neardup": _phash_neardup_oracle(),
+        "events_winsorize": _winsorize_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

@@ -136,6 +136,7 @@ R11_HEAD = [
     "layout_range_partition",
     "sample_cv_folds",
     "mm_phash_neardup",
+    "events_winsorize",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -179,13 +180,13 @@ R11_HEAD = [
     "rel_returned_revenue",
     "rel_large_orders",
     "sample_source_quota",
-    "sample_docs_weighted",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
     # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
-    # events_cohort_retention and events_funnel (green r8, parity-
-    # checked every round by the tail parametrization) ceded their
-    # slots and lead the r12 pool.
+    # events_cohort_retention, events_funnel, events_live_intervals
+    # and sample_docs_weighted (green r8, parity-checked every round
+    # by the tail parametrization) ceded their slots and lead the r12
+    # pool.
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
