@@ -1093,3 +1093,124 @@ def streaming_cusum_alarms(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_idx long, session_start timestamp, "
+    "session_end timestamp, n_events long, duration_s long"
+)
+# a session in flight is FOUR integers per user: open-session start
+# and last-event micro-timestamps, its event count, and its 1-based
+# index — constant state regardless of stream length or session size
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, idx long"
+
+
+def _make_session_fn(gap_seconds: int):
+    def _fn(key, pdf_iter, state):
+        """Gap-based sessionization: within the batch, events arrive
+        sorted (ts, event_id); a gap of WHOLE SECONDS (truncated
+        microseconds, matching the batch operator's unix_timestamp
+        arithmetic) strictly greater than ``gap_seconds`` closes the
+        open session and emits it.  The final session stays open in
+        state — end-of-stream closure is the caller's flush event (or
+        the 24 h timeout), exactly like a watermark would close it in
+        production."""
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            start_us, last_us, n, idx = map(int, state.get)
+        else:
+            start_us, last_us, n, idx = -1, -1, 0, 0
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            if start_us >= 0:
+                state.update((start_us, last_us, n, idx))
+                state.setTimeoutDuration(24 * 3600 * 1000)
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable", ignore_index=True
+        )
+        # normalize to int64 MICROSECONDS whatever resolution Arrow
+        # delivered (datetime64[ns] on this stack)
+        ts_us = (
+            pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        )
+        closed = []
+        for t in ts_us:
+            if start_us < 0:
+                start_us, last_us, n, idx = int(t), int(t), 1, idx + 1
+                continue
+            if t // 1_000_000 - last_us // 1_000_000 > gap_seconds:
+                closed.append((user_id, idx, start_us, last_us, n))
+                start_us, last_us, n, idx = int(t), int(t), 1, idx + 1
+            else:
+                last_us, n = int(t), n + 1
+        state.update((start_us, last_us, n, idx))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_idx", "start_us", "last_us",
+                    "n_events",
+                ],
+            )
+            start_us = out.pop("start_us")
+            last_us = out.pop("last_us")
+            out["session_start"] = pd.to_datetime(start_us, unit="us")
+            out["session_end"] = pd.to_datetime(last_us, unit="us")
+            out["duration_s"] = (
+                last_us // 1_000_000 - start_us // 1_000_000
+            )
+            yield out[
+                [
+                    "user_id", "session_idx", "session_start",
+                    "session_end", "n_events", "duration_s",
+                ]
+            ]
+
+    return _fn
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Continuous gap-based sessionization — the streaming twin of
+    ``operators/sessions.py sessionize`` (and the custom-state
+    counterpart of Spark's built-in ``session_window``, which the
+    sibling ``sessionize_native`` wraps).  Emits each session ONCE,
+    when a later event closes it; the open session lives in four
+    int64s of state per user.
+
+    Boundary contract matches the batch operator exactly: gaps
+    compare TRUNCATED whole seconds, a gap of exactly ``gap_seconds``
+    continues the session, ``session_idx`` numbers a user's sessions
+    from 1 in time order.  On a ts-ordered replay where a final flush
+    event (one per user, beyond the gap) closes the last session, the
+    emitted rows are row-identical to the batch plan on the pre-flush
+    input — pinned by tests/test_streaming_sessionize.py, including a
+    session that SPANS a micro-batch boundary, which only carried
+    state can stitch.
+
+    100 TB posture: state is constant per user (no event buffering —
+    the running aggregate is (start, last, n, idx)), output is
+    append-only, and the 24 h ProcessingTimeTimeout evicts idle users.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(int(gap_seconds)),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
