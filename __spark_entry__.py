@@ -546,6 +546,19 @@ def _events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(_events(spark, sf_dir))
 
 
+def _events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k activity cross-correlation between event-type pairs:
+    dense-grid bucket counts, five exact int64 sums, Pearson r from
+    one final double division — raw events touched once by a map-side
+    count, the lag self-join runs on the bucket-aggregated frame
+    only. See operators/xcorr.py."""
+    from eventhub_to_timescale_spark.operators.xcorr import (
+        activity_xcorr,
+    )
+
+    return activity_xcorr(_events(spark, sf_dir))
+
+
 def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM control chart per event_type, distributed-exact via
     the reflected-running-sum identity (two window functions, pure
@@ -2573,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cv_folds": _sample_cv_folds,
         "mm_phash_neardup": _mm_phash_neardup,
         "events_winsorize": _events_winsorize,
+        "events_xcorr": _events_xcorr,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2615,7 +2629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_tokens,
         "rel_returned_revenue": _rel_returned_revenue,
         "rel_large_orders": _rel_large_orders,
-        "sample_source_quota": _sample_source_quota,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, phash, winsorize, ...) goes to
@@ -2635,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events_funnel,
         "events_live_intervals": _events_live_intervals,
         "sample_docs_weighted": _sample_docs_weighted,
+        "sample_source_quota": _sample_source_quota,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3399,6 +3413,14 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _xcorr_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.xcorr import (
+        xcorr_oracle_sql,
+    )
+
+    return xcorr_oracle_sql()
+
+
 def _winsorize_oracle() -> str:
     from eventhub_to_timescale_spark.operators.winsorize import (
         winsorize_oracle_sql,
@@ -3837,6 +3859,7 @@ ORDER BY 1, 3
         "sample_cv_folds": _cv_fold_oracle(),
         "mm_phash_neardup": _phash_neardup_oracle(),
         "events_winsorize": _winsorize_oracle(),
+        "events_xcorr": _xcorr_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

@@ -137,6 +137,7 @@ R11_HEAD = [
     "sample_cv_folds",
     "mm_phash_neardup",
     "events_winsorize",
+    "events_xcorr",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -179,7 +180,6 @@ R11_HEAD = [
     "text_token_stats",
     "rel_returned_revenue",
     "rel_large_orders",
-    "sample_source_quota",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
     # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
