@@ -559,6 +559,17 @@ def _events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_xcorr(_events(spark, sf_dir))
 
 
+def _events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, day) in one pass — Spark's Expand node gives
+    all four granularities (detail, per-type, per-day, grand total)
+    from a single scan with map-side partial aggregation, vs scanning
+    once per granularity; exact integer cents; 'ALL' sentinels instead
+    of engine-specific GROUPING_ID bits. See operators/cube.py."""
+    from eventhub_to_timescale_spark.operators.cube import cube_counts
+
+    return cube_counts(_events(spark, sf_dir))
+
+
 def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM control chart per event_type, distributed-exact via
     the reflected-running-sum identity (two window functions, pure
@@ -2587,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_neardup": _mm_phash_neardup,
         "events_winsorize": _events_winsorize,
         "events_xcorr": _events_xcorr,
+        "events_cube_counts": _events_cube_counts,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2628,7 +2640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _text_langid,
         "text_token_stats": _text_tokens,
         "rel_returned_revenue": _rel_returned_revenue,
-        "rel_large_orders": _rel_large_orders,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, phash, winsorize, ...) goes to
@@ -2649,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_live_intervals": _events_live_intervals,
         "sample_docs_weighted": _sample_docs_weighted,
         "sample_source_quota": _sample_source_quota,
+        "rel_large_orders": _rel_large_orders,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3413,6 +3425,12 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _cube_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.cube import cube_oracle_sql
+
+    return cube_oracle_sql()
+
+
 def _xcorr_oracle() -> str:
     from eventhub_to_timescale_spark.operators.xcorr import (
         xcorr_oracle_sql,
@@ -3860,6 +3878,7 @@ ORDER BY 1, 3
         "mm_phash_neardup": _phash_neardup_oracle(),
         "events_winsorize": _winsorize_oracle(),
         "events_xcorr": _xcorr_oracle(),
+        "events_cube_counts": _cube_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

@@ -138,6 +138,7 @@ R11_HEAD = [
     "mm_phash_neardup",
     "events_winsorize",
     "events_xcorr",
+    "events_cube_counts",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -179,7 +180,6 @@ R11_HEAD = [
     "text_language_id",
     "text_token_stats",
     "rel_returned_revenue",
-    "rel_large_orders",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
     # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
