@@ -559,6 +559,21 @@ def _events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_xcorr(_events(spark, sf_dir))
 
 
+def _mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first verdicts over the dHash banded Hamming join —
+    linear output (≤1 row per doc) where the pair frame is density-
+    bound; the scale-path consumer of mm_phash_neardup. See
+    operators/multimodal.py:phash_dup_verdicts."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        dhash_images,
+        document_image_blobs,
+        phash_dup_verdicts,
+    )
+
+    blobs = document_image_blobs(_docs(spark, sf_dir))
+    return phash_dup_verdicts(dhash_images(blobs))
+
+
 def _events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (event_type, day) in one pass — Spark's Expand node gives
     all four granularities (detail, per-type, per-day, grand total)
@@ -2599,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorize": _events_winsorize,
         "events_xcorr": _events_xcorr,
         "events_cube_counts": _events_cube_counts,
+        "mm_phash_keep": _mm_phash_keep,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2639,7 +2655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_sample_cut": _text_quality_sample_cut,
         "text_language_id": _text_langid,
         "text_token_stats": _text_tokens,
-        "rel_returned_revenue": _rel_returned_revenue,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, phash, winsorize, ...) goes to
@@ -2661,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs_weighted": _sample_docs_weighted,
         "sample_source_quota": _sample_source_quota,
         "rel_large_orders": _rel_large_orders,
+        "rel_returned_revenue": _rel_returned_revenue,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3447,6 +3463,14 @@ def _winsorize_oracle() -> str:
     return winsorize_oracle_sql()
 
 
+def _phash_keep_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        phash_keep_oracle_sql,
+    )
+
+    return phash_keep_oracle_sql()
+
+
 def _phash_neardup_oracle() -> str:
     from eventhub_to_timescale_spark.operators.multimodal import (
         phash_neardup_oracle_sql,
@@ -3879,6 +3903,7 @@ ORDER BY 1, 3
         "events_winsorize": _winsorize_oracle(),
         "events_xcorr": _xcorr_oracle(),
         "events_cube_counts": _cube_oracle(),
+        "mm_phash_keep": _phash_keep_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

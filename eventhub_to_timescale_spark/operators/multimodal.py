@@ -546,3 +546,40 @@ FROM hashes a JOIN hashes b ON b.doc_id > a.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_distance}
 ORDER BY doc_a, doc_b
 """
+
+
+def phash_dup_verdicts(
+    hashes: DataFrame, max_distance: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Keep-first dedup verdicts from the banded Hamming join:
+    → (doc_id, dup_of) for every document that has an EARLIER (lower
+    doc_id) near-duplicate, pointing at its earliest such neighbor.
+
+    Output is at most one row per document — linear in corpus size —
+    where the raw pair frame is density-bound (a corpus of heavy
+    near-dup clusters has quadratically many true pairs; see
+    SCALE.md).  Pipelines that only need "drop later copies" should
+    consume this frame, mirroring the minhash/winnow keep-first
+    variants (operators/dedup.py).
+    """
+    pairs = phash_neardup_pairs(hashes, max_distance, n_bands)
+    return (
+        pairs.groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("dup_of"))
+        .orderBy("doc_id")
+    )
+
+
+def phash_keep_oracle_sql(
+    max_distance: int = 6, table: str = "documents"
+) -> str:
+    """DuckDB rendering of ``phash_dup_verdicts`` — keep-first over
+    the analytic all-pairs ground truth."""
+    pairs = phash_neardup_oracle_sql(max_distance, table)
+    return f"""
+WITH pairs AS ({pairs.replace("ORDER BY doc_a, doc_b", "")})
+SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+FROM pairs
+GROUP BY doc_b
+ORDER BY doc_id
+"""

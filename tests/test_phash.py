@@ -107,3 +107,51 @@ def test_oracle_parity_sf0001(spark):
     )
     want = con.execute(phash_neardup_oracle_sql()).fetchall()
     assert got == want
+
+
+def test_keep_first_verdicts(spark):
+    """dup_of is the EARLIEST near neighbor; keepers are absent."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        phash_dup_verdicts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "src_0", 1) for i in range(120)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    hashes = dhash_images(document_image_blobs(docs))
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in phash_neardup_pairs(hashes).collect()
+    }
+    got = {
+        r.doc_id: r.dup_of for r in phash_dup_verdicts(hashes).collect()
+    }
+    want = {}
+    for a, b in pairs:
+        want[b] = min(want.get(b, a), a)
+    assert got == want
+    assert all(v < k for k, v in got.items())
+
+
+def test_keep_oracle_parity_sf0001(spark):
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        phash_dup_verdicts,
+        phash_keep_oracle_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = [
+        tuple(r)
+        for r in phash_dup_verdicts(
+            dhash_images(document_image_blobs(docs))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute(phash_keep_oracle_sql()).fetchall()
+    assert got == want
