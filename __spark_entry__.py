@@ -574,6 +574,16 @@ def _mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dup_verdicts(dhash_images(blobs))
 
 
+def _events_basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket PMI over sessionized activity: distinct event
+    types per (user, session) basket, exact co-occurrence counts, one
+    log of an exact-integer ratio — the order-free complement of the
+    journey trigrams. See operators/basket.py."""
+    from eventhub_to_timescale_spark.operators.basket import basket_pmi
+
+    return basket_pmi(_events(spark, sf_dir))
+
+
 def _events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (event_type, day) in one pass — Spark's Expand node gives
     all four granularities (detail, per-type, per-day, grand total)
@@ -2615,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_xcorr": _events_xcorr,
         "events_cube_counts": _events_cube_counts,
         "mm_phash_keep": _mm_phash_keep,
+        "events_basket_pmi": _events_basket_pmi,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2654,7 +2665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram,
         "text_quality_sample_cut": _text_quality_sample_cut,
         "text_language_id": _text_langid,
-        "text_token_stats": _text_tokens,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, phash, winsorize, ...) goes to
@@ -2677,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_quota": _sample_source_quota,
         "rel_large_orders": _rel_large_orders,
         "rel_returned_revenue": _rel_returned_revenue,
+        "text_token_stats": _text_tokens,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3441,6 +3452,14 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _basket_pmi_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.basket import (
+        basket_pmi_oracle_sql,
+    )
+
+    return basket_pmi_oracle_sql()
+
+
 def _cube_oracle() -> str:
     from eventhub_to_timescale_spark.operators.cube import cube_oracle_sql
 
@@ -3904,6 +3923,7 @@ ORDER BY 1, 3
         "events_xcorr": _xcorr_oracle(),
         "events_cube_counts": _cube_oracle(),
         "mm_phash_keep": _phash_keep_oracle(),
+        "events_basket_pmi": _basket_pmi_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,
