@@ -35,9 +35,18 @@ def basket_pmi(
     events: DataFrame,
     gap_seconds: int = 1800,
     min_support: int = 2,
+    persist_baskets: bool = True,
 ) -> DataFrame:
     """→ (type_a, type_b, n_ab, n_a, n_b, n_sessions, pmi) for every
-    unordered type pair co-occurring in ≥ ``min_support`` sessions."""
+    unordered type pair co-occurring in ≥ ``min_support`` sessions.
+
+    ``persist_baskets`` (default on) caches the distinct basket frame
+    — it feeds FOUR consumers (both sides of the pair join, the
+    per-type totals, the session count), and without the boundary
+    Catalyst re-runs the sessionization window per consumer: four
+    full passes over raw events at 100 TB.  The cached frame is
+    (user, session, type) — distinct-bounded, far smaller than the
+    event log.  Same pattern as dedup.py's persist_banded."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     # Same session-assignment window as operators/sessions.py
@@ -61,6 +70,8 @@ def basket_pmi(
         .select("user_id", "session_idx", "event_type")
         .distinct()
     )
+    if persist_baskets:
+        baskets = baskets.persist()
     n_sessions = baskets.select("user_id", "session_idx").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
