@@ -55,6 +55,7 @@ def markov_transitions(
     id_col: str = "event_id",
     state_col: str = "event_type",
     alpha: int = 1,
+    persist_pairs: bool = True,
 ) -> DataFrame:
     """Laplace-smoothed first-order Markov transition matrix.
 
@@ -83,6 +84,11 @@ def markov_transitions(
     pair_n = pairs.groupBy("from_state", "to_state").agg(
         F.count(F.lit(1)).alias("pair_n")
     )
+    if persist_pairs:
+        # pair_n feeds THREE consumers (totals, n_states, the final
+        # join); without the boundary each re-runs the lag window
+        # over raw events. The cached frame is |states|^2 rows max.
+        pair_n = pair_n.persist()
     from_total = pair_n.groupBy("from_state").agg(
         F.sum("pair_n").alias("from_total")
     )

@@ -426,7 +426,10 @@ def dhash_images(blobs: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    hashes: DataFrame, max_distance: int = 6, n_bands: int = 8
+    hashes: DataFrame,
+    max_distance: int = 6,
+    n_bands: int = 8,
+    persist_bands: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join over dHash.
 
@@ -470,6 +473,12 @@ def phash_neardup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+    if persist_bands:
+        # both sides of the self-join read this frame; without the
+        # boundary the upstream decode -> dHash mapInPandas runs
+        # TWICE per image. Cached frame is n_bands rows x 24 bytes
+        # per image — the hashes, never the payloads.
+        bands = bands.persist()
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (

@@ -44,6 +44,7 @@ def activity_xcorr(
     *,
     ts_col: str = "ts",
     type_col: str = "event_type",
+    persist_counts: bool = True,
 ) -> DataFrame:
     """→ (type_a, type_b, lag, n, r) for every unordered type pair
     (type_a < type_b) and lag in [-max_lag, max_lag]; r is NULL when
@@ -64,6 +65,11 @@ def activity_xcorr(
         .groupBy("etype", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if persist_counts:
+        # counts feeds THREE consumers (span, the type list, the
+        # dense grid join); the boundary keeps the raw-event scan to
+        # exactly one. Cached frame is |types| x |buckets| rows.
+        counts = counts.persist()
     span = counts.agg(
         F.min("b").alias("blo"), F.max("b").alias("bhi")
     )
