@@ -584,6 +584,18 @@ def _events_basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_pmi(_events(spark, sf_dir))
 
 
+def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile on user_id: top-10 heaviest keys with
+    exact share-ppm, max/avg x100 and p99 order statistic — the
+    numbers a salt-factor decision is made from, all integer-exact.
+    See operators/skewprof.py."""
+    from eventhub_to_timescale_spark.operators.skewprof import (
+        skew_profile,
+    )
+
+    return skew_profile(_events(spark, sf_dir))
+
+
 def _events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (event_type, day) in one pass — Spark's Expand node gives
     all four granularities (detail, per-type, per-day, grand total)
@@ -2626,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_counts": _events_cube_counts,
         "mm_phash_keep": _mm_phash_keep,
         "events_basket_pmi": _events_basket_pmi,
+        "events_skew_profile": _events_skew_profile,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2664,7 +2677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "dedup_ngram_jaccard": _dedup_ngram,
         "text_quality_sample_cut": _text_quality_sample_cut,
-        "text_language_id": _text_langid,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, phash, winsorize, ...) goes to
@@ -2688,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_large_orders": _rel_large_orders,
         "rel_returned_revenue": _rel_returned_revenue,
         "text_token_stats": _text_tokens,
+        "text_language_id": _text_langid,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3452,6 +3465,14 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _skew_profile_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.skewprof import (
+        skew_profile_oracle_sql,
+    )
+
+    return skew_profile_oracle_sql()
+
+
 def _basket_pmi_oracle() -> str:
     from eventhub_to_timescale_spark.operators.basket import (
         basket_pmi_oracle_sql,
@@ -3924,6 +3945,7 @@ ORDER BY 1, 3
         "events_cube_counts": _cube_oracle(),
         "mm_phash_keep": _phash_keep_oracle(),
         "events_basket_pmi": _basket_pmi_oracle(),
+        "events_skew_profile": _skew_profile_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

@@ -141,6 +141,7 @@ R11_HEAD = [
     "events_cube_counts",
     "mm_phash_keep",
     "events_basket_pmi",
+    "events_skew_profile",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -179,7 +180,6 @@ R11_HEAD = [
     "dedup_components",
     "dedup_ngram_jaccard",
     "text_quality_sample_cut",
-    "text_language_id",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
     # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
