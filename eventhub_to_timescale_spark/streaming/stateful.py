@@ -1134,21 +1134,57 @@ def _make_session_fn(gap_seconds: int):
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"], kind="stable", ignore_index=True
         )
+        import numpy as np
+
         # normalize to int64 MICROSECONDS whatever resolution Arrow
         # delivered (datetime64[ns] on this stack)
         ts_us = (
             pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
         )
+        # Vectorized fold (like the other stateful ops): compare
+        # TRUNCATED whole seconds of each event against its
+        # predecessor (the carried last_us for position 0), segment
+        # by cumsum of the new-session mask, then reduce segments
+        # with boundary indexing — no per-row Python loop, so a
+        # hot-key micro-batch stays numpy-bound, not GIL-bound.
+        sec = ts_us // 1_000_000
+        prev = np.empty_like(sec)
+        prev[1:] = sec[:-1]
+        prev[0] = last_us // 1_000_000 if start_us >= 0 else sec[0]
+        new_mask = sec - prev > gap_seconds
+        if start_us < 0:
+            new_mask[0] = True  # no open session to continue
+        starts = np.flatnonzero(new_mask)  # segment start positions
+        # segments: [0, starts[0]) continues the carried session (may
+        # be empty), then one segment per start.
+        seg_bounds = np.concatenate((starts, [len(ts_us)]))
         closed = []
-        for t in ts_us:
-            if start_us < 0:
-                start_us, last_us, n, idx = int(t), int(t), 1, idx + 1
-                continue
-            if t // 1_000_000 - last_us // 1_000_000 > gap_seconds:
-                closed.append((user_id, idx, start_us, last_us, n))
-                start_us, last_us, n, idx = int(t), int(t), 1, idx + 1
-            else:
-                last_us, n = int(t), n + 1
+        if starts.size == 0:
+            # everything continues the open session
+            last_us, n = int(ts_us[-1]), n + len(ts_us)
+        else:
+            head_len = int(starts[0])
+            if start_us >= 0:
+                # close the carried session, extended by the head rows
+                if head_len:
+                    closed.append(
+                        (user_id, idx, start_us, int(ts_us[head_len - 1]),
+                         n + head_len)
+                    )
+                else:
+                    closed.append((user_id, idx, start_us, last_us, n))
+            # interior segments all close; the final one stays open
+            for s, e in zip(seg_bounds[:-2], seg_bounds[1:-1]):
+                idx += 1
+                closed.append(
+                    (user_id, idx, int(ts_us[s]), int(ts_us[e - 1]),
+                     int(e - s))
+                )
+            s = int(seg_bounds[-2])
+            idx += 1
+            start_us, last_us, n = (
+                int(ts_us[s]), int(ts_us[-1]), len(ts_us) - s,
+            )
         state.update((start_us, last_us, n, idx))
         state.setTimeoutDuration(24 * 3600 * 1000)
         if closed:
