@@ -134,3 +134,98 @@ def test_exact_gap_continues_boundary(spark, tmp_path):
     )
     out = _rows(_run_stream(spark, tmp_path, [data, flush]))
     assert [(r[1], r[4]) for r in out] == [(1, 2), (2, 1)]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for fn-level tests."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    # applyInPandasWithState exposes .get as a property-like tuple
+    get = property(get)
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self._v = None
+
+
+def _reference_fold(ts_list, state, gap):
+    """Literal per-row Python fold of the session recursion."""
+    start, last, n, idx = state if state else (-1, -1, 0, 0)
+    closed = []
+    for t in ts_list:
+        if start < 0:
+            start, last, n, idx = t, t, 1, idx + 1
+        elif t // 1_000_000 - last // 1_000_000 > gap:
+            closed.append((idx, start, last, n))
+            start, last, n, idx = t, t, 1, idx + 1
+        else:
+            last, n = t, n + 1
+    return closed, (start, last, n, idx)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_vectorized_fold_equals_reference(seed):
+    """The cumsum-segmented batch fn emits exactly what the literal
+    per-row recursion emits, for random gap patterns split across
+    random micro-batch boundaries."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from eventhub_to_timescale_spark.streaming.stateful import (
+        _make_session_fn,
+    )
+
+    rng = random.Random(seed)
+    gap = 100  # seconds
+    # random inter-arrival times straddling the threshold
+    ts, t = [], 1_700_000_000_000_000
+    for _ in range(200):
+        t += rng.choice([1, 50, 99, 100, 101, 1000]) * 1_000_000
+        ts.append(t)
+
+    # run the vectorized fn over random micro-batch splits
+    fn = _make_session_fn(gap)
+    st = _FakeState()
+    got = []
+    i = 0
+    while i < len(ts):
+        j = min(len(ts), i + rng.randint(1, 40))
+        pdf = pd.DataFrame(
+            {
+                "user_id": 7,
+                "event_id": range(i, j),
+                "ts": pd.to_datetime(np.array(ts[i:j], dtype="int64"), unit="us"),
+            }
+        )
+        for out in fn((7,), iter([pdf]), st):
+            for r in out.itertuples(index=False):
+                got.append(
+                    (
+                        r.session_idx,
+                        int(pd.Timestamp(r.session_start).value // 1000),
+                        int(pd.Timestamp(r.session_end).value // 1000),
+                        r.n_events,
+                    )
+                )
+        i = j
+
+    want, final = _reference_fold(ts, None, gap)
+    assert got == want
+    assert tuple(map(int, st.get)) == final
