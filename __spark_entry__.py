@@ -3993,18 +3993,39 @@ SELECT measurement_subject, time,
 FROM r GROUP BY 1, 2
 """,
         "toolkit_trend_slope": f"""
-SELECT measurement_subject, {bucket.format(w=86400)} AS time,
-       regr_count(measurement_number, x) AS n_samples,
-       ROUND(regr_slope(measurement_number, x), 6) + 0.0 AS slope,
-       ROUND(regr_intercept(measurement_number, x), 6) + 0.0 AS intercept
-FROM (
-  SELECT measurement_subject, timestamp, measurement_number,
-         CAST(CAST(floor(epoch(timestamp)) AS BIGINT) % 86400 AS DOUBLE)
-             AS x
+WITH base AS (
+  SELECT measurement_subject, {bucket.format(w=86400)} AS time,
+         CAST(floor(epoch(timestamp)) AS BIGINT) % 86400 AS x,
+         CAST(floor(measurement_number * 10000 + 0.5) AS BIGINT) AS y
   FROM {cond} c
   WHERE measurement_of = 'value' AND measurement_number IS NOT NULL
-) s
-GROUP BY 1, 2
+),
+agg AS (
+  SELECT measurement_subject, time,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY 1, 2
+),
+fit AS (
+  SELECT *,
+         CASE WHEN CAST(n_samples AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx > 0
+              THEN (CAST(n_samples AS DOUBLE) * sxy
+                    - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n_samples AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx) / 10000.0
+              END AS slope_raw
+  FROM agg
+)
+SELECT measurement_subject, time, n_samples,
+       ROUND(slope_raw, 6) + 0.0 AS slope,
+       ROUND((CAST(sy AS DOUBLE) / 10000.0
+              - slope_raw * CAST(sx AS DOUBLE)) / n_samples, 6) + 0.0
+         AS intercept
+FROM fit
 """,
         "emb_normalize_quantize": """
 WITH v AS (

@@ -115,40 +115,70 @@ def trend_slope(
     bucket_seconds: int = 604800,
 ) -> DataFrame:
     """Per-(subject, bucket) least-squares trend — Timescale
-    ``stats_agg → slope()/intercept()``.  Uses the SQL-standard
-    ``regr_slope/regr_intercept/regr_count`` aggregates (identical
-    definitions in Spark and DuckDB) over (x = seconds SINCE BUCKET
-    START, y = measurement).  Centering x at the bucket start keeps
-    x ≤ bucket_seconds so the covariance arithmetic is well-
-    conditioned — raw epoch seconds (~1.7e9) would put Σx² at ~3e18,
-    past exact-double range, making the 6-dp rounding engine-order-
-    sensitive.  The intercept is therefore the fitted value AT the
-    bucket start.  Single-point or zero-variance groups yield NULL
-    slope in both engines.
+    ``stats_agg → slope()/intercept()`` over (x = seconds SINCE
+    BUCKET START, y = measurement quantized to 1e-4 units).
+
+    Exact int64 moments, not ``regr_slope``: the regression
+    aggregates' INTERNAL accumulation order is an engine detail, and
+    on the 10× synthesized corpus one group's slope landed exactly on
+    a 6-dp rounding boundary — Spark and DuckDB rounded opposite ways
+    (r11, PARITY_SF1).  Summing n, Σx, Σy, Σxy, Σx² as exact integers
+    (x ≤ bucket_seconds after centering at the bucket start, y in
+    1e-4 units: Σxy ≤ ~9e16 even at 10⁵ rows/group) and doing the
+    ONE division at the end in the same expression shape makes the
+    doubles a pure function of the data.  The intercept is the fitted
+    value AT the bucket start.  Single-point or zero-x-variance
+    groups yield NULL slope in both engines.
 
     → (measurement_subject, time, n_samples, slope, intercept),
     slope/intercept rounded to 6 dp.
     """
-    x = (F.unix_timestamp(F.col("timestamp")) % bucket_seconds).cast("double")
-    y = F.col("measurement_number")
-    return (
+    x = F.unix_timestamp(F.col("timestamp")) % bucket_seconds
+    y = F.floor(F.col("measurement_number") * 10_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    agg = (
         conditions.filter(
-            (F.col("measurement_of") == of) & y.isNotNull()
+            (F.col("measurement_of") == of)
+            & F.col("measurement_number").isNotNull()
         )
-        .groupBy(
+        .select(
             "measurement_subject",
             epoch_bucket(F.col("timestamp"), bucket_seconds).alias("time"),
+            x.alias("x"),
+            y.alias("y"),
         )
+        .groupBy("measurement_subject", "time")
         .agg(
-            F.regr_count(y, x).alias("n_samples"),
-            # + 0.0 collapses IEEE -0.0 (a flat series whose tiny
-            # negative slope rounds to -0.0) to +0.0 — engines render
-            # the two zeros differently, values are equal
-            (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
-            (F.round(F.regr_intercept(y, x), 6) + F.lit(0.0)).alias(
-                "intercept"
-            ),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
         )
+    )
+    num = (
+        agg["n_samples"].cast("double") * agg["sxy"]
+        - agg["sx"].cast("double") * agg["sy"]
+    )
+    den = (
+        agg["n_samples"].cast("double") * agg["sxx"]
+        - agg["sx"].cast("double") * agg["sx"]
+    )
+    slope = F.when(den > 0, num / den / F.lit(10_000.0))
+    intercept = (
+        agg["sy"].cast("double") / F.lit(10_000.0)
+        - slope * agg["sx"].cast("double")
+    ) / agg["n_samples"]
+    return agg.select(
+        "measurement_subject",
+        "time",
+        "n_samples",
+        # + 0.0 collapses IEEE -0.0 (a flat series whose tiny
+        # negative slope rounds to -0.0) to +0.0 — engines render
+        # the two zeros differently, values are equal
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
     )
 
 
