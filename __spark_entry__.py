@@ -596,6 +596,18 @@ def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(_events(spark, sf_dir))
 
 
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution over gap
+    sessions: one user-partitioned shuffle shared by all three
+    windows, dense ROW_NUMBER positions so 'first' and 'immediately
+    preceding' are unique rows. See operators/attribution.py."""
+    from eventhub_to_timescale_spark.operators.attribution import (
+        conversion_attribution,
+    )
+
+    return conversion_attribution(_events(spark, sf_dir))
+
+
 def _events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (event_type, day) in one pass — Spark's Expand node gives
     all four granularities (detail, per-type, per-day, grand total)
@@ -2639,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_keep": _mm_phash_keep,
         "events_basket_pmi": _events_basket_pmi,
         "events_skew_profile": _events_skew_profile,
+        "events_attribution": _events_attribution,
         "dedup_winnowing": _dedup_winnowing,
         "text_tfidf_topk": _text_tfidf_topk,
         "dedup_winnow_keep": _dedup_winnow_keep,
@@ -2676,7 +2689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_daily_from_cascade": _q3_daily_from_cascade,
         "dedup_components": _dedup_components,
         "dedup_ngram_jaccard": _dedup_ngram,
-        "text_quality_sample_cut": _text_quality_sample_cut,
         # — (d) no rotating r9-head demotion: every slot freed by the
         #   new never-witnessed r11 operators (markov, interarrival,
         #   range-partition, cv-folds, phash, winsorize, ...) goes to
@@ -2701,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_returned_revenue": _rel_returned_revenue,
         "text_token_stats": _text_tokens,
         "text_language_id": _text_langid,
+        "text_quality_sample_cut": _text_quality_sample_cut,
         # — r9-head demotions not promoted this round (green r9;
         #   first in line for the r12 head)
         "sample_dsir_topn": _sample_dsir_topn,
@@ -3465,6 +3478,14 @@ FROM iv l JOIN iv r
 WHERE l.interval_id % 2 = 0 AND r.interval_id % 2 = 1
 """
 
+def _attribution_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.attribution import (
+        attribution_oracle_sql,
+    )
+
+    return attribution_oracle_sql()
+
+
 def _skew_profile_oracle() -> str:
     from eventhub_to_timescale_spark.operators.skewprof import (
         skew_profile_oracle_sql,
@@ -3946,6 +3967,7 @@ ORDER BY 1, 3
         "mm_phash_keep": _phash_keep_oracle(),
         "events_basket_pmi": _basket_pmi_oracle(),
         "events_skew_profile": _skew_profile_oracle(),
+        "events_attribution": _attribution_oracle(),
         "dedup_minhash_keep": oc.dedup_minhash_keep_oracle(12, 6, 0.5),
         "sample_split_counts": _SAMPLE_SPLIT_ORACLE,
         "q1_from_rollup": q1,

@@ -142,6 +142,7 @@ R11_HEAD = [
     "mm_phash_keep",
     "events_basket_pmi",
     "events_skew_profile",
+    "events_attribution",
     "dedup_winnowing",
     "text_tfidf_topk",
     "dedup_winnow_keep",
@@ -179,7 +180,6 @@ R11_HEAD = [
     "q3_daily_from_cascade",
     "dedup_components",
     "dedup_ngram_jaccard",
-    "text_quality_sample_cut",
     # (d) no rotating r9-head demotion this round — every slot the
     # new never-witnessed r11 operators free up goes to the overdue
     # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
