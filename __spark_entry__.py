@@ -2623,18 +2623,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         enforced by tests/test_oracle_types.py on the whole
     #         registry);
     #     (b) the 16 r8 demotions (last gated r7, most overdue);
-    #     (c) the 16 r7-rotation groups (last gated r8);
-    #     (d) rotating r9-head demotions as slots allow — after the
-    #         two later r11 additions (events_cusum_alarms,
-    #         dedup_cdc_chunks) took precedence, one slot remained
-    #         (text_bm25_topk).
-    #     After this round's gate, every oracled entry has ≥1
-    #     driver-green row (ROTATION.md is the verification artifact);
-    #     r12 resumes the standing 2-round cadence, starting with the
-    #     42 remaining r9-green demotions.
+    #     (c) r7-rotation groups (last gated r8) as slots allow;
+    #     (d) no r9-head demotions — FINAL r11 composition: the round
+    #         grew the registry to 165 (15 new operators, each
+    #         never-witnessed and so head-resident by the ledger
+    #         invariant), which pushed group (a) to 29 entries and
+    #         ceded the (d) slot plus ten (c) slots; the ceded
+    #         entries (text_bm25_topk green r9; dedup_substr_windows,
+    #         events_cohort_retention, events_funnel,
+    #         events_live_intervals, sample_docs_weighted,
+    #         sample_source_quota, rel_large_orders,
+    #         rel_returned_revenue, text_token_stats,
+    #         text_language_id, text_quality_sample_cut green r8)
+    #         lead the r12 pool and keep their check_parity +
+    #         test_gate_tail_parity witnesses every round.
+    #     After this round's gate, 29 more entries earn their first
+    #     driver row (ROTATION.md is the generated verification
+    #     artifact); r12 resumes the standing 2-round cadence with
+    #     the ceded (c) pool first, then the r9-green demotions.
     return {
         # ------------- r11 GATE HEAD (50 entries) -------------
-        # — (a) all 15 never-driver-witnessed entries: the 13 r10
+        # — (a) all 29 never-driver-witnessed entries: the 13 r10
         #   additions, the never-gated asof salted variant, and the
         #   NEW r11 streaming-near-dup batch twin
         "dedup_stream_neardup_twin": _dedup_stream_neardup_twin,
