@@ -29,8 +29,14 @@ def cube_counts(events: DataFrame) -> DataFrame:
     CUBE (event_type, day): detail cells, per-type totals, per-day
     totals, and the grand total, with 'ALL' marking the rolled-up
     dimension(s).  One scan, one Expand, one shuffle."""
+    # ts IS NOT NULL (r11 advice): a NULL ts would yield day=NULL in
+    # the BASE frame, which COALESCE then renders 'ALL' — colliding
+    # with the genuine rollup rows and making the ORDER BY tie
+    # engine-nondeterministic.
     base = events.filter(
-        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
     ).select(
         "event_type",
         F.to_date("ts").cast("string").alias("day"),
@@ -64,7 +70,7 @@ WITH base AS (
          CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
   FROM {table}
-  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
 )
 SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(day, 'ALL') AS day,

@@ -38,18 +38,28 @@ def skew_profile(
     df: DataFrame,
     key_col: str = "user_id",
     top_k: int = 10,
+    persist_counts: bool = True,
 ) -> DataFrame:
     """→ top_k rows (key, cnt, share_ppm, rank, n_keys, total_rows,
     max_avg_x100, p99_cnt), rank 1 = heaviest, count-desc with a
-    key-asc tiebreak so the profile is deterministic."""
+    key-asc tiebreak so the profile is deterministic.
+
+    ``persist_counts`` (r11 advice: match the sibling r11 operators'
+    opt-out) caches the two multi-consumer frames — counts feeds the
+    ranked frame and both stats passes, ranked feeds the top-k and the
+    p99 probe.  Like dedup.py's boundaries these are caller-released:
+    unpersist via ``spark.catalog.clearCache()`` (or pass False) in a
+    long-lived session; both cached frames are one row per DISTINCT
+    key, never raw-data-sized."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     counts = (
         df.filter(F.col(key_col).isNotNull())
         .groupBy(F.col(key_col).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()  # feeds the ranked frame AND both stats passes
     )
+    if persist_counts:
+        counts = counts.persist()
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("key"))
     w_stat = Window.orderBy("cnt", "key")
     ranked = counts.select(
@@ -57,7 +67,9 @@ def skew_profile(
         "cnt",
         F.row_number().over(w_rank).alias("rank"),
         F.row_number().over(w_stat).alias("_arank"),
-    ).persist()
+    )
+    if persist_counts:
+        ranked = ranked.persist()
     base_stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("total_rows"),

@@ -58,7 +58,13 @@ def activity_xcorr(
         events.filter(F.col(type_col).isNotNull())
         .select(
             F.col(type_col).alias("etype"),
-            (F.unix_timestamp(ts_col) / bucket_seconds)
+            # FLOOR division, explicitly, on both engines (r11 advice):
+            # cast-after-divide truncates toward zero, which would put
+            # pre-1970 (negative-epoch) timestamps in the NEXT bucket
+            # instead of the previous one. floor() is the conventional
+            # time-bucket alignment and is pinned cross-engine by
+            # tests/test_xcorr_negative_epoch.py.
+            F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_seconds))
             .cast("long")
             .alias("b"),
         )
@@ -137,7 +143,7 @@ def xcorr_oracle_sql(
     return f"""
 WITH counts AS (
   SELECT event_type AS etype,
-         CAST(floor(epoch(ts)) AS BIGINT) // {bucket_seconds} AS b,
+         CAST(floor(floor(epoch(ts)) / {bucket_seconds}) AS BIGINT) AS b,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM {table} WHERE event_type IS NOT NULL
   GROUP BY 1, 2

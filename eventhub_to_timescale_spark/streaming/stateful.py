@@ -1119,7 +1119,29 @@ def _make_session_fn(gap_seconds: int):
 
         (user_id,) = key
         if state.hasTimedOut:
+            # The 24 h idle timeout CLOSES the open session — emitting
+            # it, exactly as the docstring's watermark analogy promises
+            # — rather than discarding it (r11 advice: state.remove()
+            # without a yield silently lost the last session of any
+            # user idle past the timeout).
+            carried = tuple(map(int, state.get)) if state.exists else None
             state.remove()
+            if carried is not None and carried[0] >= 0:
+                start_us, last_us, n, idx = carried
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_idx": [idx],
+                        "session_start": pd.to_datetime(
+                            [start_us], unit="us"
+                        ),
+                        "session_end": pd.to_datetime([last_us], unit="us"),
+                        "n_events": [n],
+                        "duration_s": [
+                            last_us // 1_000_000 - start_us // 1_000_000
+                        ],
+                    }
+                )
             return
         if state.exists:
             start_us, last_us, n, idx = map(int, state.get)

@@ -82,6 +82,25 @@ class TestCubeCounts:
         assert got[("ALL", "ALL")].n == 1
 
 
+    def test_null_ts_excluded_no_all_collision(self, spark):
+        """A NULL ts must not yield a base row whose day renders as
+        the 'ALL' sentinel (r11 advice: that would collide with the
+        genuine per-type rollup row and make its ORDER BY tie
+        nondeterministic)."""
+        from pyspark.sql import functions as F
+
+        df = _events(spark, [("a", 0, 1.0), ("a", 1, 2.0)]).unionByName(
+            _events(spark, [("a", 0, 99.0)]).withColumn(
+                "ts", F.lit(None).cast("timestamp")
+            )
+        )
+        rows = cube_counts(df).collect()
+        # exactly ONE (a, ALL) row, and it excludes the NULL-ts event
+        a_all = [r for r in rows if r.event_type == "a" and r.day == "ALL"]
+        assert len(a_all) == 1 and a_all[0].n == 2
+        assert a_all[0].sum_cents == 300
+
+
 def test_oracle_parity_sf0001(spark):
     path = "/root/testdata/sf0.001/events.parquet"
     got = [

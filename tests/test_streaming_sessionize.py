@@ -229,3 +229,52 @@ def test_vectorized_fold_equals_reference(seed):
     want, final = _reference_fold(ts, None, gap)
     assert got == want
     assert tuple(map(int, st.get)) == final
+
+
+def test_timeout_emits_open_session():
+    """The idle timeout CLOSES the carried session (emits it) rather
+    than discarding it — r11 advice: a user idle past the 24 h window
+    must not lose their last session."""
+    import numpy as np
+    import pandas as pd
+
+    from eventhub_to_timescale_spark.streaming.stateful import (
+        _make_session_fn,
+    )
+
+    fn = _make_session_fn(100)
+    st = _FakeState()
+    t0 = 1_700_000_000_000_000
+    pdf = pd.DataFrame(
+        {
+            "user_id": 7,
+            "event_id": [0, 1],
+            "ts": pd.to_datetime(
+                np.array([t0, t0 + 30_000_000], dtype="int64"), unit="us"
+            ),
+        }
+    )
+    assert list(fn((7,), iter([pdf]), st)) == []  # session stays open
+    assert st.exists
+    st.hasTimedOut = True
+    out = list(fn((7,), iter([]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (
+        int(row["session_idx"]),
+        int(pd.Timestamp(row["session_start"]).value // 1000),
+        int(pd.Timestamp(row["session_end"]).value // 1000),
+        int(row["n_events"]),
+        int(row["duration_s"]),
+    ) == (1, t0, t0 + 30_000_000, 2, 30)
+    assert not st.exists  # state released after the close
+
+
+def test_timeout_with_no_state_emits_nothing():
+    from eventhub_to_timescale_spark.streaming.stateful import (
+        _make_session_fn,
+    )
+
+    st = _FakeState()
+    st.hasTimedOut = True
+    assert list(_make_session_fn(100)((7,), iter([]), st)) == []

@@ -100,3 +100,55 @@ def test_oracle_parity_sf0001(spark):
     want = con.execute(xcorr_oracle_sql()).fetchall()
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_negative_epoch_buckets_floor_and_match_oracle(spark):
+    """Pre-1970 timestamps (negative epoch seconds) must FLOOR into
+    the previous bucket on both engines (r11 advice: cast-after-divide
+    truncated toward zero on the Spark side).  Parity is pinned on a
+    corpus straddling the epoch."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # buckets around the epoch: -2, -1, 0, 1 (3600 s buckets)
+    for etype, b, n in [
+        ("a", -2, 3), ("a", -1, 1), ("a", 0, 4), ("a", 1, 2),
+        ("b", -2, 1), ("b", -1, 3), ("b", 0, 2), ("b", 1, 5),
+    ]:
+        for j in range(n):
+            rows.append((eid, datetime(1970, 1, 1)
+                         + timedelta(seconds=b * BUCKET + j * 60),
+                         0, etype, 1.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = [tuple(r) for r in activity_xcorr(df, BUCKET, 1).collect()]
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type",
+                     "value", "props"],
+        ),
+    )
+    want = con.execute(xcorr_oracle_sql(BUCKET, 1)).fetchall()
+    assert len(got) == len(want) > 0
+    assert got == want
+    # and the floor semantics specifically: -1 s lands in bucket -1
+    from pyspark.sql import functions as F
+    b = (
+        spark.createDataFrame(
+            [(0, datetime(1969, 12, 31, 23, 59, 59), 0, "a", 1.0, None)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        .select(F.floor(F.unix_timestamp("ts") / F.lit(BUCKET))
+                .cast("long").alias("b"))
+        .collect()[0][0]
+    )
+    assert b == -1
