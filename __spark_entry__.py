@@ -643,6 +643,38 @@ def _dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_shared_chunks(_docs(spark, sf_dir))
 
 
+def _dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gear rolling-hash CDC shared-chunk evidence (r11 verdict ask
+    #2) — the SCALE path of dedup_cdc_chunks: identical output
+    contract, boundaries from the O(1)-per-position shift-add gear
+    hash (numpy over the utf-32 view inside mapInPandas) instead of
+    one md5 digest per character position.  Same copied-span dedup
+    semantics the reference's seen-set contract implies
+    (bmw_to_timescale/duplicate_check.py:45-96).  See
+    operators/cdcchunk.py gear_shared_chunks."""
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        gear_shared_chunks,
+    )
+
+    return gear_shared_chunks(_docs(spark, sf_dir))
+
+
+def _dedup_stream_cdc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep-first chunk-sharing verdicts (doc_id, dup_of)
+    — the BATCH TWIN of the streaming CDC-chunk seen-set dedup
+    (streaming/cdcdedup.py, the 16th stateful operator; reference
+    contract bmw_to_timescale/duplicate_check.py:45-96 upgraded to
+    chunk granularity).  tests/test_streaming_cdcdedup.py proves the
+    streaming operator converges row-identically to this frame on a
+    doc_id-ordered replay; this gated entry is its driver-witnessed
+    oracle surface."""
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        cdc_dup_verdicts,
+    )
+
+    return cdc_dup_verdicts(_docs(spark, sf_dir))
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full connected-components duplicate clustering over the MinHash
     pair graph (min-label propagation; oracle = recursive-CTE
@@ -2641,11 +2673,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     driver row (ROTATION.md is the generated verification
     #     artifact); r12 resumes the standing 2-round cadence with
     #     the ceded (c) pool first, then the r9-green demotions.
+    #   r12 head (this round, VERDICT r11 ask #1 — the rotation the
+    #     cadence test hardcoded): four groups, exactly 50 —
+    #     (a) the 2 NEW never-witnessed entries, head-resident by the
+    #         ledger invariant: dedup_cdc_gear (the gear rolling-hash
+    #         CDC scale twin, ask #2) and dedup_stream_cdc_twin (the
+    #         streaming CDC-chunk dedup's batch twin, ask #5);
+    #     (b) the 34-entry always-gated §2 core, green r10 and due on
+    #         the standing 2-round cadence;
+    #     (c) the 12 most-overdue demotions: the 11 r8-green entries
+    #         that ceded their r11 slots plus text_bm25_topk (r9);
+    #     (d) the 2 oldest r9-green pool entries (sample_dsir_topn,
+    #         curation_gopher_quality) in the remaining slots.
+    #     2 + 34 + 12 + 2 = 50.  CAPACITY NOTE, recorded rather than
+    #     hidden: the r9-green pool holds 44 entries and only 2 slots
+    #     remained after the core restoration, so 42 r9-green entries
+    #     reach since-3 at r12 close — they lead the r13 head (oldest
+    #     first), with the 16 r10-green demotions due r13/r14 behind
+    #     them; all keep their check_parity + test_gate_tail_parity
+    #     witnesses every round meanwhile.  The 50 r11-head entries
+    #     demote to the tail, freshly driver-green.
     return {
-        # ------------- r11 GATE HEAD (50 entries) -------------
-        # — (a) all 29 never-driver-witnessed entries: the 13 r10
-        #   additions, the never-gated asof salted variant, and the
-        #   NEW r11 streaming-near-dup batch twin
+        # ------------- r12 GATE HEAD (50 entries) -------------
+        # — (a) the 2 NEW never-driver-witnessed r12 entries (gear
+        #   CDC scale twin + streaming CDC-dedup batch twin)
+        "dedup_cdc_gear": _dedup_cdc_gear,
+        "dedup_stream_cdc_twin": _dedup_stream_cdc_twin,
+        # — (b) the 34-entry always-gated §2 core, restored per the
+        #   standing 2-round cadence (green r10, demoted for r11's
+        #   never-witnessed backlog, due r12 — the rotation the
+        #   cadence test hardcodes)
+        "q1_bucket_avg": _q1,
+        "q2_resolution_avg": _q2,
+        "q3_daily_max": _q3_daily,
+        "q4_mode_adaptive": _q4_mode,
+        "q5_timeweight_locf": _q5_locf,
+        "q6_asap_smooth": _q6_asap,
+        "q6_lttb_downsample": _q6_lttb,
+        "q7_unique_subjects": _q7_subjects,
+        "q8_changed_rows": _q8_changes,
+        "q9_state_intervals": _q9_intervals,
+        "asof_probe_value": _asof_probe_value,
+        "range_overlap_join": _range_overlap,
+        "gapfill_linear": _gapfill_linear,
+        "ingest_events_unpivot": _ingest_conditions,
+        "ingest_glow": _ingest_glow,
+        "ingest_homie": _ingest_homie,
+        "ingest_emon": _ingest_emon,
+        "ingest_bmw": _ingest_bmw,
+        "ingest_dynamic": _ingest_dynamic,
+        "ingest_records_strict": _ingest_records_strict,
+        "ingest_router_union": _ingest_router,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "sim_cosine_topk": _sim_topk,
+        "text_fingerprint": _text_fingerprint,
+        "text_vocab_topk": _text_vocab_topk,
+        "pack_documents": _pack_documents,
+        "curation_pii_redact": _curation_pii_redact,
+        "curation_decontaminate": _curation_decontaminate,
+        "curation_repetition": _curation_repetition,
+        "mm_blob_features": _mm_blob_features,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_resize": _mm_resize,
+        # — (c) the 12 most-overdue demotions: the 11 r8-green
+        #   entries that ceded their r11 slots + text_bm25_topk
+        #   (green r9)
+        "dedup_substr_windows": _dedup_substr_windows,
+        "text_bm25_topk": _text_bm25_topk,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_funnel": _events_funnel,
+        "events_live_intervals": _events_live_intervals,
+        "sample_docs_weighted": _sample_docs_weighted,
+        "sample_source_quota": _sample_source_quota,
+        "rel_large_orders": _rel_large_orders,
+        "rel_returned_revenue": _rel_returned_revenue,
+        "text_token_stats": _text_tokens,
+        "text_language_id": _text_langid,
+        "text_quality_sample_cut": _text_quality_sample_cut,
+        # — (d) the 2 oldest r9-green pool entries the remaining
+        #   slots allow; the other 42 lead the r13 pool
+        "sample_dsir_topn": _sample_dsir_topn,
+        "curation_gopher_quality": _curation_gopher_quality,
+        # --- tail: entries past the driver's 50-entry gate window.
+        # Every tail entry keeps its own oracle — scripts/check_parity.py
+        # and tests/test_gate_tail_parity.py verify them every run.
+        # — r11-head demotions (driver-green r11, the freshest rows)
         "dedup_stream_neardup_twin": _dedup_stream_neardup_twin,
         "events_cusum_alarms": _events_cusum_alarms,
         "dedup_cdc_chunks": _dedup_cdc_chunks,
@@ -2675,7 +2789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_evidence_report": _dedup_evidence_report,
         "emb_pca_project": _emb_pca_project,
         "asof_probe_value_salted": _asof_probe_value_salted,
-        # — (b) the 16 r8 demotions (last gated r7, most overdue)
         "dedup_components_keep": _dedup_components_keep,
         "dedup_embedding_cosine": _dedup_embedding,
         "sim_ann_lsh": _sim_ann_lsh,
@@ -2692,41 +2805,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
         "text_unigram_lm": _text_unigram_lm,
-        # — (c) the 16 r7-rotation groups (last gated r8)
         "q3_intraday_avg": _q3_intraday,
         "q5_timeweight_linear": _q5_linear,
         "q3_daily_from_cascade": _q3_daily_from_cascade,
         "dedup_components": _dedup_components,
         "dedup_ngram_jaccard": _dedup_ngram,
-        # — (d) no rotating r9-head demotion: every slot freed by the
-        #   new never-witnessed r11 operators (markov, interarrival,
-        #   range-partition, cv-folds, phash, winsorize, ...) goes to
-        #   the overdue pools first; text_bm25_topk (green r9) plus
-        #   dedup_substr_windows, events_cohort_retention,
-        #   events_funnel, events_live_intervals and
-        #   sample_docs_weighted (green r8) ceded their slots and lead
-        #   the r12 pool, parity-witnessed every round by the tail
-        #   parametrization meanwhile.
-        # --- tail: entries past the driver's 50-entry gate window.
-        # Every tail entry keeps its own oracle — scripts/check_parity.py
-        # and tests/test_gate_tail_parity.py verify them every run.
-        # — r11 cessions (first in line for the r12 head)
-        "dedup_substr_windows": _dedup_substr_windows,
-        "text_bm25_topk": _text_bm25_topk,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_funnel": _events_funnel,
-        "events_live_intervals": _events_live_intervals,
-        "sample_docs_weighted": _sample_docs_weighted,
-        "sample_source_quota": _sample_source_quota,
-        "rel_large_orders": _rel_large_orders,
-        "rel_returned_revenue": _rel_returned_revenue,
-        "text_token_stats": _text_tokens,
-        "text_language_id": _text_langid,
-        "text_quality_sample_cut": _text_quality_sample_cut,
-        # — r9-head demotions not promoted this round (green r9;
-        #   first in line for the r12 head)
-        "sample_dsir_topn": _sample_dsir_topn,
-        "curation_gopher_quality": _curation_gopher_quality,
+        # — r9-green pool (due r13: since-3 by then; the ledger
+        #   documents the r13/r14 split of this pool + the r10 pool)
         "sample_token_budget": _sample_token_budget,
         "events_anomaly_mad": _events_anomaly_mad,
         "sample_temperature_mix": _sample_temperature_mix,
@@ -2769,7 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": _text_bigram_lm,
         "sketch_histogram": _sketch_histogram,
         "rel_revenue_by_nation": _rel_revenue_by_nation,
-        # — r10-head demotions (driver-green r10, the freshest rows)
+        # — r10-head demotions (driver-green r10)
         "rel_shipmode_priority": _rel_shipmode_priority,
         "events_journey_trigrams": _events_journey_trigrams,
         "dedup_substr_clean": _dedup_substr_clean,
@@ -2786,59 +2871,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_order": _corpus_shard_order,
         "events_sessionize": _events_sessionize,
         "toolkit_gauge_delta": _toolkit_gauge_delta,
-        "q1_bucket_avg": _q1,
-        "q2_resolution_avg": _q2,
-        "q3_daily_max": _q3_daily,
-        "q4_mode_adaptive": _q4_mode,
-        "q5_timeweight_locf": _q5_locf,
-        "q6_asap_smooth": _q6_asap,
-        "q6_lttb_downsample": _q6_lttb,
-        "q7_unique_subjects": _q7_subjects,
-        "q8_changed_rows": _q8_changes,
-        "q9_state_intervals": _q9_intervals,
-        "asof_probe_value": _asof_probe_value,
-        "range_overlap_join": _range_overlap,
-        "gapfill_linear": _gapfill_linear,
-        "ingest_events_unpivot": _ingest_conditions,
-        "ingest_glow": _ingest_glow,
-        "ingest_homie": _ingest_homie,
-        "ingest_emon": _ingest_emon,
-        "ingest_bmw": _ingest_bmw,
-        "ingest_dynamic": _ingest_dynamic,
-        "ingest_records_strict": _ingest_records_strict,
-        "ingest_router_union": _ingest_router,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "sim_cosine_topk": _sim_topk,
-        "text_fingerprint": _text_fingerprint,
-        "text_vocab_topk": _text_vocab_topk,
-        "pack_documents": _pack_documents,
-        "curation_pii_redact": _curation_pii_redact,
-        "curation_decontaminate": _curation_decontaminate,
-        "curation_repetition": _curation_repetition,
-        "mm_blob_features": _mm_blob_features,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_resize": _mm_resize,
-        # — permanent tail (documented sibling-witnessed mechanisms):
-        # q1_all_subjects = q1 + a group key; dedup_minhash_keep = one
-        # anti-join atop witnessed pairs (and its verdict twin
-        # dedup_stream_neardup_twin is gated this round); sample_split_
-        # counts / sample_events_stratified = the sample_docs_fraction
-        # md5-threshold membership test under another salt / strata
-        # column; q6_moving_avg = the trivial rangeBetween fallback
-        # beside the gated ASAP/LTTB algorithms; gapfill_locf =
-        # gapfill_linear's grid + the LOCF carry already witnessed by
-        # q5_timeweight_locf and q9_state_intervals —
+        # — permanent tail (documented sibling-witnessed mechanisms;
+        #   ROTATION.md names each witness): q1_all_subjects = q1 + a
+        #   group key; dedup_minhash_keep = one anti-join atop the
+        #   witnessed pair frame (verdict twin dedup_stream_neardup_twin
+        #   gated r11); sample_split_counts / sample_events_stratified =
+        #   the gated md5-threshold membership under another salt /
+        #   strata column; q6_moving_avg = the trivial rangeBetween
+        #   fallback beside the gated ASAP/LTTB; gapfill_locf =
+        #   gapfill_linear's grid + the LOCF carry witnessed by
+        #   q5_timeweight_locf / q9_state_intervals; q1_from_rollup,
+        #   q8/q9 _salted = shared-oracle rewrites property-tested
+        #   row-identical to head siblings (asof_probe_value_salted
+        #   graduated r11)
         "q1_all_subjects": _q1_all_subjects,
         "dedup_minhash_keep": _dedup_minhash_keep,
         "sample_split_counts": _sample_split_counts,
         "sample_events_stratified": _sample_events_stratified,
         "q6_moving_avg": _q6_moving_avg,
         "gapfill_locf": _gapfill_locf,
-        # — shared-oracle rewrites, property-tested row-identical
-        # to head siblings (tests/test_queries.py, test_asof_salted.py);
-        # asof_probe_value_salted graduated to the r11 head
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
@@ -3597,6 +3648,22 @@ def _cdc_oracle() -> str:
     return cdc_shared_chunks_oracle_sql()
 
 
+def _cdc_gear_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        gear_shared_chunks_oracle_sql,
+    )
+
+    return gear_shared_chunks_oracle_sql()
+
+
+def _cdc_twin_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        cdc_dup_verdicts_oracle_sql,
+    )
+
+    return cdc_dup_verdicts_oracle_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from eventhub_to_timescale_spark import oracles as oc
 
@@ -3965,6 +4032,8 @@ ORDER BY 1, 3
         "dedup_stream_neardup_twin": oc.dedup_verdicts_oracle(12, 6, 0.5),
         "events_cusum_alarms": _cusum_oracle(),
         "dedup_cdc_chunks": _cdc_oracle(),
+        "dedup_cdc_gear": _cdc_gear_oracle(),
+        "dedup_stream_cdc_twin": _cdc_twin_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_interarrival": _interarrival_oracle(),
         "layout_range_partition": _range_partition_oracle(),

@@ -85,11 +85,10 @@ def test_tail_entry_matches_oracle(spark, duck, name):
 
 
 # The always-gated core: each entry is the sole witness of a mechanism
-# no sibling covers.  Its head residency was SUSPENDED for r9 only
-# (registry ledger) while the never-gated backlog cleared; r10 RESTORES
-# all 34 entries to the gate head (the R10_HEAD pin below enforces the
-# restoration — the ADVICE r9 guard that the suspension cannot be
-# silently deferred again).
+# no sibling covers.  It rides the standing 2-round cadence: gated r10,
+# demoted for r11's never-witnessed backlog, restored for r12 (the
+# R12_HEAD pin below enforces the restoration — the rotation the r11
+# verdict's ask #1 and the cadence test below both hardcode).
 ALWAYS_GATED_CORE = {
     # §2 query surface (one witness per reference query function;
     # parameter-branch siblings — intraday, tw-linear — may rotate)
@@ -120,73 +119,65 @@ ALWAYS_GATED_CORE = {
 }
 
 
-# The planned r11 gate head (ROTATION.md / registry ledger), pinned
+# The planned r12 gate head (ROTATION.md / registry ledger), pinned
 # EXACTLY so an accidental reorder cannot silently change what the
-# driver witnesses: all 17 never-witnessed entries first (after this
-# round every oracled entry has a driver-green row), then the two
-# overdue demotion pools, then 1 rotating r9 demotion.
-R11_HEAD = [
-    # (a) all never-driver-witnessed entries (13 r10 additions,
-    # asof_probe_value_salted, and the new r11 operators)
-    "dedup_stream_neardup_twin",
-    "events_cusum_alarms",
-    "dedup_cdc_chunks",
-    "events_markov_transitions",
-    "events_interarrival",
-    "layout_range_partition",
-    "sample_cv_folds",
-    "mm_phash_neardup",
-    "events_winsorize",
-    "events_xcorr",
-    "events_cube_counts",
-    "mm_phash_keep",
-    "events_basket_pmi",
-    "events_skew_profile",
-    "events_attribution",
-    "dedup_winnowing",
-    "text_tfidf_topk",
-    "dedup_winnow_keep",
-    "events_seasonal_decompose",
-    "sketch_heavy_hitters",
-    "events_seasonal_anomaly",
-    "sample_leakage_split",
-    "events_phase_outliers",
-    "dedup_graph_triangles",
-    "dedup_edit_distance",
-    "sketch_hll_rolling",
-    "dedup_evidence_report",
-    "emb_pca_project",
-    "asof_probe_value_salted",
-    # (b) the 16 r8 demotions (last gated r7)
-    "dedup_components_keep",
-    "dedup_embedding_cosine",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "text_quality_score",
-    "pipeline_clean_corpus",
-    "text_quality_percentile",
-    "sample_docs_fraction",
-    "sketch_distinct",
-    "sketch_percentile",
-    "toolkit_counter_delta",
-    "toolkit_heartbeat",
-    "events_sessionize_native",
-    "rel_pricing_summary",
-    "rel_top_orders",
-    "text_unigram_lm",
-    # (c) the 16 r7-rotation groups (last gated r8)
-    "q3_intraday_avg",
-    "q5_timeweight_linear",
-    "q3_daily_from_cascade",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    # (d) no rotating r9-head demotion this round — every slot the
-    # new never-witnessed r11 operators free up goes to the overdue
-    # pools first; text_bm25_topk (green r9) plus dedup_substr_windows,
-    # events_cohort_retention, events_funnel, events_live_intervals
-    # and sample_docs_weighted (green r8, parity-checked every round
-    # by the tail parametrization) ceded their slots and lead the r12
-    # pool.
+# driver witnesses: the 2 new never-witnessed entries first, then the
+# restored 34-entry core, then the most-overdue demotion pools.
+R12_HEAD = [
+    # (a) the 2 NEW never-driver-witnessed r12 entries
+    "dedup_cdc_gear",
+    "dedup_stream_cdc_twin",
+    # (b) the restored always-gated core (green r10, due r12)
+    "q1_bucket_avg",
+    "q2_resolution_avg",
+    "q3_daily_max",
+    "q4_mode_adaptive",
+    "q5_timeweight_locf",
+    "q6_asap_smooth",
+    "q6_lttb_downsample",
+    "q7_unique_subjects",
+    "q8_changed_rows",
+    "q9_state_intervals",
+    "asof_probe_value",
+    "range_overlap_join",
+    "gapfill_linear",
+    "ingest_events_unpivot",
+    "ingest_glow",
+    "ingest_homie",
+    "ingest_emon",
+    "ingest_bmw",
+    "ingest_dynamic",
+    "ingest_records_strict",
+    "ingest_router_union",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "pack_documents",
+    "curation_pii_redact",
+    "curation_decontaminate",
+    "curation_repetition",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    # (c) the 12 most-overdue demotions (11 r8-green + bm25 r9-green)
+    "dedup_substr_windows",
+    "text_bm25_topk",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_live_intervals",
+    "sample_docs_weighted",
+    "sample_source_quota",
+    "rel_large_orders",
+    "rel_returned_revenue",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_sample_cut",
+    # (d) the 2 oldest r9-green pool entries; the other 42 lead r13
+    "sample_dsir_topn",
+    "curation_gopher_quality",
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
@@ -215,15 +206,15 @@ _OLD_R9_HEAD_DEMOTIONS = [
 ]
 
 
-def test_gate_head_matches_r11_rotation_plan():
-    """The driver's 50-entry window holds exactly the ledger's r11
-    rotation plan (VERDICT r10 ask #1): every never-witnessed entry is
-    inside the window this round, so after the r11 gate the
-    full-registry driver witness is complete."""
+def test_gate_head_matches_r12_rotation_plan():
+    """The driver's 50-entry window holds exactly the ledger's r12
+    rotation plan (VERDICT r11 ask #1): both new never-witnessed
+    entries are inside the window, and the 34-entry core is restored
+    on its 2-round cadence."""
     head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
-    assert head == R11_HEAD, (
-        f"gate head drifted from the r11 plan: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R11_HEAD)) if a != b][:5]}"
+    assert head == R12_HEAD, (
+        f"gate head drifted from the r12 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R12_HEAD)) if a != b][:5]}"
     )
 
 
@@ -251,20 +242,32 @@ def test_rotation_ledger_has_no_drift():
 
 def test_core_witness_cadence_holds():
     """Every always-gated-core entry is either inside the current gate
-    head or earned a driver-green row LAST round (the standing 2-round
-    cadence; the core demoted to the tail for r11 while the
-    never-witnessed backlog clears, freshly green in r10, due r12)."""
+    head or earned a driver-green row in the LATEST committed
+    CORRECTNESS artifact (the standing 2-round cadence).  r11 verdict
+    "what's wrong" #4: this test was hardwired to a round number and
+    would silently weaken when the next rotation landed — it now
+    resolves the newest artifact itself."""
+    import glob
     import json
+    import re as _re
 
     head = set(list(entrymod.queries())[:DRIVER_GATE_WINDOW])
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "CORRECTNESS_r10.json")) as f:
-        r10 = json.load(f)
-    green_r10 = {
-        k for k, v in r10.items()
+    arts = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"
+            )
+        ),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    assert arts, "no CORRECTNESS artifacts committed"
+    with open(arts[-1]) as f:
+        latest = json.load(f)
+    green_latest = {
+        k for k, v in latest.items()
         if isinstance(v, dict) and v.get("hash_match")
     }
-    overdue = sorted(ALWAYS_GATED_CORE - head - green_r10)
+    overdue = sorted(ALWAYS_GATED_CORE - head - green_latest)
     assert not overdue, f"core entries past the 2-round cadence: {overdue}"
 
 
@@ -274,7 +277,22 @@ def test_rotated_out_entries_stay_registered_with_oracles():
     parametrization keeps witnessing it until its next head rotation."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    rotated_pool = set(_OLD_R9_HEAD_DEMOTIONS) | {
+    r11_head_demotions = {
+        "dedup_stream_neardup_twin", "events_cusum_alarms",
+        "dedup_cdc_chunks", "events_markov_transitions",
+        "events_interarrival", "layout_range_partition",
+        "sample_cv_folds", "mm_phash_neardup", "events_winsorize",
+        "events_xcorr", "events_cube_counts", "mm_phash_keep",
+        "events_basket_pmi", "events_skew_profile", "events_attribution",
+        "dedup_winnowing", "text_tfidf_topk", "dedup_winnow_keep",
+        "events_seasonal_decompose", "sketch_heavy_hitters",
+        "events_seasonal_anomaly", "sample_leakage_split",
+        "events_phase_outliers", "dedup_graph_triangles",
+        "dedup_edit_distance", "sketch_hll_rolling",
+        "dedup_evidence_report", "emb_pca_project",
+        "asof_probe_value_salted",
+    }
+    rotated_pool = set(_OLD_R9_HEAD_DEMOTIONS) | r11_head_demotions | {
         "q3_intraday_avg", "q5_timeweight_linear",
         "q3_daily_from_cascade", "dedup_components",
         "dedup_ngram_jaccard", "text_quality_sample_cut",
