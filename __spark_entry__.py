@@ -522,7 +522,13 @@ def _mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless banded Hamming equi-join (8 byte-bands > max_distance 6,
     so banding ≡ all-pairs, which is what the oracle computes
     analytically from the closed-form synthetic pixels). See
-    operators/multimodal.py:dhash_images/phash_neardup_pairs."""
+    operators/multimodal.py:dhash_images/phash_neardup_pairs.
+
+    EXPLICIT byte-band args (r12): the function DEFAULT is now the
+    scale-safe t=3 / 16-bit-band config (r11 verdict ask #3), but the
+    gate corpus's minimum pairwise Hamming is 4 — t=3 finds nothing
+    there — so this entry keeps the byte-band config to stay a
+    non-trivial oracle witness."""
     from eventhub_to_timescale_spark.operators.multimodal import (
         dhash_images,
         document_image_blobs,
@@ -530,7 +536,7 @@ def _mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = document_image_blobs(_docs(spark, sf_dir))
-    return phash_neardup_pairs(dhash_images(blobs))
+    return phash_neardup_pairs(dhash_images(blobs), max_distance=6, n_bands=8)
 
 
 def _events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,7 +569,9 @@ def _mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first verdicts over the dHash banded Hamming join —
     linear output (≤1 row per doc) where the pair frame is density-
     bound; the scale-path consumer of mm_phash_neardup. See
-    operators/multimodal.py:phash_dup_verdicts."""
+    operators/multimodal.py:phash_dup_verdicts.  Explicit byte-band
+    args for the same reason as _mm_phash_neardup (gate corpus
+    min-Hamming 4; the function default is now t=3 / 16-bit bands)."""
     from eventhub_to_timescale_spark.operators.multimodal import (
         dhash_images,
         document_image_blobs,
@@ -571,7 +579,7 @@ def _mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = document_image_blobs(_docs(spark, sf_dir))
-    return phash_dup_verdicts(dhash_images(blobs))
+    return phash_dup_verdicts(dhash_images(blobs), max_distance=6, n_bands=8)
 
 
 def _events_basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3589,7 +3597,7 @@ def _phash_keep_oracle() -> str:
         phash_keep_oracle_sql,
     )
 
-    return phash_keep_oracle_sql()
+    return phash_keep_oracle_sql(max_distance=6)
 
 
 def _phash_neardup_oracle() -> str:
@@ -3597,7 +3605,7 @@ def _phash_neardup_oracle() -> str:
         phash_neardup_oracle_sql,
     )
 
-    return phash_neardup_oracle_sql()
+    return phash_neardup_oracle_sql(max_distance=6)
 
 
 def _range_partition_oracle() -> str:

@@ -145,6 +145,43 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(warm.values()), 3)
+
+    # Round-over-round deltas (r11 verdict ask #6): the stdout line
+    # displays only queries over a threshold, which let tail-query
+    # regressions hide below the cutoff.  Compare this run's warm
+    # medians against the COMMITTED BENCH_DETAIL.json (the previous
+    # round's full record, read before we overwrite it) and surface
+    # the top-10 ratios — any threshold — in the parsed payload as
+    # {name: [prev_s, now_s, ratio]}.
+    deltas: dict[str, list[float]] = {}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    if not only:
+        try:
+            with open(detail_path) as fh:
+                prev_detail = json.load(fh)
+            prevq = {
+                k: v.get("warm_median")
+                for k, v in prev_detail.get("queries", {}).items()
+            }
+            scored = sorted(
+                (
+                    # 20 ms floor on the denominator so a 1 ms jitter
+                    # on a microsecond query can't outrank a real
+                    # regression
+                    (now / max(prevq[k], 0.02), k, prevq[k], now)
+                    for k, now in warm.items()
+                    if prevq.get(k) is not None and prevq[k] >= 0
+                ),
+                reverse=True,
+            )
+            deltas = {
+                k: [round(p, 2), round(n, 2), round(r, 2)]
+                for r, k, p, n in scored[:10]
+            }
+        except (OSError, ValueError, KeyError) as e:
+            print(f"no previous BENCH_DETAIL for deltas: {e}", file=sys.stderr)
     # Full per-query record (cold + 3-sample warm median/min + rows)
     # goes to BENCH_DETAIL.json next to this script so the complete
     # surface survives even when the stdout line must be filtered to
@@ -163,6 +200,7 @@ def main() -> None:
         },
         "total_cold": total,
         "total_warm_median": total_warm,
+        "deltas_vs_previous": deltas,
     }
     try:
         # an SPARK_GRAFT_BENCH_ONLY bisect must not clobber the
@@ -191,6 +229,7 @@ def main() -> None:
         "n_queries": len(timings),
         "total_cold": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "deltas": deltas,
     }
     # The ONE stdout JSON line must stay comfortably under the
     # driver's 2000-char tail buffer (rounds 1-3, 5 AND 6 overflowed
@@ -206,6 +245,9 @@ def main() -> None:
         payload["omitted_below_sec"] = thr
         line = json.dumps(payload, separators=(",", ":"))
         thr *= 2
+    if len(line) > 1500 and len(deltas) > 5:
+        payload["deltas"] = dict(list(deltas.items())[:5])
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 

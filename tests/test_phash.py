@@ -98,14 +98,15 @@ def test_oracle_parity_sf0001(spark):
     got = [
         tuple(r)
         for r in phash_neardup_pairs(
-            dhash_images(document_image_blobs(docs))
+            dhash_images(document_image_blobs(docs)),
+            max_distance=6, n_bands=8,
         ).collect()
     ]
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
     )
-    want = con.execute(phash_neardup_oracle_sql()).fetchall()
+    want = con.execute(phash_neardup_oracle_sql(max_distance=6)).fetchall()
     assert got == want
 
 
@@ -123,10 +124,11 @@ def test_keep_first_verdicts(spark):
     hashes = dhash_images(document_image_blobs(docs))
     pairs = {
         (r.doc_a, r.doc_b)
-        for r in phash_neardup_pairs(hashes).collect()
+        for r in phash_neardup_pairs(hashes, 6, 8).collect()
     }
     got = {
-        r.doc_id: r.dup_of for r in phash_dup_verdicts(hashes).collect()
+        r.doc_id: r.dup_of
+        for r in phash_dup_verdicts(hashes, 6, 8).collect()
     }
     want = {}
     for a, b in pairs:
@@ -146,12 +148,44 @@ def test_keep_oracle_parity_sf0001(spark):
     got = [
         tuple(r)
         for r in phash_dup_verdicts(
-            dhash_images(document_image_blobs(docs))
+            dhash_images(document_image_blobs(docs)),
+            max_distance=6, n_bands=8,
         ).collect()
     ]
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
     )
-    want = con.execute(phash_keep_oracle_sql()).fetchall()
+    want = con.execute(phash_keep_oracle_sql(max_distance=6)).fetchall()
+    assert got == want
+
+
+def test_default_config_is_scale_safe_and_lossless(spark):
+    """r11 verdict ask #3: the as-documented call must be the
+    scale-safe plan — default t=3 auto-selects 4x16-bit bands
+    (65 536 buckets/band) and stays lossless vs brute force."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        _auto_bands,
+    )
+
+    assert _auto_bands(1) == 2   # 32-bit bands
+    assert _auto_bands(3) == 4   # 16-bit bands (the default path)
+    assert _auto_bands(6) == 8   # byte bands
+    assert _auto_bands(7) == 8
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "src_0", 1) for i in range(80)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    hashes = dhash_images(document_image_blobs(docs))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_neardup_pairs(hashes).collect()  # defaults
+    }
+    hs = {r.doc_id: r.dhash for r in hashes.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = _ham(hs[a], hs[b])
+        if d <= 3:
+            want[(a, b)] = d
     assert got == want
