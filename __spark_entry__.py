@@ -592,6 +592,43 @@ def _events_basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_pmi(_events(spark, sf_dir))
 
 
+_BLOOM_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_BLOOM_M = 1 << 10  # gate-scale demo m so false positives actually
+# occur and get adjudicated; the deployment default is 2^20 (bloom.py)
+
+
+def _sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom membership probe (Bloom 1970): build the filter
+    from the text fingerprints of five reference sources, probe every
+    document fingerprint → (key, bloom_maybe, actual) with exact
+    false-positive accounting.  The missing sketch-family member
+    (membership) beside HLL/CMS/KMV/GK; the approximate twin of the
+    reference's exact dedup-table probe
+    (bmw_to_timescale/duplicate_check.py:45-96).  See
+    operators/bloom.py."""
+    from eventhub_to_timescale_spark.operators.bloom import bloom_probe
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    ref = docs.filter(F.col("source").isin(*_BLOOM_REF_SOURCES)).select(
+        F.md5("text").alias("key")
+    )
+    probe = docs.select(F.md5("text").alias("key"))
+    return bloom_probe(ref, probe, m=_BLOOM_M)
+
+
+def _events_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 order-statistic bands of value cents per
+    (event_type, day) — the distribution-per-bucket monitoring query
+    (TimescaleDB toolkit percentile_agg's exact counterpart; reference
+    day-bucket aggregation db/get_aggregated_data_by_day.sql:1-12
+    widened from one moment to bands).  See operators/quantband.py."""
+    from eventhub_to_timescale_spark.operators.quantband import (
+        quantile_bands,
+    )
+
+    return quantile_bands(_events(spark, sf_dir))
+
+
 def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile on user_id: top-10 heaviest keys with
     exact share-ppm, max/avg x100 and p99 order statistic — the
@@ -2691,16 +2728,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         the standing 2-round cadence;
     #     (c) the 12 most-overdue demotions: the 11 r8-green entries
     #         that ceded their r11 slots plus text_bm25_topk (r9);
-    #     (d) the 2 oldest r9-green pool entries (sample_dsir_topn,
-    #         curation_gopher_quality) in the remaining slots.
-    #     2 + 34 + 12 + 2 = 50.  CAPACITY NOTE, recorded rather than
-    #     hidden: the r9-green pool holds 44 entries and only 2 slots
-    #     remained after the core restoration, so 42 r9-green entries
-    #     reach since-3 at r12 close — they lead the r13 head (oldest
-    #     first), with the 16 r10-green demotions due r13/r14 behind
-    #     them; all keep their check_parity + test_gate_tail_parity
-    #     witnesses every round meanwhile.  The 50 r11-head entries
-    #     demote to the tail, freshly driver-green.
+    #     (d) the round's 2 later additions (sketch_bloom_probe —
+    #         the membership sketch beside HLL/CMS/KMV/GK — and
+    #         events_quantile_bands), never-witnessed and so
+    #         head-resident by the ledger invariant; they displaced
+    #         the planned r9-pool promotions.
+    #     4 + 34 + 12 = 50.  CAPACITY NOTE, recorded rather than
+    #     hidden: the 44-entry r9-green pool got no r12 slots after
+    #     the core restoration, so it reaches since-3 at r12 close —
+    #     it leads the r13 head (registry order), with the 16
+    #     r10-green demotions due r13/r14 behind it; all keep their
+    #     check_parity + test_gate_tail_parity witnesses every round
+    #     meanwhile.  The 50 r11-head entries demote to the tail,
+    #     freshly driver-green.
     return {
         # ------------- r12 GATE HEAD (50 entries) -------------
         # — (a) the 2 NEW never-driver-witnessed r12 entries (gear
@@ -2760,10 +2800,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _text_tokens,
         "text_language_id": _text_langid,
         "text_quality_sample_cut": _text_quality_sample_cut,
-        # — (d) the 2 oldest r9-green pool entries the remaining
-        #   slots allow; the other 42 lead the r13 pool
-        "sample_dsir_topn": _sample_dsir_topn,
-        "curation_gopher_quality": _curation_gopher_quality,
+        # — (d) the other 2 NEW never-witnessed r12 entries (Bloom
+        #   membership sketch; exact quantile bands) — head-resident
+        #   by the ledger invariant; they displaced the planned
+        #   r9-pool promotions, so the FULL 44-entry r9-green pool
+        #   leads the r13 head
+        "sketch_bloom_probe": _sketch_bloom_probe,
+        "events_quantile_bands": _events_quantile_bands,
         # --- tail: entries past the driver's 50-entry gate window.
         # Every tail entry keeps its own oracle — scripts/check_parity.py
         # and tests/test_gate_tail_parity.py verify them every run.
@@ -2820,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram,
         # — r9-green pool (due r13: since-3 by then; the ledger
         #   documents the r13/r14 split of this pool + the r10 pool)
+        "sample_dsir_topn": _sample_dsir_topn,
+        "curation_gopher_quality": _curation_gopher_quality,
         "sample_token_budget": _sample_token_budget,
         "events_anomaly_mad": _events_anomaly_mad,
         "sample_temperature_mix": _sample_temperature_mix,
@@ -3656,6 +3701,28 @@ def _cdc_oracle() -> str:
     return cdc_shared_chunks_oracle_sql()
 
 
+def _bloom_probe_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.bloom import (
+        bloom_probe_oracle_sql,
+    )
+
+    srcs = ", ".join(f"'{s}'" for s in _BLOOM_REF_SOURCES)
+    return bloom_probe_oracle_sql(
+        f"SELECT md5(text) AS key FROM documents "
+        f"WHERE text IS NOT NULL AND source IN ({srcs})",
+        "SELECT md5(text) AS key FROM documents WHERE text IS NOT NULL",
+        m=_BLOOM_M,
+    )
+
+
+def _quantile_bands_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.quantband import (
+        quantile_bands_oracle_sql,
+    )
+
+    return quantile_bands_oracle_sql()
+
+
 def _cdc_gear_oracle() -> str:
     from eventhub_to_timescale_spark.operators.cdcchunk import (
         gear_shared_chunks_oracle_sql,
@@ -4041,6 +4108,8 @@ ORDER BY 1, 3
         "events_cusum_alarms": _cusum_oracle(),
         "dedup_cdc_chunks": _cdc_oracle(),
         "dedup_cdc_gear": _cdc_gear_oracle(),
+        "sketch_bloom_probe": _bloom_probe_oracle(),
+        "events_quantile_bands": _quantile_bands_oracle(),
         "dedup_stream_cdc_twin": _cdc_twin_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_interarrival": _interarrival_oracle(),

@@ -1,0 +1,108 @@
+"""Per-bucket exact quantile bands — the monitoring profile query.
+
+The reference's dashboards plot an aggregate per day per subject
+(db/get_aggregated_data_by_day.sql); production monitoring wants the
+DISTRIBUTION per bucket, not one moment: p50/p90/p99 bands per
+(event_type, day).  TimescaleDB's toolkit answers with
+``percentile_agg`` (t-digest, approximate); this operator keeps the
+repo's exactness rule instead — each band is the ceil(q·n)-th ORDER
+STATISTIC of integer cents (an actual observed value, the same
+convention as operators/winsorize.py and skewprof's p99), so both
+engines agree bit-for-bit and no interpolated float ever feeds an
+output column.
+
+Plan shape, 100 TB posture: one shuffle on (event_type, day) — the
+row_number window and the count run in the same partitioning — then
+the band selection is a conditional aggregation over ranked rows
+(max(value where arank == ceil(q·n)) per q), map-side combinable.
+Output is bounded by |types| × |days|, never event-scale.  Skewed
+(type, day) cells parallelize exactly as well as Q8/Q9's salted
+variants would; the window is per-cell, not global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["quantile_bands", "quantile_bands_oracle_sql"]
+
+_BANDS = (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+
+
+def quantile_bands(events: DataFrame) -> DataFrame:
+    """→ (event_type, day, n, p50_cents, p90_cents, p99_cents): exact
+    order-statistic bands of value cents per (event_type, day), rows
+    with NULL type/ts/value excluded, ordered by (event_type, day)."""
+    base = events.filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(
+        "v_cents"
+    )
+    ranked = base.select(
+        "event_type",
+        "day",
+        "v_cents",
+        F.row_number().over(w).alias("_arank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "day"))
+        .alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for name, q in _BANDS:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_arank")
+                    == F.ceil(F.lit(q) * F.col("_n")).cast("long"),
+                    F.col("v_cents"),
+                )
+            ).alias(f"{name}_cents")
+        )
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(*aggs)
+        .orderBy("event_type", "day")
+    )
+
+
+def quantile_bands_oracle_sql(table: str = "events") -> str:
+    """DuckDB rendering — same ceil(q·n) order statistics over the
+    same integer cents (row_number ties broken identically because
+    cents are totally ordered within a cell and equal values are
+    interchangeable for a MAX-of-matching-rank)."""
+    band_cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN arank = CAST(ceil({q} * n) AS BIGINT) "
+        f"THEN v_cents END) AS BIGINT) AS {name}_cents"
+        for name, q in _BANDS
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM {table}
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, day, v_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY v_cents) AS arank,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM base
+)
+SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n,
+       {band_cols}
+FROM ranked
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""

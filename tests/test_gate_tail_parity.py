@@ -175,9 +175,11 @@ R12_HEAD = [
     "text_token_stats",
     "text_language_id",
     "text_quality_sample_cut",
-    # (d) the 2 oldest r9-green pool entries; the other 42 lead r13
-    "sample_dsir_topn",
-    "curation_gopher_quality",
+    # (d) the round's 2 later never-witnessed additions (they
+    # displaced the planned r9-pool promotions; the full 44-entry
+    # r9-green pool leads r13)
+    "sketch_bloom_probe",
+    "events_quantile_bands",
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
