@@ -616,6 +616,21 @@ def _sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(ref, probe, m=_BLOOM_M)
 
 
+def _sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product equi-join cardinality estimate (Cormode &
+    Muthukrishnan 2005 §4.2), demonstrated on the events SELF-join
+    over user_id — the shuffle-explosion number (Σ cnt_k²) a planner
+    wants before committing a 100 TB join, estimated from two ≤ d·w
+    cell sketches with no key-on-key shuffle; exact_rows is the
+    concordance column.  See operators/sketches.py cms_join_size."""
+    from eventhub_to_timescale_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    ev = _events(spark, sf_dir)
+    return cms_join_size(ev, ev)
+
+
 def _events_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 order-statistic bands of value cents per
     (event_type, day) — the distribution-per-bucket monitoring query
@@ -2726,14 +2741,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         streaming CDC-chunk dedup's batch twin, ask #5);
     #     (b) the 34-entry always-gated §2 core, green r10 and due on
     #         the standing 2-round cadence;
-    #     (c) the 12 most-overdue demotions: the 11 r8-green entries
-    #         that ceded their r11 slots plus text_bm25_topk (r9);
-    #     (d) the round's 2 later additions (sketch_bloom_probe —
-    #         the membership sketch beside HLL/CMS/KMV/GK — and
-    #         events_quantile_bands), never-witnessed and so
-    #         head-resident by the ledger invariant; they displaced
-    #         the planned r9-pool promotions.
-    #     4 + 34 + 12 = 50.  CAPACITY NOTE, recorded rather than
+    #     (c) the 11 most-overdue demotions (the r8-green entries
+    #         that ceded their r11 slots);
+    #     (d) the round's 3 later additions (sketch_bloom_probe —
+    #         the membership sketch beside HLL/CMS/KMV/GK —
+    #         events_quantile_bands, and sketch_join_size — the CMS
+    #         inner-product join-cardinality estimator),
+    #         never-witnessed and so head-resident by the ledger
+    #         invariant; they displaced the planned r9-pool
+    #         promotions and text_bm25_topk (green r9, the least
+    #         overdue of group (c), now leading the r13 pool).
+    #     5 + 34 + 11 = 50.  CAPACITY NOTE, recorded rather than
     #     hidden: the 44-entry r9-green pool got no r12 slots after
     #     the core restoration, so it reaches since-3 at r12 close —
     #     it leads the r13 head (registry order), with the 16
@@ -2789,7 +2807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   entries that ceded their r11 slots + text_bm25_topk
         #   (green r9)
         "dedup_substr_windows": _dedup_substr_windows,
-        "text_bm25_topk": _text_bm25_topk,
         "events_cohort_retention": _events_cohort_retention,
         "events_funnel": _events_funnel,
         "events_live_intervals": _events_live_intervals,
@@ -2807,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   leads the r13 head
         "sketch_bloom_probe": _sketch_bloom_probe,
         "events_quantile_bands": _events_quantile_bands,
+        "sketch_join_size": _sketch_join_size,
         # --- tail: entries past the driver's 50-entry gate window.
         # Every tail entry keeps its own oracle — scripts/check_parity.py
         # and tests/test_gate_tail_parity.py verify them every run.
@@ -2863,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram,
         # — r9-green pool (due r13: since-3 by then; the ledger
         #   documents the r13/r14 split of this pool + the r10 pool)
+        "text_bm25_topk": _text_bm25_topk,
         "sample_dsir_topn": _sample_dsir_topn,
         "curation_gopher_quality": _curation_gopher_quality,
         "sample_token_budget": _sample_token_budget,
@@ -3715,6 +3734,15 @@ def _bloom_probe_oracle() -> str:
     )
 
 
+def _join_size_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.sketches import (
+        cms_join_size_oracle_sql,
+    )
+
+    ev = "SELECT user_id FROM events"
+    return cms_join_size_oracle_sql(ev, ev)
+
+
 def _quantile_bands_oracle() -> str:
     from eventhub_to_timescale_spark.operators.quantband import (
         quantile_bands_oracle_sql,
@@ -4110,6 +4138,7 @@ ORDER BY 1, 3
         "dedup_cdc_gear": _cdc_gear_oracle(),
         "sketch_bloom_probe": _bloom_probe_oracle(),
         "events_quantile_bands": _quantile_bands_oracle(),
+        "sketch_join_size": _join_size_oracle(),
         "dedup_stream_cdc_twin": _cdc_twin_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_interarrival": _interarrival_oracle(),

@@ -838,6 +838,132 @@ ORDER BY source_a, source_b
 """
 
 
+def cms_join_size(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str = "user_id",
+    key_b: str = "user_id",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches —
+    the classic CMS inner-product estimator (Cormode & Muthukrishnan,
+    J. Algorithms 2005 §4.2): |A ⋈ B| ≈ min_j Σ_b cms_A[j][b]·
+    cms_B[j][b], always an OVERestimate (hash collisions only add
+    cross terms), with E[err] ≤ N_A·N_B/w per row and the min over d
+    rows tightening.  → ONE row (est_rows, exact_rows).
+
+    This is the number a planner wants BEFORE committing a 100 TB
+    shuffle join: both sketches are ≤ d·w cells built by one
+    map-side-combinable pass per side, the inner product joins two
+    ≤ d·w frames on (j, bucket), and no key-on-key shuffle ever
+    happens.  ``exact_rows`` (Σ_key cnt_A·cnt_B, computed from the
+    per-key count frames) is the concordance column, same contract as
+    the rest of the sketch family — at deployment scale the exact
+    branch is dropped and the sketch answers alone.  A self-call
+    (df_a is df_b, same key) estimates the SELF-join size Σ c_k² —
+    the shuffle-explosion number behind the salted Q8/Q9 variants and
+    skewprof's decisions."""
+    ca = cms_cells(df_a, key_a, d, w, seed)
+    cb = cms_cells(df_b, key_b, d, w, seed)
+    inner = (
+        ca.join(
+            cb.select(
+                "j", "bucket", F.col("c").alias("cb")
+            ),
+            ["j", "bucket"],
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("inner"))
+    )
+    # a depth row whose buckets never collide across the two sketches
+    # has inner product 0 — it must DRIVE the min, not vanish from it
+    js = df_a.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("j")
+    )
+    est = (
+        js.join(inner, "j", "left")
+        .select(
+            F.coalesce(F.col("inner"), F.lit(0).cast("long")).alias(
+                "inner"
+            )
+        )
+        .agg(F.min("inner").alias("est_rows"))
+    )
+    ka = (
+        df_a.filter(F.col(key_a).isNotNull())
+        .groupBy(F.col(key_a).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    kb = (
+        df_b.filter(F.col(key_b).isNotNull())
+        .groupBy(F.col(key_b).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = (
+        ka.join(kb, "key")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("na") * F.col("nb")), F.lit(0).cast("long")
+            ).alias("exact_rows")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_rows", "exact_rows"
+    )
+
+
+def cms_join_size_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    key_a: str = "user_id",
+    key_b: str = "user_id",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+) -> str:
+    """DuckDB rendering — same md5 row hashes, same cell counts, same
+    min-of-inner-products and exact Σ cnt_A·cnt_B."""
+
+    def cells(src: str, key: str, alias: str) -> str:
+        return f"""{alias}_e AS (
+  SELECT CAST({key} AS VARCHAR) AS key FROM ({src})
+  WHERE {key} IS NOT NULL
+),
+{alias}_cells AS (
+  SELECT j,
+         CAST(('0x' || substr(md5('{seed}' || CAST(j AS VARCHAR) || ':'
+                                  || key), 1, 8)) AS BIGINT) % {w}
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {alias}_e CROSS JOIN js
+  GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH js AS (SELECT unnest(range({d})) AS j),
+{cells(a_sql, key_a, 'a')},
+{cells(b_sql, key_b, 'b')},
+inner_products AS (
+  SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS inner_p
+  FROM a_cells a JOIN b_cells b ON b.j = a.j AND b.bucket = a.bucket
+  GROUP BY a.j
+),
+exact AS (
+  SELECT CAST(COALESCE(SUM(ka.na * kb.nb), 0) AS BIGINT) AS exact_rows
+  FROM (SELECT key, COUNT(*) AS na FROM a_e GROUP BY 1) ka
+  JOIN (SELECT key, COUNT(*) AS nb FROM b_e GROUP BY 1) kb
+    ON kb.key = ka.key
+)
+SELECT (SELECT CAST(MIN(COALESCE(ip.inner_p, 0)) AS BIGINT)
+        FROM js LEFT JOIN inner_products ip ON ip.j = js.j)
+         AS est_rows,
+       exact_rows
+FROM exact
+"""
+
+
 __all__ = [
     "approx_distinct_concordance",
     "approx_percentile_concordance",
@@ -851,6 +977,8 @@ __all__ = [
     "cms_cells",
     "cms_frequency_estimates",
     "cms_frequency_oracle_sql",
+    "cms_join_size",
+    "cms_join_size_oracle_sql",
     "kmv_source_overlap",
     "kmv_overlap_oracle_sql",
 ]

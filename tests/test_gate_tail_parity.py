@@ -162,9 +162,8 @@ R12_HEAD = [
     "mm_blob_features",
     "mm_frame_sample",
     "mm_resize",
-    # (c) the 12 most-overdue demotions (11 r8-green + bm25 r9-green)
+    # (c) the 11 most-overdue demotions (r8-green)
     "dedup_substr_windows",
-    "text_bm25_topk",
     "events_cohort_retention",
     "events_funnel",
     "events_live_intervals",
@@ -175,11 +174,12 @@ R12_HEAD = [
     "text_token_stats",
     "text_language_id",
     "text_quality_sample_cut",
-    # (d) the round's 2 later never-witnessed additions (they
-    # displaced the planned r9-pool promotions; the full 44-entry
-    # r9-green pool leads r13)
+    # (d) the round's 3 later never-witnessed additions (they
+    # displaced the planned r9-pool promotions and text_bm25_topk —
+    # green r9, the least overdue of group (c) — which now leads r13)
     "sketch_bloom_probe",
     "events_quantile_bands",
+    "sketch_join_size",
 ]
 
 _OLD_R9_HEAD_DEMOTIONS = [
