@@ -104,8 +104,13 @@ def bloom_probe(
     fan = keys.select(
         "key", F.explode(_positions(F.col("key"), m, k)).alias("pos")
     )
+    # bits is ≤ m rows of one long (m=2^20 ⇒ ~8 MB) — broadcast it so
+    # the k×|probe| fan never shuffles; the groupBy(key) then
+    # repartitions only the probe keys, map-side combined.
     hits = (
-        fan.join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
+        fan.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left"
+        )
         .groupBy("key")
         .agg((F.count("_hit") == k).alias("bloom_maybe"))
     )

@@ -867,10 +867,12 @@ def cms_join_size(
     skewprof's decisions."""
     ca = cms_cells(df_a, key_a, d, w, seed)
     cb = cms_cells(df_b, key_b, d, w, seed)
+    # both cell frames are ≤ d·w rows; broadcasting side B keeps the
+    # inner product shuffle-free end to end
     inner = (
         ca.join(
-            cb.select(
-                "j", "bucket", F.col("c").alias("cb")
+            F.broadcast(
+                cb.select("j", "bucket", F.col("c").alias("cb"))
             ),
             ["j", "bucket"],
         )
