@@ -195,6 +195,35 @@ def render(rows, latest, stale) -> str:
             else " (full-registry witness complete)"
         ),
     ]
+    # Next-head recommendation, COMPUTED (the r10/r11 rotation-plan
+    # drift both came from hand-derived pool lists): assume the
+    # current head goes green this round, then rank every entry by
+    # staleness as of NEXT round.  Never-witnessed and sibling-exempt
+    # entries are handled by their own rules; the exact next head
+    # must still honor (a) new never-witnessed entries first and
+    # (b) the always-gated core's 2-round cadence — this list is the
+    # staleness ORDER to fill the remaining slots from.
+    nxt = []
+    for row in rows:
+        if row["sibling_witness"]:
+            continue  # documented exemption
+        last = (latest + 1) if row["in_head"] else (row["last_green"] or 0)
+        nxt.append((latest + 1 - last, row["pos"], row["entry"]))
+    nxt.sort(key=lambda t: (-t[0], t[1]))
+    due = [(s, e) for s, _, e in nxt if s >= 2][:55]
+    if due:
+        lines += [
+            "",
+            f"Computed r{latest + 2:02d}-head staleness queue (assuming the "
+            "current head gates green; sibling-exempt entries omitted; "
+            f"top 55 by rounds-since-witness AS OF r{latest + 1:02d} close "
+            "— fill next head from the front, after any new "
+            "never-witnessed entries and the core cadence):",
+            "",
+        ]
+        lines.append(
+            ", ".join(f"`{e}`({s})" for s, e in due)
+        )
     if stale:
         lines.append(
             "Artifact names no longer in the registry (renames/rotations "
