@@ -62,6 +62,29 @@ def _bench_full_ingest(spark, sf_dir):
     return records_to_conditions(route_to_records(parse_envelope(raw)))
 
 
+def top_deltas(
+    prev_queries: dict, warm: dict[str, float], n: int = 10
+) -> dict[str, list[float]]:
+    """Top-``n`` round-over-round warm-median ratios — {name:
+    [prev_s, now_s, ratio]}, largest ratio first.  Pure function so
+    tests can pin the semantics: 20 ms denominator floor (a 1 ms
+    jitter on a microsecond query must not outrank a real
+    regression), errored/missing previous entries skipped."""
+    scored = []
+    for k, now in warm.items():
+        prev = prev_queries.get(k)
+        if isinstance(prev, dict):
+            prev = prev.get("warm_median")
+        if not isinstance(prev, (int, float)) or prev < 0:
+            continue
+        scored.append((now / max(prev, 0.02), k, prev, now))
+    scored.sort(reverse=True)
+    return {
+        k: [round(p, 2), round(v, 2), round(r, 2)]
+        for r, k, p, v in scored[:n]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -161,26 +184,8 @@ def main() -> None:
         try:
             with open(detail_path) as fh:
                 prev_detail = json.load(fh)
-            prevq = {
-                k: v.get("warm_median")
-                for k, v in prev_detail.get("queries", {}).items()
-            }
-            scored = sorted(
-                (
-                    # 20 ms floor on the denominator so a 1 ms jitter
-                    # on a microsecond query can't outrank a real
-                    # regression
-                    (now / max(prevq[k], 0.02), k, prevq[k], now)
-                    for k, now in warm.items()
-                    if prevq.get(k) is not None and prevq[k] >= 0
-                ),
-                reverse=True,
-            )
-            deltas = {
-                k: [round(p, 2), round(n, 2), round(r, 2)]
-                for r, k, p, n in scored[:10]
-            }
-        except (OSError, ValueError, KeyError) as e:
+            deltas = top_deltas(prev_detail.get("queries", {}), warm)
+        except (OSError, ValueError, KeyError, TypeError) as e:
             print(f"no previous BENCH_DETAIL for deltas: {e}", file=sys.stderr)
     # Full per-query record (cold + 3-sample warm median/min + rows)
     # goes to BENCH_DETAIL.json next to this script so the complete
