@@ -225,3 +225,104 @@ def test_fn_level_owner_semantics():
     out3 = list(fn(("h",), iter([pd.DataFrame({"doc_id": [1]})]), st))[0]
     assert out3["dup_of"].isna().all()
     assert st.get == (1,)
+
+
+def test_random_replay_converges_to_batch_model():
+    """fn-level randomized replay: random texts with planted copied
+    spans, chunk rows split across random micro-batch boundaries in
+    doc_id order — the accumulated verdicts must equal a literal
+    batch model (min earlier sharer per doc) for every seed."""
+    import random
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from eventhub_to_timescale_spark.operators.cdcchunk import (
+        gear_chunk_rows,
+    )
+    from eventhub_to_timescale_spark.streaming.cdcdedup import (
+        _make_cdc_fn,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        get = property(get)
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        span = "".join(rng.choices("abcdefgh ", k=200))
+        docs = {}
+        for d in range(30):
+            body = "".join(rng.choices("abcdefgh ", k=rng.randrange(50, 300)))
+            if rng.random() < 0.4:  # plant the shared span
+                cut = rng.randrange(len(body))
+                body = body[:cut] + span + body[cut:]
+            docs[d] = body
+
+        # batch model: min earlier doc sharing a >=16-char chunk
+        chunks = {
+            d: {
+                h
+                for _, h, ln, _ in gear_chunk_rows(t, 8, 32)
+                if ln >= 16
+            }
+            for d, t in docs.items()
+        }
+        want = {}
+        for d in sorted(docs):
+            earlier = [
+                e for e in sorted(docs)
+                if e < d and chunks[e] & chunks[d]
+            ]
+            want[d] = min(earlier) if earlier else None
+
+        # streaming replay: per-chunk-hash keyed state, doc_id-ordered
+        # random batch splits
+        states = defaultdict(_FakeState)
+        got_rows = []
+        order = sorted(docs)
+        i = 0
+        fn = _make_cdc_fn(3600)
+        while i < len(order):
+            j = min(len(order), i + rng.randint(1, 7))
+            batch = defaultdict(list)  # chunk_hash -> [doc_id]
+            for d in order[i:j]:
+                for h in chunks[d]:
+                    batch[h].append(d)
+            for h, ids in batch.items():
+                for out in fn(
+                    (h,), iter([pd.DataFrame({"doc_id": ids})]),
+                    states[h],
+                ):
+                    got_rows.append(out)
+            i = j
+        verdicts = pd.concat(got_rows, ignore_index=True)
+        got = (
+            verdicts.groupby("doc_id")["dup_of"].min().to_dict()
+        )
+        for d, w in want.items():
+            g = got.get(d)
+            g = None if g is None or pd.isna(g) else int(g)
+            if d in got:
+                assert g == w, f"seed {seed} doc {d}: {g} != {w}"
+            else:
+                assert w is None  # no >=16-char chunk at all
