@@ -16,17 +16,27 @@ per-row array expression (no sequential scan, no UDF): build the
 boundary list with transform+filter, slice chunks with one more
 transform, explode. Documents shorter than ``w`` form a single chunk.
 
+TWO chunkers live here — pick by role:
+
+- ``gear_chunks`` is the DOCUMENTED DEFAULT and the at-scale path: an
+  O(1)-per-position gear rolling hash (the FastCDC/gear family, Xia
+  et al., USENIX ATC 2016) vectorized in numpy inside a zero-shuffle
+  ``mapInPandas`` (plan-pinned, tests/test_plan_pins_r12.py).
+  Measured sf1: 1.15 s, scale exponent −0.09 (SCALE.md).
+- ``cdc_chunks`` (md5-window boundaries, below) is the ORACLE-WITNESS
+  form ONLY — retained because its boundary rule is reproducible
+  verbatim in DuckDB SQL, which makes it the cross-engine anchor the
+  differential property tests (tests/test_cdc_property.py) compare
+  ``gear_chunks`` against. Its window hash costs one md5 per position
+  (w× the corpus bytes: 79.5 s at sf1) — never the documented-usage
+  path, same labeling convention as ``dedup_semantic_keep``.
+
 Deliberate simplifications vs production CDC, documented:
 - no min/max chunk-size clamps — those make cut eligibility depend on
   the previous cut (a sequential fold); the unclamped gear-style rule
-  keeps boundaries content-local and the plan declarative. Expected
-  chunk length is ``divisor`` chars; the tails are geometric.
-- the window hash is the repo's portable md5-derived 32-bit hash (one
-  md5 per position, O(w) each) rather than an O(1)-per-position gear
-  rolling hash — the cross-engine-reproducible choice. At 100 TB the
-  scan cost is w× the text bytes, still embarrassingly parallel
-  per-row expression work inside codegen; a gear-table ``mapInPandas``
-  drop-in is the optimization if that constant ever dominates.
+  keeps boundaries content-local and (in the md5 form) the plan
+  declarative. Expected chunk length is ``divisor`` chars; the tails
+  are geometric.
 
 100 TB posture: chunking is projection-only per-row work (zero
 shuffle); the shared-chunk report shuffles once on ``chunk_hash`` —
@@ -339,7 +349,13 @@ def gear_chunks(
             )
 
     base = docs.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        # id NULL-guard matters specifically in the Arrow path: the
+        # md5 form tolerates NULL ids inside JVM expressions, but
+        # int(doc_id) in the batch loop below raises on NaN/None and
+        # fails the whole stage.
+        F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & (F.length(text_col) > 0)
     ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     return base.mapInPandas(
         batches,

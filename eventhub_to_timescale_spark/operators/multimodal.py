@@ -432,6 +432,16 @@ def _auto_bands(max_distance: int) -> int:
     power-of-two band count exceeding it (wider bands ⇒ more buckets
     ⇒ smaller per-bucket candidate sets).  t=3 → 4×16-bit bands
     (65 536 buckets/band), t=6 → 8×8-bit bands."""
+    if not 0 <= max_distance < 64:
+        # t >= 64 would need n_bands > 64 for the pigeonhole
+        # guarantee, but a 64-bit hash has at most 64 one-bit bands —
+        # width would truncate to 0 and every band value would
+        # collapse to 0, silently degenerating the banded self-join
+        # into all-pairs across identical bands.
+        raise ValueError(
+            f"max_distance must be in [0, 64) for a 64-bit hash, got "
+            f"{max_distance}"
+        )
     n = 2
     while n <= max_distance:
         n *= 2
@@ -476,6 +486,13 @@ def phash_neardup_pairs(
         raise ValueError(
             f"need n_bands > max_distance for lossless banding, got "
             f"{n_bands} <= {max_distance}"
+        )
+    if n_bands > 64 or 64 % n_bands != 0:
+        # non-divisor band counts leave trailing bits out of every
+        # band (losing the pigeonhole guarantee); >64 bands truncate
+        # width to 0 and degenerate the join into all-pairs.
+        raise ValueError(
+            f"n_bands must divide 64 and be <= 64, got {n_bands}"
         )
     width = 64 // n_bands
     mask = (1 << width) - 1

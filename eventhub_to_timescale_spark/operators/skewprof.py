@@ -47,10 +47,11 @@ def skew_profile(
     ``persist_counts`` (r11 advice: match the sibling r11 operators'
     opt-out) caches the two multi-consumer frames — counts feeds the
     ranked frame and both stats passes, ranked feeds the top-k and the
-    p99 probe.  Like dedup.py's boundaries these are caller-released:
-    unpersist via ``spark.catalog.clearCache()`` (or pass False) in a
-    long-lived session; both cached frames are one row per DISTINCT
-    key, never raw-data-sized."""
+    p99 probe.  In a LONG-LIVED session pass ``persist_counts=False``
+    (the cached frames are not handed back, so the caller cannot
+    unpersist just these two; a global ``spark.catalog.clearCache()``
+    would evict every cached frame in the session — don't).  Both
+    cached frames are one row per DISTINCT key, never raw-data-sized."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     counts = (

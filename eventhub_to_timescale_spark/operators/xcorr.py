@@ -63,7 +63,8 @@ def activity_xcorr(
             # pre-1970 (negative-epoch) timestamps in the NEXT bucket
             # instead of the previous one. floor() is the conventional
             # time-bucket alignment and is pinned cross-engine by
-            # tests/test_xcorr_negative_epoch.py.
+            # tests/test_xcorr.py::
+            # test_negative_epoch_buckets_floor_and_match_oracle.
             F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_seconds))
             .cast("long")
             .alias("b"),

@@ -136,7 +136,11 @@ def streaming_cdc_chunks(
             )
 
     return docs.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        # NULL id guard: int(doc_id) in the Arrow batch would raise
+        # on NaN/None and fail the stage (same guard as gear_chunks).
+        F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & (F.length(text_col) > 0)
     ).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     ).mapInPandas(batches, schema="doc_id long, chunk_hash string")

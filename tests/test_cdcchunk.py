@@ -164,6 +164,33 @@ class TestGearChunks:
         assert len(rows) == 1 and rows[0]["doc_id"] == 1
         assert rows[0]["chunk_len"] == 4
 
+    def test_null_doc_id_skipped_not_stage_failure(self, spark):
+        """r12 advice: int(doc_id) in the Arrow batch raises on
+        NaN/None — a NULL id must be filtered out (like the md5 form
+        tolerates), not fail the whole stage."""
+        docs = spark.createDataFrame(
+            [(None, "some text long enough to chunk"), (7, "hello!")],
+            "doc_id long, text string",
+        )
+        from eventhub_to_timescale_spark.operators.cdcchunk import (
+            gear_chunks,
+        )
+
+        rows = gear_chunks(docs).collect()
+        assert {r["doc_id"] for r in rows} == {7}
+
+    def test_streaming_chunker_skips_null_doc_id(self, spark):
+        from eventhub_to_timescale_spark.streaming.cdcdedup import (
+            streaming_cdc_chunks,
+        )
+
+        docs = spark.createDataFrame(
+            [(None, "some text long enough to chunk"), (7, "hello!")],
+            "doc_id long, text string",
+        )
+        rows = streaming_cdc_chunks(docs, min_len=1).collect()
+        assert {r["doc_id"] for r in rows} == {7}
+
     def test_bad_params_raise(self, spark):
         from eventhub_to_timescale_spark.operators.cdcchunk import (
             gear_chunks,

@@ -189,3 +189,36 @@ def test_default_config_is_scale_safe_and_lossless(spark):
         if d <= 3:
             want[(a, b)] = d
     assert got == want
+
+
+def test_auto_bands_rejects_degenerate_configs():
+    """r12 advice: max_distance >= 64 would auto-select 128 bands ->
+    width 0, mask 0, every band value 0 — an all-pairs blowup across
+    128 identical bands.  Reject before that happens; same for
+    explicit n_bands that don't divide 64."""
+    from eventhub_to_timescale_spark.operators.multimodal import (
+        _auto_bands,
+    )
+
+    with pytest.raises(ValueError):
+        _auto_bands(64)
+    with pytest.raises(ValueError):
+        _auto_bands(200)
+    with pytest.raises(ValueError):
+        _auto_bands(-1)
+    assert _auto_bands(63) == 64  # widest legal: 64 one-bit bands
+
+
+def test_phash_rejects_non_divisor_and_oversized_bands(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    hashes = dhash_images(document_image_blobs(docs))
+    with pytest.raises(ValueError, match="divide 64"):
+        phash_neardup_pairs(hashes, max_distance=3, n_bands=6)
+    with pytest.raises(ValueError, match="divide 64"):
+        phash_neardup_pairs(hashes, max_distance=3, n_bands=128)
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(hashes, max_distance=64)
