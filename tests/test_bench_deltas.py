@@ -64,3 +64,17 @@ def test_top_n_cap():
     d = b.top_deltas(prev, warm)
     assert len(d) == 10
     assert list(d)[0] == "q29"
+
+
+def test_ambient_load_threshold():
+    """r12 verdict ask #3: the load stamp's noisy rule — 0.0625/core
+    (2.0 on the 32-core sandbox); the documented noisy runs showed
+    load 3-5."""
+    import bench as b
+
+    assert not b.ambient_load(32, 0.4)
+    assert not b.ambient_load(32, 1.9)
+    assert b.ambient_load(32, 2.1)
+    assert b.ambient_load(32, 4.5)
+    # degenerate cores never divides by zero
+    assert b.ambient_load(0, 1.0)
