@@ -524,11 +524,14 @@ def _mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytically from the closed-form synthetic pixels). See
     operators/multimodal.py:dhash_images/phash_neardup_pairs.
 
-    EXPLICIT byte-band args (r12): the function DEFAULT is now the
-    scale-safe t=3 / 16-bit-band config (r11 verdict ask #3), but the
-    gate corpus's minimum pairwise Hamming is 4 — t=3 finds nothing
-    there — so this entry keeps the byte-band config to stay a
-    non-trivial oracle witness."""
+    DEFAULT-CALL args (r12 verdict ask #1): the corpus now PLANTS
+    distance-<=3 near-pairs (imagecodec.py NEARDUP_MOD: doc_id = 1
+    mod 37 renders the parent's image with 3 forced-white dHash
+    sample pixels), so the scale-safe default config — t=3, auto
+    4x16-bit bands, 65 536 buckets/band — is exactly the plan this
+    gate witnesses.  The byte-band form (75 s at sf1, exp 1.99) is
+    retired from the registry; its banding-≡-all-pairs losslessness
+    stays pinned by tests/test_phash.py against brute force."""
     from eventhub_to_timescale_spark.operators.multimodal import (
         dhash_images,
         document_image_blobs,
@@ -536,7 +539,7 @@ def _mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = document_image_blobs(_docs(spark, sf_dir))
-    return phash_neardup_pairs(dhash_images(blobs), max_distance=6, n_bands=8)
+    return phash_neardup_pairs(dhash_images(blobs))
 
 
 def _events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,9 +572,9 @@ def _mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first verdicts over the dHash banded Hamming join —
     linear output (≤1 row per doc) where the pair frame is density-
     bound; the scale-path consumer of mm_phash_neardup. See
-    operators/multimodal.py:phash_dup_verdicts.  Explicit byte-band
-    args for the same reason as _mm_phash_neardup (gate corpus
-    min-Hamming 4; the function default is now t=3 / 16-bit bands)."""
+    operators/multimodal.py:phash_dup_verdicts.  Default-call args
+    for the same reason as _mm_phash_neardup (planted near-pairs;
+    the default t=3 / 16-bit-band config is the gated plan)."""
     from eventhub_to_timescale_spark.operators.multimodal import (
         dhash_images,
         document_image_blobs,
@@ -579,7 +582,7 @@ def _mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = document_image_blobs(_docs(spark, sf_dir))
-    return phash_dup_verdicts(dhash_images(blobs), max_distance=6, n_bands=8)
+    return phash_dup_verdicts(dhash_images(blobs))
 
 
 def _events_basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3661,7 +3664,7 @@ def _phash_keep_oracle() -> str:
         phash_keep_oracle_sql,
     )
 
-    return phash_keep_oracle_sql(max_distance=6)
+    return phash_keep_oracle_sql(max_distance=3)
 
 
 def _phash_neardup_oracle() -> str:
@@ -3669,7 +3672,7 @@ def _phash_neardup_oracle() -> str:
         phash_neardup_oracle_sql,
     )
 
-    return phash_neardup_oracle_sql(max_distance=6)
+    return phash_neardup_oracle_sql(max_distance=3)
 
 
 def _range_partition_oracle() -> str:

@@ -245,11 +245,47 @@ def synth_pixels(doc_id: int, width: int, height: int, frame: int = 0) -> np.nda
     ).astype(np.uint8)
 
 
+# Planted near-duplicate image pairs (r12 verdict ask #1): every
+# doc_id ≡ 1 (mod NEARDUP_MOD) renders its PARENT's (doc_id − 1)
+# image — parent dims, parent pixel formula — with the three source
+# pixels sampled by dHash grid cells (x = NEARDUP_COL,
+# y ∈ NEARDUP_ROWS) forced to white.  The 9×8 nearest-neighbor source
+# columns/rows are DISTINCT for W ≥ 9, H ≥ 8 (always true here), so
+# each forced pixel is sampled by exactly one grid cell and the
+# variant's dHash differs from the parent's by at most
+# len(NEARDUP_ROWS) = 3 bits — the corpus contains genuine
+# distance-≤3 near-pairs, making the DEFAULT banded config
+# (max_distance=3 → 4×16-bit bands) a non-trivial gate.  Every
+# analytic oracle that recomputes image pixels from doc_id
+# (multimodal.phash_neardup_oracle_sql, oracles.mm_resize_oracle)
+# mirrors this rule.
+NEARDUP_MOD = 37
+NEARDUP_ROWS = (1, 4, 7)
+NEARDUP_COL = 8  # dHash grid column (of 0..8) whose sample is forced
+
+
+def neardup_parent(doc_id: int) -> int | None:
+    """Parent id if ``doc_id`` is a planted near-dup variant, else
+    None."""
+    if doc_id >= 1 and doc_id % NEARDUP_MOD == 1:
+        return doc_id - 1
+    return None
+
+
 def synth_image_bytes(doc_id: int) -> bytes:
-    """Deterministic real BMP for a document id."""
-    w = IMG_W_BASE + doc_id % IMG_W_MOD
-    h = IMG_H_BASE + doc_id % IMG_H_MOD
-    return encode_bmp(synth_pixels(doc_id, w, h))
+    """Deterministic real BMP for a document id; near-dup variants
+    (``neardup_parent``) render the parent's image with three forced
+    white sample pixels."""
+    parent = neardup_parent(doc_id)
+    eff = doc_id if parent is None else parent
+    w = IMG_W_BASE + eff % IMG_W_MOD
+    h = IMG_H_BASE + eff % IMG_H_MOD
+    arr = synth_pixels(eff, w, h)
+    if parent is not None:
+        sx = (NEARDUP_COL * w) // 9
+        for y in NEARDUP_ROWS:
+            arr[(y * h) // 8, sx] = 255
+    return encode_bmp(arr)
 
 
 def synth_video_bytes(doc_id: int) -> bytes:

@@ -556,20 +556,34 @@ def phash_neardup_oracle_sql(
     into a signed BIGINT (bit 63 contributes -2^63), then compared
     ALL-PAIRS — the ground truth the banded join must reproduce
     exactly.  Quadratic by design: the oracle's job is adjudication at
-    gate scale, not scale itself."""
+    gate scale, not scale itself.
+
+    Mirrors the planted near-dup rule (imagecodec.py NEARDUP_MOD):
+    doc_id ≡ 1 (mod 37) renders the PARENT's (doc_id − 1) dims and
+    pixel formula with grid cells (x=8, y ∈ 1,4,7) forced to white
+    (luma 255) — so the corpus genuinely contains distance-≤3 pairs
+    and the default t=3 banding is a non-trivial gate."""
     luma = (
-        "(299 * ((19 * d.doc_id + 7 * sx + 13 * sy) % 256)"
-        " + 587 * ((23 * d.doc_id + 5 * sx + 11 * sy) % 256)"
-        " + 114 * ((29 * d.doc_id + 3 * sx + 17 * sy) % 256)) // 1000"
+        "(299 * ((19 * d.eid + 7 * sx + 13 * sy) % 256)"
+        " + 587 * ((23 * d.eid + 5 * sx + 11 * sy) % 256)"
+        " + 114 * ((29 * d.eid + 3 * sx + 17 * sy) % 256)) // 1000"
     )
     return f"""
-WITH dims AS (
-  SELECT doc_id, 24 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+WITH ids AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 1 AND doc_id >= 1
+              THEN doc_id - 1 ELSE doc_id END AS eid,
+         (doc_id % 37 = 1 AND doc_id >= 1) AS nd
   FROM {table}
+),
+dims AS (
+  SELECT doc_id, eid, nd, 24 + eid % 17 AS w, 16 + eid % 13 AS h
+  FROM ids
 ),
 gray AS (
   SELECT d.doc_id, gx.x, gy.y,
-         (SELECT {luma.replace('sx', '((gx.x * d.w) // 9)').replace('sy', '((gy.y * d.h) // 8)')}) AS g
+         CASE WHEN d.nd AND gx.x = 8 AND gy.y IN (1, 4, 7) THEN 255
+              ELSE {luma.replace('sx', '((gx.x * d.w) // 9)').replace('sy', '((gy.y * d.h) // 8)')} END AS g
   FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)
 ),
 bits AS (

@@ -837,24 +837,43 @@ def mm_resize_oracle(width: int = 16, height: int = 12) -> str:
     checksum from the pixel formula with the same integer source map
     sx = (x*W)//w, sy = (y*H)//h. Any channel swap, row flip, stride
     bug, or off-by-one in the resize changes the position-weighted
-    sum."""
+    sum.
+
+    Mirrors the planted near-dup rule (imagecodec.py NEARDUP_MOD):
+    doc_id ≡ 1 (mod 37) renders the PARENT's (doc_id − 1) dims and
+    pixel formula with the three dHash-sampled source pixels
+    (col (8·W)//9, rows (r·H)//8 for r ∈ 1,4,7) forced to white —
+    r+2g+3b = 6·255 = 1530 wherever the resize resamples one of
+    them."""
     n_bytes = 54 + height * (((3 * width + 3) // 4) * 4)
     return f"""
-WITH d AS (
+WITH ids AS (
   SELECT doc_id,
-         24 + doc_id % 17 AS sw,
-         16 + doc_id % 13 AS sh
+         CASE WHEN doc_id % 37 = 1 AND doc_id >= 1
+              THEN doc_id - 1 ELSE doc_id END AS eid,
+         (doc_id % 37 = 1 AND doc_id >= 1) AS nd
   FROM documents
+),
+d AS (
+  SELECT doc_id, eid, nd,
+         24 + eid % 17 AS sw,
+         16 + eid % 13 AS sh
+  FROM ids
 ),
 px AS (
   SELECT d.doc_id,
-         ((19 * d.doc_id + 7 * ((xs.x * d.sw) // {width})
-           + 13 * ((ys.y * d.sh) // {height})) % 256
-          + 2 * ((23 * d.doc_id + 5 * ((xs.x * d.sw) // {width})
-                  + 11 * ((ys.y * d.sh) // {height})) % 256)
-          + 3 * ((29 * d.doc_id + 3 * ((xs.x * d.sw) // {width})
-                  + 17 * ((ys.y * d.sh) // {height})) % 256))
-         * (1 + (ys.y * {width} + xs.x) % 97) AS wv
+         CASE WHEN d.nd
+                   AND ((xs.x * d.sw) // {width}) = (8 * d.sw) // 9
+                   AND ((ys.y * d.sh) // {height}) IN
+                       ((1 * d.sh) // 8, (4 * d.sh) // 8, (7 * d.sh) // 8)
+              THEN 1530
+              ELSE ((19 * d.eid + 7 * ((xs.x * d.sw) // {width})
+                     + 13 * ((ys.y * d.sh) // {height})) % 256
+                    + 2 * ((23 * d.eid + 5 * ((xs.x * d.sw) // {width})
+                            + 11 * ((ys.y * d.sh) // {height})) % 256)
+                    + 3 * ((29 * d.eid + 3 * ((xs.x * d.sw) // {width})
+                            + 17 * ((ys.y * d.sh) // {height})) % 256))
+         END * (1 + (ys.y * {width} + xs.x) % 97) AS wv
   FROM d, range({width}) xs(x), range({height}) ys(y)
 )
 SELECT doc_id,

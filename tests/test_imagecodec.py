@@ -145,9 +145,12 @@ class TestRealMultimodalStages:
         assert set(rows) == {0, 1, 16, 499}
         for doc_id, r in rows.items():
             out = ic.decode_bmp(bytes(r.payload))
-            w = ic.IMG_W_BASE + doc_id % ic.IMG_W_MOD
-            h = ic.IMG_H_BASE + doc_id % ic.IMG_H_MOD
-            expect = ic.resize_nearest(ic.synth_pixels(doc_id, w, h), 16, 12)
+            # synth_image_bytes is the corpus ground truth (doc_id=1
+            # is a planted near-dup variant — parent image + forced
+            # white sample pixels — so the raw synth_pixels formula
+            # no longer matches it)
+            src = ic.decode_bmp(ic.synth_image_bytes(doc_id))
+            expect = ic.resize_nearest(src, 16, 12)
             assert np.array_equal(out, expect)
 
     def test_sample_frames_real_selection(self, spark):

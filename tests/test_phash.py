@@ -222,3 +222,49 @@ def test_phash_rejects_non_divisor_and_oversized_bands(spark):
         phash_neardup_pairs(hashes, max_distance=3, n_bands=128)
     with pytest.raises(ValueError):
         phash_neardup_pairs(hashes, max_distance=64)
+
+
+def test_planted_neardup_variants_within_default_distance(spark):
+    """r12 verdict ask #1: the corpus plants distance-<=3 near-pairs
+    (doc_id = 1 mod 37 renders the parent's image with 3 forced white
+    dHash sample pixels), so the DEFAULT t=3 config finds real pairs
+    and the gated plan is the documented plan."""
+    from eventhub_to_timescale_spark.operators import imagecodec as ic
+
+    assert ic.neardup_parent(38) == 37
+    assert ic.neardup_parent(1) == 0
+    assert ic.neardup_parent(37) is None
+    assert ic.neardup_parent(0) is None
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(0, 80)], "doc_id long"
+    )
+    hashes = {
+        r.doc_id: r.dhash
+        for r in dhash_images(
+            document_image_blobs(
+                docs.selectExpr(
+                    "doc_id", "'t' AS text", "'en' AS lang",
+                    "'s' AS source", "1::long AS n_chars",
+                )
+            )
+        ).collect()
+    }
+    for v in (1, 38, 75):
+        p = v - 1
+        assert _ham(hashes[v], hashes[p]) <= 3, (v, p)
+    # the planted pairs surface under the DEFAULT call
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in phash_neardup_pairs(
+            dhash_images(
+                document_image_blobs(
+                    docs.selectExpr(
+                        "doc_id", "'t' AS text", "'en' AS lang",
+                        "'s' AS source", "1::long AS n_chars",
+                    )
+                )
+            )
+        ).collect()
+    }
+    assert {(0, 1), (37, 38), (74, 75)} <= pairs
