@@ -647,6 +647,24 @@ def _events_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bands(_events(spark, sf_dir))
 
 
+def _events_quantile_bands_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile bands — the documented 100 TB twin
+    of events_quantile_bands (r12 verdict ask #2): one map-side-
+    combinable percentile_approx aggregation per (event_type, day),
+    bounded O(accuracy) mergeable state, NO per-cell sort.  In GK's
+    exact regime (cell rows <= accuracy, true at every test SF) it
+    returns the same ceil(q*n) order statistics as the exact form,
+    so both share one oracle; the compressed regime's +-n/accuracy
+    rank bound is pinned by tests/test_quantband.py.  The streaming
+    twin (streaming/quantiles.py) converges to this frame — see
+    tests/test_streaming_quantiles.py."""
+    from eventhub_to_timescale_spark.operators.quantband import (
+        quantile_bands_gk,
+    )
+
+    return quantile_bands_gk(_events(spark, sf_dir))
+
+
 def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile on user_id: top-10 heaviest keys with
     exact share-ppm, max/avg x100 and p99 order statistic — the

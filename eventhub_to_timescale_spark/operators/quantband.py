@@ -18,6 +18,20 @@ the band selection is a conditional aggregation over ranked rows
 Output is bounded by |types| × |days|, never event-scale.  Skewed
 (type, day) cells parallelize exactly as well as Q8/Q9's salted
 variants would; the window is per-cell, not global.
+
+THE AT-SCALE CAVEAT (r12 verdict): the exact form sorts each
+(type, day) cell's FULL row set inside one window task — the same
+hot-cell cliff Q8/Q9 grew salted variants for.  The documented
+100 TB path is ``quantile_bands_gk`` below: Spark's built-in
+Greenwald–Khanna ``percentile_approx`` aggregate replaces the
+per-cell sort with a bounded O(accuracy) mergeable summary that
+partial-aggregates map-side — a hot cell costs memory proportional
+to the sketch, never to the cell.  In GK's exact regime (cell rows ≤
+accuracy) the two forms are ROW-IDENTICAL (both return the ceil(q·n)
+order statistic — pinned by tests/test_quantband.py), which is why
+they share one oracle at gate scale; beyond it GK trades the sort
+for a ±n/accuracy rank error.  The streaming twin
+(streaming/quantiles.py) shares the same summary semantics.
 """
 
 from __future__ import annotations
@@ -25,16 +39,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantile_bands", "quantile_bands_oracle_sql"]
+__all__ = [
+    "quantile_bands",
+    "quantile_bands_gk",
+    "quantile_bands_oracle_sql",
+]
 
 _BANDS = (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
 
 
-def quantile_bands(events: DataFrame) -> DataFrame:
-    """→ (event_type, day, n, p50_cents, p90_cents, p99_cents): exact
-    order-statistic bands of value cents per (event_type, day), rows
-    with NULL type/ts/value excluded, ordered by (event_type, day)."""
-    base = events.filter(
+def _cents_base(events: DataFrame) -> DataFrame:
+    """Shared projection: NULL-guarded (event_type, day, v_cents)."""
+    return events.filter(
         F.col("event_type").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
@@ -45,6 +61,16 @@ def quantile_bands(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("v_cents"),
     )
+
+
+def quantile_bands(events: DataFrame) -> DataFrame:
+    """→ (event_type, day, n, p50_cents, p90_cents, p99_cents): exact
+    order-statistic bands of value cents per (event_type, day), rows
+    with NULL type/ts/value excluded, ordered by (event_type, day).
+
+    Exact form — full per-cell sort; the documented at-scale twin is
+    ``quantile_bands_gk`` (bounded GK summary, module docstring)."""
+    base = _cents_base(events)
     w = Window.partitionBy("event_type", "day").orderBy(
         "v_cents"
     )
@@ -73,6 +99,51 @@ def quantile_bands(events: DataFrame) -> DataFrame:
         .agg(*aggs)
         .orderBy("event_type", "day")
     )
+
+
+def quantile_bands_gk(
+    events: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """→ same shape as ``quantile_bands`` — (event_type, day, n,
+    p50_cents, p90_cents, p99_cents) — via Spark's Greenwald–Khanna
+    ``percentile_approx`` aggregate instead of a per-cell sort: THE
+    documented 100 TB form (module docstring).
+
+    Plan shape: ONE map-side-combinable aggregation on (event_type,
+    day); per-cell state is a bounded O(accuracy) mergeable GK
+    summary, so a hot cell never sorts its full row set in one task.
+
+    Exactness: in GK's exact regime (cell rows ≤ accuracy) the
+    summary keeps every sample and the query returns the ceil(q·n)-th
+    order statistic — the SAME convention as the exact form, so both
+    share ``quantile_bands_oracle_sql`` at gate scale (pinned by
+    tests/test_quantband.py, including the convention probe).  Past
+    the regime the result is within ±n/accuracy RANK error of exact
+    (Greenwald & Khanna, SIGMOD 2001) — the rank-bound property test
+    forces compression with a small accuracy and checks the envelope.
+    """
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    qs = F.array(*(F.lit(q) for _, q in _BANDS))
+    agg = (
+        _cents_base(events)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx(
+                "v_cents", qs, F.lit(accuracy)
+            ).alias("_b"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        "n",
+        *(
+            F.col("_b").getItem(i).alias(f"{name}_cents")
+            for i, (name, _) in enumerate(_BANDS)
+        ),
+    ).orderBy("event_type", "day")
 
 
 def quantile_bands_oracle_sql(table: str = "events") -> str:

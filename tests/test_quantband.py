@@ -93,3 +93,83 @@ def test_oracle_parity_sf0001(spark):
     want = con.execute(quantile_bands_oracle_sql()).fetchall()
     assert len(got) == len(want) > 0
     assert got == [tuple(w) for w in want]
+
+
+class TestQuantileBandsGK:
+    """The GK at-scale twin (r12 verdict ask #2): row-identity with
+    the exact form in GK's exact regime, and the rank-error envelope
+    once compression kicks in."""
+
+    def test_exact_regime_row_identical_to_exact_form(self, spark):
+        from eventhub_to_timescale_spark.operators.quantband import (
+            quantile_bands_gk,
+        )
+
+        rng = random.Random(7)
+        spec = [
+            (t, d, rng.uniform(-50, 50))
+            for t in ("a", "b", "c")
+            for d in (0, 1)
+            for _ in range(rng.randint(3, 60))
+        ]
+        ev = _events(spark, spec)
+        exact = [tuple(r) for r in quantile_bands(ev).collect()]
+        gk = [tuple(r) for r in quantile_bands_gk(ev).collect()]
+        assert gk == exact and len(gk) == 6
+
+    def test_rank_error_bound_under_compression(self, spark):
+        """accuracy=20 on a 5000-row cell FORCES GK compression; each
+        band must land within the exact ±1/accuracy rank envelope
+        (the bound GK actually guarantees — Greenwald & Khanna 2001),
+        and must be an actually-observed value."""
+        from eventhub_to_timescale_spark.operators.quantband import (
+            _BANDS,
+            quantile_bands_gk,
+        )
+
+        rng = random.Random(11)
+        vals = [rng.uniform(0, 1000) for _ in range(5000)]
+        spec = [("a", 0, v) for v in vals]
+        acc = 20
+        row = quantile_bands_gk(_events(spark, spec), accuracy=acc).collect()[0]
+        cents = sorted(int(math.floor(v * 100 + 0.5)) for v in vals)
+        n = len(cents)
+        eps = 1.0 / acc
+        cent_set = set(cents)
+        for name, q in _BANDS:
+            got = row[f"{name}_cents"]
+            lo_rank = max(1, math.ceil((q - eps) * n))
+            hi_rank = min(n, math.ceil((q + eps) * n))
+            assert cents[lo_rank - 1] <= got <= cents[hi_rank - 1], (
+                name, got, cents[lo_rank - 1], cents[hi_rank - 1])
+            assert got in cent_set
+
+    def test_bad_accuracy_raises(self, spark):
+        import pytest
+
+        from eventhub_to_timescale_spark.operators.quantband import (
+            quantile_bands_gk,
+        )
+
+        with pytest.raises(ValueError):
+            quantile_bands_gk(_events(spark, [("a", 0, 1.0)]), accuracy=0)
+
+    def test_gk_matches_shared_oracle_sf0001(self, spark):
+        """The gate surface: the GK form shares the exact form's
+        oracle at gate scale (cells ≤ accuracy ⇒ exact regime)."""
+        from eventhub_to_timescale_spark.operators.quantband import (
+            quantile_bands_gk,
+        )
+        from eventhub_to_timescale_spark.sources.testdata import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = [
+            tuple(r)
+            for r in quantile_bands_gk(load_table(spark, sf, "events")).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        want = [tuple(r) for r in con.execute(quantile_bands_oracle_sql()).fetchall()]
+        assert got == want and len(got) > 0
