@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 
 from eventhub_to_timescale_spark.functions.scalars import portable_hash32
 
-__all__ = ["bloom_bits", "bloom_probe", "bloom_probe_oracle_sql"]
+__all__ = [
+    "bloom_bits",
+    "bloom_probe",
+    "bloom_probe_oracle_sql",
+    "bloom_seen_verdicts",
+    "bloom_seen_oracle_sql",
+]
 
 _DEFAULT_M = 1 << 20
 _DEFAULT_K = 4
@@ -170,4 +176,88 @@ SELECT h.key, h.bloom_maybe,
        (r.key IS NOT NULL) AS actual
 FROM hits h LEFT JOIN ref_keys r ON r.key = h.key
 ORDER BY h.key
+"""
+
+
+def bloom_seen_verdicts(
+    docs: DataFrame,
+    key_expr=None,
+    id_col: str = "doc_id",
+    m: int = _DEFAULT_M,
+    k: int = _DEFAULT_K,
+) -> DataFrame:
+    """Sequential Bloom pre-filter verdicts → (doc_id, maybe_seen):
+    for every document, in ``doc_id`` (arrival) order, "had ALL k of
+    my key's bit positions been set by EARLIER documents?" — the
+    batch twin of the streaming Bloom membership operator
+    (streaming/bloomprobe.py; convergence proved by
+    tests/test_streaming_bloomprobe.py on an ordered replay).
+
+    Semantics: position p's first-setter is the smallest doc_id that
+    hashes to p; ``maybe_seen`` ⟺ every position of this doc's key
+    has a first-setter strictly smaller than this doc.  One-sided
+    like any Bloom answer: an exact duplicate of an earlier document
+    is ALWAYS maybe_seen (its positions were all set by the earlier
+    copy); a True can be a false positive (k-way position collision).
+
+    Default key = md5(text) (NULL texts excluded).
+
+    100 TB posture: one JVM-side fan of k positions per document, one
+    shuffle on the ≤ m position space for the min-aggregation
+    (map-side combinable), one equi-join back on position, one
+    map-side-combinable min per doc.  Never corpus × corpus; the
+    first-setter frame is bounded by m rows.
+    """
+    if m < 2 or k < 1:
+        raise ValueError(f"need m ≥ 2 and k ≥ 1, got {m}, {k}")
+    key = key_expr if key_expr is not None else F.md5(F.col("text"))
+    keys = docs.filter(
+        F.col(id_col).isNotNull() & key.isNotNull()
+    ).select(F.col(id_col).alias("doc_id"), key.alias("_key"))
+    fan = keys.select(
+        "doc_id",
+        F.explode(_positions(F.col("_key"), m, k)).alias("pos"),
+    )
+    first = fan.groupBy("pos").agg(F.min("doc_id").alias("_first"))
+    return (
+        fan.join(F.broadcast(first), "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                (F.col("_first") < F.col("doc_id")).cast("int")
+            ).cast("boolean").alias("maybe_seen")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bloom_seen_oracle_sql(
+    table: str = "documents",
+    m: int = _DEFAULT_M,
+    k: int = _DEFAULT_K,
+) -> str:
+    """DuckDB rendering of ``bloom_seen_verdicts`` — same md5-derived
+    positions, same strict first-setter rule."""
+    pos_exprs = ", ".join(
+        f"CAST(('0x' || substr(md5('bloom{i}:' || key), 1, 8)) AS BIGINT)"
+        f" % {m}"
+        for i in range(k)
+    )
+    return f"""
+WITH keys AS (
+  SELECT doc_id, md5(text) AS key FROM {table}
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+fan AS (
+  SELECT doc_id, unnest([{pos_exprs}]) AS pos FROM keys
+),
+first_set AS (
+  SELECT pos, MIN(doc_id) AS first_doc FROM fan GROUP BY pos
+)
+SELECT f.doc_id,
+       CAST(MIN(CASE WHEN fs.first_doc < f.doc_id THEN 1 ELSE 0 END)
+            AS BOOLEAN) AS maybe_seen
+FROM fan f JOIN first_set fs ON fs.pos = f.pos
+GROUP BY f.doc_id
+ORDER BY f.doc_id
 """
