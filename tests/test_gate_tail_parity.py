@@ -119,10 +119,73 @@ ALWAYS_GATED_CORE = {
 }
 
 
-# The planned r12 gate head (ROTATION.md / registry ledger), pinned
+# The planned r13 gate head (ROTATION.md / registry ledger), pinned
 # EXACTLY so an accidental reorder cannot silently change what the
-# driver witnesses: the 2 new never-witnessed entries first, then the
-# restored 34-entry core, then the most-overdue demotion pools.
+# driver witnesses: the 2 new never-witnessed r13 entries + the 2
+# phash re-gates (changed surface: default-call config against the
+# near-pair-planted corpus) first, then the FULL since-3 pool in
+# ROTATION.md queue order, then the front of the since-2 pool.  The
+# core is green in CORRECTNESS_r12.json and due back r14 on its
+# standing 2-round cadence.
+R13_HEAD = [
+    # (a) the 2 NEW never-driver-witnessed r13 entries
+    "events_quantile_bands_gk",
+    "sketch_bloom_stream_twin",
+    # (b) the 2 re-gates under the default-call config (r12 verdict
+    # ask #1)
+    "mm_phash_neardup",
+    "mm_phash_keep",
+    # (c) the full 45-entry since-3 pool (ROTATION.md queue order)
+    "text_bm25_topk",
+    "sample_dsir_topn",
+    "curation_gopher_quality",
+    "sample_token_budget",
+    "events_anomaly_mad",
+    "sample_temperature_mix",
+    "dedup_pagerank",
+    "text_word_entropy",
+    "dedup_cross_source",
+    "rel_revenue_rollup",
+    "dedup_corpus_diff",
+    "rel_cross_nation_volume",
+    "rel_order_distribution",
+    "rel_top_supplier",
+    "rel_small_qty_revenue",
+    "layout_zorder_profile",
+    "rollup_upsert_value",
+    "docs_global_enumerate",
+    "docs_wfq_interleave",
+    "events_trending_topk",
+    "rel_forecast_revenue",
+    "rel_market_share",
+    "rel_nation_profit",
+    "rel_important_parts",
+    "rel_dominant_suppliers",
+    "rel_idle_customers",
+    "dedup_substr_spans",
+    "rel_cheapest_supplier",
+    "rel_priority_late",
+    "rel_no_return_customers",
+    "rel_promo_share",
+    "rel_supplier_variety",
+    "rel_disjunctive_revenue",
+    "cluster_kmeans",
+    "cluster_balanced_sample",
+    "sketch_hll_portable",
+    "sketch_hll_union",
+    "sketch_cms_counts",
+    "dedup_jaccard_prefix",
+    "dedup_semantic_keep",
+    "text_quality_logit",
+    "text_bigrams_topk",
+    "text_bigram_lm",
+    "sketch_histogram",
+    "rel_revenue_by_nation",
+    # (d) the front of the since-2 pool
+    "rel_shipmode_priority",
+]
+
+# Historical r12 head (kept for the demotion-pool registration test).
 R12_HEAD = [
     # (a) the 2 NEW never-driver-witnessed r12 entries
     "dedup_cdc_gear",
@@ -208,15 +271,15 @@ _OLD_R9_HEAD_DEMOTIONS = [
 ]
 
 
-def test_gate_head_matches_r12_rotation_plan():
-    """The driver's 50-entry window holds exactly the ledger's r12
-    rotation plan (VERDICT r11 ask #1): both new never-witnessed
-    entries are inside the window, and the 34-entry core is restored
-    on its 2-round cadence."""
+def test_gate_head_matches_r13_rotation_plan():
+    """The driver's 50-entry window holds exactly the ledger's r13
+    rotation plan (VERDICT r12 ask #5): both new never-witnessed
+    entries + both phash re-gates are inside the window, followed by
+    the full since-3 pool."""
     head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
-    assert head == R12_HEAD, (
-        f"gate head drifted from the r12 plan: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R12_HEAD)) if a != b][:5]}"
+    assert head == R13_HEAD, (
+        f"gate head drifted from the r13 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R13_HEAD)) if a != b][:5]}"
     )
 
 
