@@ -1,0 +1,148 @@
+"""Sketch-driven join planning (operators/joinplan.py): the CMS
+join-size estimator driving a real plan decision (r12 verdict ask
+#7).  Pins BOTH branches changing the executed plan — broadcast
+advice ⇒ BroadcastHashJoin in the physical plan, salt advice ⇒ the
+join keys gain the _salt fan — plus the profile's one-sided
+guarantees and salted-join row-identity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventhub_to_timescale_spark.operators.joinplan import (
+    apply_join_strategy,
+    choose_join_strategy,
+    join_size_profile,
+)
+
+
+def _skewed(spark, hot=4000, cold_keys=200):
+    """One white-hot key (0) plus uniform cold keys."""
+    rows = [(0, i) for i in range(hot)] + [
+        (1 + i % cold_keys, i) for i in range(cold_keys * 3)
+    ]
+    return spark.createDataFrame(rows, "user_id long, payload long")
+
+
+def _uniform(spark, n_keys=500, per_key=4):
+    rows = [(k, i) for k in range(n_keys) for i in range(per_key)]
+    return spark.createDataFrame(rows, "user_id long, payload long")
+
+
+class TestProfile:
+    def test_counts_exact_and_estimates_one_sided(self, spark):
+        left = _skewed(spark, hot=300, cold_keys=50)
+        right = _uniform(spark, n_keys=100, per_key=2)
+        row = join_size_profile(
+            left, right, "user_id", "user_id"
+        ).collect()[0]
+        n_l, n_r = left.count(), right.count()
+        assert row.n_left == n_l and row.n_right == n_r
+        # one-sided: est_max >= true heaviest key, est_join >= exact
+        true_max_l = (
+            left.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+        )
+        exact_join = left.join(right, "user_id").count()
+        assert row.est_max_key_left >= true_max_l
+        assert row.est_join_rows >= exact_join
+
+
+class TestAdvice:
+    def test_small_dim_advises_broadcast(self, spark):
+        fact = _uniform(spark, n_keys=400, per_key=5)
+        dim = _uniform(spark, n_keys=50, per_key=1)
+        adv = choose_join_strategy(fact, dim, broadcast_rows=1000)
+        assert adv.strategy == "broadcast_right"
+        assert adv.salt_factor == 1
+
+    def test_skew_advises_salt(self, spark):
+        left = _skewed(spark, hot=4000, cold_keys=100)
+        right = _uniform(spark, n_keys=101, per_key=2)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        assert adv.strategy == "salt"
+        assert adv.salt_factor >= 2
+        # the signal is the sketch's heavy-key overestimate
+        assert adv.est_max_key_left >= 4000
+
+    def test_uniform_advises_shuffle(self, spark):
+        left = _uniform(spark, n_keys=600, per_key=3)
+        right = _uniform(spark, n_keys=600, per_key=2)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        assert adv.strategy == "shuffle"
+        assert adv.salt_factor == 1
+
+    def test_bad_thresholds_raise(self, spark):
+        df = _uniform(spark, 5, 1)
+        with pytest.raises(ValueError):
+            choose_join_strategy(df, df, skew_ratio=0)
+        with pytest.raises(ValueError):
+            choose_join_strategy(df, df, max_salt=0)
+
+
+class TestExecutedPlans:
+    def test_broadcast_advice_changes_plan(self, spark):
+        fact = _uniform(spark, n_keys=400, per_key=5)
+        dim = _uniform(spark, n_keys=50, per_key=1)
+        adv = choose_join_strategy(fact, dim, broadcast_rows=1000)
+        joined = apply_join_strategy(fact, dim, adv)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert joined.count() == fact.join(dim, "user_id").count()
+
+    def test_salt_advice_changes_plan_and_preserves_rows(self, spark):
+        left = _skewed(spark, hot=4000, cold_keys=100)
+        right = _uniform(spark, n_keys=101, per_key=2)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        assert adv.strategy == "salt"
+        joined = apply_join_strategy(left, right, adv)
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert "_salt" in plan  # the join key genuinely changed
+        plain = left.join(right, left.user_id == right.user_id)
+        assert joined.count() == plain.count()
+
+    def test_shuffle_advice_is_plain_equijoin(self, spark):
+        left = _uniform(spark, n_keys=600, per_key=3)
+        right = _uniform(spark, n_keys=600, per_key=2)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        joined = apply_join_strategy(left, right, adv)
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert "_salt" not in plan
+        assert joined.count() == 600 * 3 * 2
+
+
+class TestExplosive:
+    def test_explosive_join_flagged_before_commit(self, spark):
+        """A join whose estimated output dwarfs its inputs gets
+        flagged from the sketch alone — the pre-commit answer a
+        planner wants at 100 TB.  One-sided estimate ⇒ a genuinely
+        explosive join can never be missed."""
+        # every row shares ONE key: output = 2000*2000 = 4M from 4k
+        # inputs
+        left = spark.createDataFrame(
+            [(7, i) for i in range(2000)], "user_id long, payload long"
+        )
+        right = spark.createDataFrame(
+            [(7, i) for i in range(2000)], "user_id long, r long"
+        )
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        assert adv.explosive
+        assert adv.est_join_rows >= 4_000_000
+
+    def test_benign_join_not_flagged(self, spark):
+        left = _uniform(spark, n_keys=300, per_key=2)
+        right = _uniform(spark, n_keys=300, per_key=2)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32, w=4096
+        )
+        assert not adv.explosive
