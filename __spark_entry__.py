@@ -637,6 +637,26 @@ def _sketch_bloom_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_seen_verdicts(_docs(spark, sf_dir), m=_BLOOM_M)
 
 
+def _sketch_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-driven join PLANNING profile (r12 verdict ask #7:
+    the estimator must drive a decision): one row (n_left, n_right,
+    est_join_rows, est_max_key_left, est_max_key_right) for
+    events.user_id ⋈ orders.o_custkey, everything from two ≤ d·w
+    count-min cell frames — side counts exact, heavy-key and
+    join-size estimates one-sided over.  choose_join_strategy()
+    turns this row into broadcast/salt/shuffle advice and
+    apply_join_strategy() executes it (plan-pinned both ways in
+    tests/test_joinplan.py).  See operators/joinplan.py."""
+    from eventhub_to_timescale_spark.operators.joinplan import (
+        join_size_profile,
+    )
+    from eventhub_to_timescale_spark.sources.testdata import load_table
+
+    ev = _events(spark, sf_dir)
+    od = load_table(spark, sf_dir, "orders")
+    return join_size_profile(ev, od, "user_id", "o_custkey")
+
+
 def _sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product equi-join cardinality estimate (Cormode &
     Muthukrishnan 2005 §4.2), demonstrated on the events SELF-join
@@ -2665,6 +2685,7 @@ def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R13_HEAD = [
     "events_quantile_bands_gk",
     "sketch_bloom_stream_twin",
+    "sketch_join_profile",
     "mm_phash_neardup",
     "mm_phash_keep",
     "text_bm25_topk",
@@ -2712,7 +2733,6 @@ _R13_HEAD = [
     "text_bigram_lm",
     "sketch_histogram",
     "rel_revenue_by_nation",
-    "rel_shipmode_priority",
 ]
 
 
@@ -3062,14 +3082,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — r13 additions (registered here; _R13_HEAD places them)
         "events_quantile_bands_gk": _events_quantile_bands_gk,
         "sketch_bloom_stream_twin": _sketch_bloom_stream_twin,
+        "sketch_join_profile": _sketch_join_profile,
     }
     # ------------- r13 GATE HEAD (50 entries) -------------
     # Composed per ROTATION.md's committed r13 staleness queue
     # (r12 verdict ask #5), reordered at return time so the big
     # literal above stays in stable registry order:
-    #   (a) the 2 NEW never-witnessed r13 entries: the GK quantile-
-    #       bands at-scale twin (verdict ask #2) and the streaming
-    #       Bloom pre-filter's batch twin (verdict ask #6);
+    #   (a) the 3 NEW never-witnessed r13 entries: the GK quantile-
+    #       bands at-scale twin (verdict ask #2), the streaming
+    #       Bloom pre-filter's batch twin (verdict ask #6), and the
+    #       sketch-driven join-planning profile (verdict ask #7);
     #   (b) the 2 RE-GATES: mm_phash_neardup / mm_phash_keep now gate
     #       the DEFAULT banding config against the near-pair-planted
     #       corpus (verdict ask #1) — a changed surface needs a fresh
@@ -3077,8 +3099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (c) the FULL 45-entry since-3 pool (44 r9-green entries +
     #       text_bm25_topk, all of which ceded their r12 slots to the
     #       core restoration) in ROTATION.md queue order;
-    #   (d) the front of the since-2 pool: rel_shipmode_priority.
-    #   2 + 2 + 45 + 1 = 50.  The §2 core is green in
+    #   3 + 2 + 45 = 50 (the third new entry, sketch_join_profile,
+    #   displaced the planned since-2 promotion rel_shipmode_priority
+    #   back to the r14 queue front).  The §2 core is green in
     #   CORRECTNESS_r12.json and on its standing 2-round cadence —
     #   due back in the r14 head.
     head = [k for k in _R13_HEAD if k in reg]
@@ -3881,6 +3904,19 @@ def _quantile_bands_gk_oracle() -> str:
     return quantile_bands_oracle_sql()
 
 
+def _join_profile_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.joinplan import (
+        join_size_profile_oracle_sql,
+    )
+
+    return join_size_profile_oracle_sql(
+        "SELECT user_id FROM events",
+        "SELECT o_custkey FROM orders",
+        "user_id",
+        "o_custkey",
+    )
+
+
 def _bloom_stream_twin_oracle() -> str:
     from eventhub_to_timescale_spark.operators.bloom import (
         bloom_seen_oracle_sql,
@@ -4279,6 +4315,7 @@ ORDER BY 1, 3
         "sketch_join_size": _join_size_oracle(),
         "events_quantile_bands_gk": _quantile_bands_gk_oracle(),
         "sketch_bloom_stream_twin": _bloom_stream_twin_oracle(),
+        "sketch_join_profile": _join_profile_oracle(),
         "dedup_stream_cdc_twin": _cdc_twin_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_interarrival": _interarrival_oracle(),

@@ -255,3 +255,56 @@ def apply_join_strategy(
             .drop("_salt")
         )
     return left.join(right, left[key_left] == right[key_right])
+
+
+def join_size_profile_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    key_a: str,
+    key_b: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+) -> str:
+    """DuckDB rendering of ``join_size_profile`` — same md5 cell
+    rule as ``cms_join_size_oracle_sql``, plus the per-side row count
+    (Σ of any depth row) and heavy-key overestimate (min_j max_b)."""
+
+    def cells(src: str, key: str, alias: str) -> str:
+        return f"""{alias}_e AS (
+  SELECT CAST({key} AS VARCHAR) AS key FROM ({src})
+  WHERE {key} IS NOT NULL
+),
+{alias}_cells AS (
+  SELECT j,
+         CAST(('0x' || substr(md5('{seed}' || CAST(j AS VARCHAR) || ':'
+                                  || key), 1, 8)) AS BIGINT) % {w}
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {alias}_e CROSS JOIN js
+  GROUP BY 1, 2
+),
+{alias}_side AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MIN(mx) AS BIGINT) AS est_max
+  FROM (SELECT j, SUM(c) AS n, MAX(c) AS mx
+        FROM {alias}_cells GROUP BY j)
+)"""
+
+    return f"""
+WITH js AS (SELECT unnest(range({d})) AS j),
+{cells(a_sql, key_a, 'a')},
+{cells(b_sql, key_b, 'b')},
+inner_products AS (
+  SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS inner_p
+  FROM a_cells a JOIN b_cells b ON b.j = a.j AND b.bucket = a.bucket
+  GROUP BY a.j
+)
+SELECT (SELECT n FROM a_side) AS n_left,
+       (SELECT n FROM b_side) AS n_right,
+       (SELECT CAST(MIN(COALESCE(ip.inner_p, 0)) AS BIGINT)
+        FROM js LEFT JOIN inner_products ip ON ip.j = js.j)
+         AS est_join_rows,
+       (SELECT est_max FROM a_side) AS est_max_key_left,
+       (SELECT est_max FROM b_side) AS est_max_key_right
+"""

@@ -128,9 +128,10 @@ ALWAYS_GATED_CORE = {
 # core is green in CORRECTNESS_r12.json and due back r14 on its
 # standing 2-round cadence.
 R13_HEAD = [
-    # (a) the 2 NEW never-driver-witnessed r13 entries
+    # (a) the 3 NEW never-driver-witnessed r13 entries
     "events_quantile_bands_gk",
     "sketch_bloom_stream_twin",
+    "sketch_join_profile",
     # (b) the 2 re-gates under the default-call config (r12 verdict
     # ask #1)
     "mm_phash_neardup",
@@ -181,8 +182,6 @@ R13_HEAD = [
     "text_bigram_lm",
     "sketch_histogram",
     "rel_revenue_by_nation",
-    # (d) the front of the since-2 pool
-    "rel_shipmode_priority",
 ]
 
 # Historical r12 head (kept for the demotion-pool registration test).

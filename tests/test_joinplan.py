@@ -146,3 +146,36 @@ class TestExplosive:
             left, right, broadcast_rows=0, parallelism=32, w=4096
         )
         assert not adv.explosive
+
+
+def test_profile_matches_duckdb_oracle_sf0001(spark):
+    """The gated surface: same md5 cell rule in both engines —
+    side counts exact, estimates bit-identical."""
+    import duckdb
+
+    from eventhub_to_timescale_spark.operators.joinplan import (
+        join_size_profile_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    got = [
+        tuple(r)
+        for r in join_size_profile(ev, od, "user_id", "o_custkey").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = [
+        tuple(r)
+        for r in con.execute(
+            join_size_profile_oracle_sql(
+                "SELECT user_id FROM events",
+                "SELECT o_custkey FROM orders",
+                "user_id",
+                "o_custkey",
+            )
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 1
