@@ -690,17 +690,20 @@ def _events_quantile_bands_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of events_quantile_bands (r12 verdict ask #2): one map-side-
     combinable percentile_approx aggregation per (event_type, day),
     bounded O(accuracy) mergeable state, NO per-cell sort.  In GK's
-    exact regime (cell rows <= accuracy, true at every test SF) it
-    returns the same ceil(q*n) order statistics as the exact form,
-    so both share one oracle; the compressed regime's +-n/accuracy
-    rank bound is pinned by tests/test_quantband.py.  The streaming
-    twin (streaming/quantiles.py) converges to this frame — see
+    merge-free regime (cell rows < accuracy/2) it returns the same
+    ceil(q*n) order statistics as the exact form, so both share one
+    oracle; accuracy=20000 is EXPLICIT here — 2x the largest cell at
+    the biggest sweep scale (sf1 max cell ~7 400 rows; the r13 sweep
+    caught the 10000 default drifting there within the rank
+    envelope).  The compressed regime's +-n/accuracy rank bound is
+    pinned by tests/test_quantband.py.  The streaming twin
+    (streaming/quantiles.py) converges to this frame — see
     tests/test_streaming_quantiles.py."""
     from eventhub_to_timescale_spark.operators.quantband import (
         quantile_bands_gk,
     )
 
-    return quantile_bands_gk(_events(spark, sf_dir))
+    return quantile_bands_gk(_events(spark, sf_dir), accuracy=20000)
 
 
 def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,11 +26,12 @@ hot-cell cliff Q8/Q9 grew salted variants for.  The documented
 Greenwald–Khanna ``percentile_approx`` aggregate replaces the
 per-cell sort with a bounded O(accuracy) mergeable summary that
 partial-aggregates map-side — a hot cell costs memory proportional
-to the sketch, never to the cell.  In GK's exact regime (cell rows ≤
-accuracy) the two forms are ROW-IDENTICAL (both return the ceil(q·n)
-order statistic — pinned by tests/test_quantband.py), which is why
-they share one oracle at gate scale; beyond it GK trades the sort
-for a ±n/accuracy rank error.  The streaming twin
+to the sketch, never to the cell.  In GK's merge-free regime
+(cell rows < accuracy/2 — Spark's summary starts merging at
+2·n/accuracy ≥ 1) the two forms are ROW-IDENTICAL (both return the
+ceil(q·n) order statistic — pinned by tests/test_quantband.py),
+which is why they share one oracle at gate scale; beyond it GK
+trades the sort for a ±n/accuracy rank error.  The streaming twin
 (streaming/quantiles.py) shares the same summary semantics.
 """
 
@@ -113,14 +114,20 @@ def quantile_bands_gk(
     day); per-cell state is a bounded O(accuracy) mergeable GK
     summary, so a hot cell never sorts its full row set in one task.
 
-    Exactness: in GK's exact regime (cell rows ≤ accuracy) the
-    summary keeps every sample and the query returns the ceil(q·n)-th
-    order statistic — the SAME convention as the exact form, so both
-    share ``quantile_bands_oracle_sql`` at gate scale (pinned by
-    tests/test_quantband.py, including the convention probe).  Past
-    the regime the result is within ±n/accuracy RANK error of exact
-    (Greenwald & Khanna, SIGMOD 2001) — the rank-bound property test
-    forces compression with a small accuracy and checks the envelope.
+    Exactness — the honest rule, measured (r13): Spark's
+    QuantileSummaries starts MERGING tuples once 2·n/accuracy ≥ 1,
+    so the summary is provably merge-free (hence the query returns
+    the exact ceil(q·n)-th order statistic, same convention as the
+    exact form) only while cell rows < accuracy/2.  Size accuracy ≥
+    2× the largest expected cell for exact parity — the r13 sf1
+    sweep caught accuracy=10000 drifting at p90/p99 on ~7 400-row
+    cells (31/150 cells, all inside the rank envelope), while 20 000
+    is bit-exact there.  Past the merge-free regime the result is
+    within ±n/accuracy RANK error of exact (Greenwald & Khanna,
+    SIGMOD 2001) — the rank-bound property test forces compression
+    and checks the envelope.  (The streaming twin's pure-python GK
+    in streaming/quantiles.py merges only once 2·ε·n > 2, i.e. it
+    stays exact up to n = accuracy.)
     """
     if accuracy < 1:
         raise ValueError(f"accuracy must be >= 1, got {accuracy}")

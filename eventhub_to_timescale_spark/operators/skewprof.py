@@ -24,6 +24,12 @@ rows, millions of keys); beyond that, take the top-k via the
 two-phase heavy-hitter plan (operators/heavyhitters.py) and the p99
 via the GK sketch (operators/sketches.py) — the output contract is
 unchanged.
+
+Sibling decision surface: operators/joinplan.py turns the SAME
+question into executable advice (broadcast/salt/shuffle + an
+explosion flag) from count-min sketches instead of exact counts —
+use joinplan when a one-pass sketch profile is enough, this profiler
+when you need the exact per-key evidence rows.
 """
 
 from __future__ import annotations

@@ -173,3 +173,20 @@ class TestQuantileBandsGK:
         )
         want = [tuple(r) for r in con.execute(quantile_bands_oracle_sql()).fetchall()]
         assert got == want and len(got) > 0
+
+
+def test_gk_merge_free_threshold(spark):
+    """The honest exactness rule (r13 sf1 sweep lesson): Spark's
+    summary is provably merge-free only while n < accuracy/2 — at
+    accuracy = 2n the GK bands are bit-exact, below that they may
+    drift (but stay in the rank envelope, pinned above)."""
+    from eventhub_to_timescale_spark.operators.quantband import (
+        quantile_bands_gk,
+    )
+
+    rng = random.Random(23)
+    vals = [rng.uniform(0, 1000) for _ in range(5000)]
+    ev = _events(spark, [("a", 0, v) for v in vals])
+    exact = [tuple(r) for r in quantile_bands(ev).collect()]
+    gk = [tuple(r) for r in quantile_bands_gk(ev, accuracy=10000).collect()]
+    assert gk == exact  # accuracy = 2n ⇒ merge-free ⇒ bit-exact
