@@ -657,6 +657,38 @@ def _sketch_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_profile(ev, od, "user_id", "o_custkey")
 
 
+def _sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval Reciprocal Rank Fusion (Cormack et al., SIGIR
+    2009): BM25 lexical top-50 over documents fused with the exact
+    cosine top-50 for probe embedding 3 (vec_id aligns with doc_id in
+    the synthetic corpus) — integer 10^9 div (k + rank)
+    contributions, so the fused order is total and bit-identical
+    cross-engine.  The rank-merge every two-tower curation pipeline
+    ends with.  See operators/fusion.py."""
+    from pyspark.sql import Window
+
+    from eventhub_to_timescale_spark.operators.fusion import rrf_fuse
+    from eventhub_to_timescale_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from eventhub_to_timescale_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(
+        _docs(spark, sf_dir), terms=("spark", "window", "dup"), k=50
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("rank"),
+    )
+    dense = (
+        cosine_topk_bruteforce(_embs(spark, sf_dir), query_max_id=4, k=50)
+        .filter(F.col("query_id") == 3)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense])
+
+
 def _sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product equi-join cardinality estimate (Cormode &
     Muthukrishnan 2005 §4.2), demonstrated on the events SELF-join
@@ -2689,6 +2721,7 @@ _R13_HEAD = [
     "events_quantile_bands_gk",
     "sketch_bloom_stream_twin",
     "sketch_join_profile",
+    "sim_rrf_fusion",
     "mm_phash_neardup",
     "mm_phash_keep",
     "text_bm25_topk",
@@ -2735,7 +2768,6 @@ _R13_HEAD = [
     "text_bigrams_topk",
     "text_bigram_lm",
     "sketch_histogram",
-    "rel_revenue_by_nation",
 ]
 
 
@@ -3086,12 +3118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_bands_gk": _events_quantile_bands_gk,
         "sketch_bloom_stream_twin": _sketch_bloom_stream_twin,
         "sketch_join_profile": _sketch_join_profile,
+        "sim_rrf_fusion": _sim_rrf_fusion,
     }
     # ------------- r13 GATE HEAD (50 entries) -------------
     # Composed per ROTATION.md's committed r13 staleness queue
     # (r12 verdict ask #5), reordered at return time so the big
     # literal above stays in stable registry order:
-    #   (a) the 3 NEW never-witnessed r13 entries: the GK quantile-
+    #   (a) the 4 NEW never-witnessed r13 entries: the GK quantile-
     #       bands at-scale twin (verdict ask #2), the streaming
     #       Bloom pre-filter's batch twin (verdict ask #6), and the
     #       sketch-driven join-planning profile (verdict ask #7);
@@ -3102,9 +3135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (c) the FULL 45-entry since-3 pool (44 r9-green entries +
     #       text_bm25_topk, all of which ceded their r12 slots to the
     #       core restoration) in ROTATION.md queue order;
-    #   3 + 2 + 45 = 50 (the third new entry, sketch_join_profile,
-    #   displaced the planned since-2 promotion rel_shipmode_priority
-    #   back to the r14 queue front).  The §2 core is green in
+    #   4 + 2 + 44 = 50 (the later new entries sketch_join_profile
+    #   and sim_rrf_fusion displaced the planned since-2 promotion
+    #   rel_shipmode_priority and the queue tail rel_revenue_by_nation
+    #   to the r14 queue front).  The §2 core is green in
     #   CORRECTNESS_r12.json and on its standing 2-round cadence —
     #   due back in the r14 head.
     head = [k for k in _R13_HEAD if k in reg]
@@ -3920,6 +3954,24 @@ def _join_profile_oracle() -> str:
     )
 
 
+def _rrf_fusion_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.fusion import (
+        rrf_fuse_oracle_sql,
+    )
+    from eventhub_to_timescale_spark.operators.text import bm25_oracle_sql
+    from eventhub_to_timescale_spark import oracles as oc
+
+    lex = (
+        "SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)"
+        f" AS rank FROM ({bm25_oracle_sql(('spark', 'window', 'dup'), k=50)})"
+    )
+    dense = (
+        "SELECT neighbor_id AS doc_id, rank FROM "
+        f"({oc.sim_topk_oracle(4, 50)}) WHERE query_id = 3"
+    )
+    return rrf_fuse_oracle_sql([lex, dense])
+
+
 def _bloom_stream_twin_oracle() -> str:
     from eventhub_to_timescale_spark.operators.bloom import (
         bloom_seen_oracle_sql,
@@ -4319,6 +4371,7 @@ ORDER BY 1, 3
         "events_quantile_bands_gk": _quantile_bands_gk_oracle(),
         "sketch_bloom_stream_twin": _bloom_stream_twin_oracle(),
         "sketch_join_profile": _join_profile_oracle(),
+        "sim_rrf_fusion": _rrf_fusion_oracle(),
         "dedup_stream_cdc_twin": _cdc_twin_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "events_interarrival": _interarrival_oracle(),

@@ -128,10 +128,11 @@ ALWAYS_GATED_CORE = {
 # core is green in CORRECTNESS_r12.json and due back r14 on its
 # standing 2-round cadence.
 R13_HEAD = [
-    # (a) the 3 NEW never-driver-witnessed r13 entries
+    # (a) the 4 NEW never-driver-witnessed r13 entries
     "events_quantile_bands_gk",
     "sketch_bloom_stream_twin",
     "sketch_join_profile",
+    "sim_rrf_fusion",
     # (b) the 2 re-gates under the default-call config (r12 verdict
     # ask #1)
     "mm_phash_neardup",
@@ -181,7 +182,6 @@ R13_HEAD = [
     "text_bigrams_topk",
     "text_bigram_lm",
     "sketch_histogram",
-    "rel_revenue_by_nation",
 ]
 
 # Historical r12 head (kept for the demotion-pool registration test).
