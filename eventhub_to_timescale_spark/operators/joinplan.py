@@ -130,7 +130,9 @@ def join_size_profile(
         F.col("id").cast("int").alias("j")
     )
     est = (
-        js.join(inner, "j", "left")
+        # inner is ≤ d rows — broadcast it so the depth-completion
+        # left join never sort-merges
+        js.join(F.broadcast(inner), "j", "left")
         .select(
             F.coalesce(F.col("inner"), F.lit(0).cast("long")).alias("i")
         )
