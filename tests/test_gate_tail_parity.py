@@ -306,11 +306,15 @@ def test_rotation_ledger_has_no_drift():
 
 def test_core_witness_cadence_holds():
     """Every always-gated-core entry is either inside the current gate
-    head or earned a driver-green row in the LATEST committed
-    CORRECTNESS artifact (the standing 2-round cadence).  r11 verdict
-    "what's wrong" #4: this test was hardwired to a round number and
-    would silently weaken when the next rotation landed — it now
-    resolves the newest artifact itself."""
+    head or earned a driver-green row in one of the last TWO committed
+    CORRECTNESS artifacts — matching the documented 2-round cadence
+    (core gated r10, r12, r14, ...).  r13 verdict "what's wrong" #1:
+    the previous form scanned only the SINGLE latest artifact, so the
+    suite flipped red the moment the driver's off-cadence artifact
+    landed (r11, r13, ...) even though nothing was overdue.  Scanning
+    two artifacts keeps the tripwire honest: a core entry absent from
+    the head AND from both of the last two driver rounds is genuinely
+    past the cadence and still hard-fails."""
     import glob
     import json
     import re as _re
@@ -325,14 +329,52 @@ def test_core_witness_cadence_holds():
         key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     assert arts, "no CORRECTNESS artifacts committed"
-    with open(arts[-1]) as f:
-        latest = json.load(f)
-    green_latest = {
-        k for k, v in latest.items()
-        if isinstance(v, dict) and v.get("hash_match")
-    }
-    overdue = sorted(ALWAYS_GATED_CORE - head - green_latest)
+    artifacts = []
+    for path in arts[-2:]:
+        with open(path) as f:
+            artifacts.append(json.load(f))
+    overdue = _core_overdue(head, artifacts)
     assert not overdue, f"core entries past the 2-round cadence: {overdue}"
+
+
+def _core_overdue(head, artifacts):
+    """Core entries absent from the gate head AND from every artifact
+    in ``artifacts`` (the last two committed driver rounds)."""
+    green_recent = set()
+    for art in artifacts:
+        green_recent |= {
+            k for k, v in art.items()
+            if isinstance(v, dict) and v.get("hash_match")
+        }
+    return sorted(ALWAYS_GATED_CORE - set(head) - green_recent)
+
+
+def test_core_cadence_tripwire_simulation():
+    """The two failure modes the r13 verdict distinguished, pinned as
+    plain-data simulations so the live test's semantics can't drift:
+
+    - OFF-CADENCE DROP: core gated in round N (green artifact), round
+      N+1's artifact gates other entries — the tripwire must stay
+      GREEN because the core is inside the two-artifact lookback.
+    - MISSED ROTATION: two consecutive artifacts without the core and
+      a head that doesn't restore it — the tripwire must FIRE.
+    """
+    core_green = {k: {"hash_match": True} for k in ALWAYS_GATED_CORE}
+    other_green = {"some_new_entry": {"hash_match": True}}
+    # off-cadence round: core green in N, absent from N+1, not in head
+    assert _core_overdue(head=[], artifacts=[core_green, other_green]) == []
+    # genuinely missed: absent from BOTH recent artifacts and the head
+    assert _core_overdue(head=[], artifacts=[other_green, other_green]) \
+        == sorted(ALWAYS_GATED_CORE)
+    # ... but restored via the head: green again
+    assert _core_overdue(
+        head=sorted(ALWAYS_GATED_CORE),
+        artifacts=[other_green, other_green],
+    ) == []
+    # a red row (hash_match falsy) is NOT a witness
+    core_red = {k: {"hash_match": False} for k in ALWAYS_GATED_CORE}
+    assert _core_overdue(head=[], artifacts=[core_red, other_green]) \
+        == sorted(ALWAYS_GATED_CORE)
 
 
 def test_rotated_out_entries_stay_registered_with_oracles():
