@@ -3141,7 +3141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   to the r14 queue front).  The §2 core is green in
     #   CORRECTNESS_r12.json and on its standing 2-round cadence —
     #   due back in the r14 head.
-    head = [k for k in _R13_HEAD if k in reg]
+    # a misspelled/renamed head entry must fail FAST at registration,
+    # not silently slide the first tail entry into the driver's
+    # 50-entry witnessed window (r13 ADVICE, low)
+    missing = set(_R13_HEAD) - reg.keys()
+    assert not missing, f"gate-head entries not in registry: {missing}"
+    head = list(_R13_HEAD)
     tail = [k for k in reg if k not in set(_R13_HEAD)]
     return {k: reg[k] for k in head + tail}
 

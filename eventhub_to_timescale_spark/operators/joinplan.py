@@ -89,6 +89,10 @@ class JoinAdvice:
     est_max_key_right: int
     salt_factor: int  # 1 unless strategy == "salt"
     explosive: bool  # est_join_rows ≫ inputs — reconsider the join
+    # which side's est_max tripped the skew ratio (the side whose hot
+    # key must be SPLIT; the other side gets replicated ×salt_factor).
+    # "left" unless the right side's ratio is the worse one.
+    salt_side: str = "left"
 
 
 def join_size_profile(
@@ -186,16 +190,21 @@ def choose_join_strategy(
     mx_r = int(row.est_max_key_right or 0)
     est = int(row.est_join_rows or 0)
 
-    strategy, salt = "shuffle", 1
+    strategy, salt, salt_side = "shuffle", 1, "left"
     if min(n_l, n_r) <= broadcast_rows:
         strategy = "broadcast_left" if n_l <= n_r else "broadcast_right"
     else:
         share_l = max(n_l / parallelism, 1.0)
         share_r = max(n_r / parallelism, 1.0)
+        ratio_l, ratio_r = mx_l / share_l, mx_r / share_r
         if mx_l > skew_ratio * share_l or mx_r > skew_ratio * share_r:
             strategy = "salt"
-            worst = max(mx_l / share_l, mx_r / share_r)
+            worst = max(ratio_l, ratio_r)
             salt = min(max_salt, max(2, math.ceil(worst)))
+            # salt the side whose straggler signal is worse — salting
+            # the OTHER side leaves the hot key's rows in one task and
+            # just multiplies shuffle volume (r13 ADVICE, medium)
+            salt_side = "left" if ratio_l >= ratio_r else "right"
     return JoinAdvice(
         strategy=strategy,
         n_left=n_l,
@@ -209,6 +218,34 @@ def choose_join_strategy(
         # column, cross-ish semantics) — flag it BEFORE the shuffle.
         # One-sided estimate ⇒ no false negatives at this threshold.
         explosive=est > explode_factor * max(n_l + n_r, 1),
+        salt_side=salt_side,
+    )
+
+
+def _salt_frames(
+    salted: DataFrame, fanned: DataFrame, salt_factor: int
+) -> tuple[DataFrame, DataFrame]:
+    """The salt fan itself: the SKEWED side's rows get a cheap
+    partition-local discriminator (pmod of monotonically_increasing_id
+    — any per-row value works, the salt never reaches the output), so
+    the hot key's rows spread across ``salt_factor`` sub-keys; the
+    other side is replicated once per sub-key so every pairing still
+    meets."""
+    return (
+        salted.withColumn(
+            "_salt",
+            F.pmod(
+                F.monotonically_increasing_id(), F.lit(salt_factor)
+            ).cast("int"),
+        ),
+        fanned.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast(
+                    "array<int>"
+                )
+            ),
+        ),
     )
 
 
@@ -220,11 +257,12 @@ def apply_join_strategy(
     key_right: str | None = None,
 ) -> DataFrame:
     """Execute the advised inner join.  Broadcast hints the advised
-    side; salt fans the SKEWED side's rows across ``salt_factor``
-    deterministic sub-keys (md5 of the row's key + a row-local
-    discriminator) and replicates the other side ×factor; shuffle is
-    the plain equi-join.  Output rows are identical across all three
-    (the salted plan is pinned row-identical by test)."""
+    side; salt splits the rows of ``advice.salt_side`` — the side
+    whose est_max tripped the skew ratio — across ``salt_factor``
+    sub-keys (pmod of a partition-local row id; the salt never reaches
+    the output) and replicates the OTHER side ×factor; shuffle is the
+    plain equi-join.  Output rows are identical across all three (the
+    salted plan is pinned row-identical by test, both sides)."""
     if key_right is None:
         key_right = key_left
     if advice.strategy == "broadcast_left":
@@ -234,25 +272,15 @@ def apply_join_strategy(
         rb = F.broadcast(right)
         return left.join(rb, left[key_left] == rb[key_right])
     if advice.strategy == "salt":
-        s = advice.salt_factor
-        # the salt only balances partitions, it never reaches the
-        # output, so any per-row value works;
-        # monotonically_increasing_id is partition-local and cheap
-        salted_left = left.withColumn(
-            "_salt",
-            F.pmod(F.monotonically_increasing_id(), F.lit(s)).cast("int"),
-        )
-        fanned_right = right.withColumn(
-            "_salt",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(s - 1)).cast("array<int>")
-            ),
-        )
+        if advice.salt_side == "right":
+            sr, sl = _salt_frames(right, left, advice.salt_factor)
+        else:
+            sl, sr = _salt_frames(left, right, advice.salt_factor)
         return (
-            salted_left.join(
-                fanned_right,
-                (salted_left[key_left] == fanned_right[key_right])
-                & (salted_left["_salt"] == fanned_right["_salt"]),
+            sl.join(
+                sr,
+                (sl[key_left] == sr[key_right])
+                & (sl["_salt"] == sr["_salt"]),
             )
             .drop("_salt")
         )

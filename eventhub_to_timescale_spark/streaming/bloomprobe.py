@@ -29,10 +29,19 @@ the bit POSITION as the state key:
    same micro-batch, so the per-trigger aggregation is complete for
    every document it sees.
 
-"Before" is ARRIVAL order (ties within a micro-batch broken by
-doc_id); on a doc_id-ordered replay this converges EXACTLY to the
-batch twin — proved by tests/test_streaming_bloomprobe.py, including
-a randomized multi-seed replay across micro-batch boundaries.
+"Before" is MIN-doc_id order, not arrival order (r13 ADVICE, low):
+the state keeps the smallest doc_id seen so far and compares
+``first < doc_id``, so the first-setter of a position is whichever
+document has the smallest id among those that have arrived — on an
+out-of-order stream a document arriving AFTER a larger-id document
+still claims the position (set_before=False for it), and verdicts
+already emitted in append mode are NOT retracted when a smaller id
+arrives late (the late small-id document diverges from the batch
+twin's answer for documents between the two).  On a doc_id-ordered
+replay min-id and arrival order coincide and the stream converges
+EXACTLY to the batch twin — that ordered-replay convergence is what
+tests/test_streaming_bloomprobe.py proves, including a randomized
+multi-seed replay across micro-batch boundaries.
 
 Bounded state: one int64 per DISTINCT set position — at most m
 entries EVER (the Bloom bound itself), stricter than any watermark;

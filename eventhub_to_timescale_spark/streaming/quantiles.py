@@ -145,10 +145,16 @@ def gk_query(
 ) -> int:
     """The value whose rank envelope covers ceil(q·n) within εn.
     In the exact regime (all g=1, Δ=0) this is exactly the
-    ceil(q·n)-th order statistic."""
+    ceil(q·n)-th order statistic: a pinned-rank tuple (rmin == rmax
+    == r) wins before the tolerance scan, which at exactly n ==
+    accuracy (tol = εn = 1.0) would otherwise admit the (r−1)-th
+    order statistic first (r13 ADVICE, low)."""
     r = max(1, int(np.ceil(q * n)))
     rmin = np.cumsum(gs)
     rmax = rmin + ds
+    pinned = np.flatnonzero((rmin == r) & (rmax == r))
+    if pinned.size:
+        return int(vs[pinned[0]])
     tol = eps * n
     ok = np.flatnonzero((r - rmin <= tol) & (rmax - r <= tol))
     if ok.size:

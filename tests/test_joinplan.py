@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from eventhub_to_timescale_spark.operators.joinplan import (
+    _salt_frames,
     apply_join_strategy,
     choose_join_strategy,
     join_size_profile,
@@ -106,6 +107,43 @@ class TestExecutedPlans:
         assert "_salt" in plan  # the join key genuinely changed
         plain = left.join(right, left.user_id == right.user_id)
         assert joined.count() == plain.count()
+
+    def test_right_skew_salts_the_right_side(self, spark):
+        """r13 ADVICE (medium): the salt path used to always salt the
+        LEFT side, so under right-side skew the hot key's right rows
+        were copied into every salt partition — the straggler stayed
+        whole while shuffle volume grew ×factor.  Pin that (a) the
+        advice names the side whose est_max tripped the ratio, (b) the
+        salt fan genuinely SPLITS that side's hot key across sub-keys,
+        and (c) output rows stay identical to the plain join."""
+        left = _uniform(spark, n_keys=101, per_key=2)
+        right = _skewed(spark, hot=4000, cold_keys=100)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        assert adv.strategy == "salt"
+        assert adv.salt_side == "right"
+        assert adv.est_max_key_right >= 4000
+        salted, fanned = _salt_frames(right, left, adv.salt_factor)
+        hot_salts = (
+            salted.filter(F.col("user_id") == 0)
+            .select("_salt")
+            .distinct()
+            .count()
+        )
+        assert hot_salts > 1, "hot key not split — straggler survives"
+        joined = apply_join_strategy(left, right, adv)
+        plain = left.join(right, left.user_id == right.user_id)
+        assert joined.count() == plain.count()
+
+    def test_left_skew_salt_side_is_left(self, spark):
+        left = _skewed(spark, hot=4000, cold_keys=100)
+        right = _uniform(spark, n_keys=101, per_key=2)
+        adv = choose_join_strategy(
+            left, right, broadcast_rows=0, parallelism=32
+        )
+        assert adv.strategy == "salt"
+        assert adv.salt_side == "left"
 
     def test_shuffle_advice_is_plain_equijoin(self, spark):
         left = _uniform(spark, n_keys=600, per_key=3)

@@ -42,6 +42,23 @@ class TestGKCore:
                 max(1, math.ceil(q * n)) - 1
             ]
 
+    def test_exact_at_boundary_n_equals_accuracy(self):
+        """r13 ADVICE (low): at exactly n == accuracy the tolerance
+        scan (tol = εn = 1.0) admits rmin = r−1 first and returned the
+        (r−1)-th order statistic (1..100 at accuracy=100 gave p50=49,
+        p90=89, p99=98).  The pinned-rank fast path must keep the
+        boundary exact, honouring the 'exact up to n = accuracy'
+        docstring claim here and in quantband.py."""
+        eps = 1 / 100
+        vs = np.array([], dtype=np.int64)
+        gs, ds, n = vs.copy(), vs.copy(), 0
+        vs, gs, ds, n = gk_insert_batch(
+            vs, gs, ds, n, np.arange(1, 101, dtype=np.int64), eps
+        )
+        assert n == 100 and vs.size == 100  # still merge-free
+        for q, want in ((0.5, 50), (0.9, 90), (0.99, 99), (1.0, 100)):
+            assert gk_query(vs, gs, ds, n, q, eps) == want
+
     def test_batch_split_invariance_in_exact_regime(self):
         """Same multiset through different micro-batch splits ⇒ same
         summary answers (order-independence is what makes the
