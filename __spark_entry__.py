@@ -724,18 +724,20 @@ def _events_quantile_bands_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded O(accuracy) mergeable state, NO per-cell sort.  In GK's
     merge-free regime (cell rows < accuracy/2) it returns the same
     ceil(q*n) order statistics as the exact form, so both share one
-    oracle; accuracy=20000 is EXPLICIT here — 2x the largest cell at
-    the biggest sweep scale (sf1 max cell ~7 400 rows; the r13 sweep
-    caught the 10000 default drifting there within the rank
-    envelope).  The compressed regime's +-n/accuracy rank bound is
-    pinned by tests/test_quantband.py.  The streaming twin
+    oracle.  accuracy="auto" (the default, r13 verdict ask #4): ONE
+    cell-size probe sizes accuracy = 2 x largest cell + 1 capped at
+    GK_AUTO_CAP — the r13 sweep proved the fixed default was a
+    foot-gun (10000 drifted on sf1's ~7 400-row cells; the r13 gate
+    had to hand-size 20000), so the registry entry now gates the
+    self-sizing call.  The compressed regime's +-n/accuracy rank
+    bound is pinned by tests/test_quantband.py.  The streaming twin
     (streaming/quantiles.py) converges to this frame — see
     tests/test_streaming_quantiles.py."""
     from eventhub_to_timescale_spark.operators.quantband import (
         quantile_bands_gk,
     )
 
-    return quantile_bands_gk(_events(spark, sf_dir), accuracy=20000)
+    return quantile_bands_gk(_events(spark, sf_dir), accuracy="auto")
 
 
 def _events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,9 +44,45 @@ __all__ = [
     "quantile_bands",
     "quantile_bands_gk",
     "quantile_bands_oracle_sql",
+    "choose_gk_accuracy",
+    "GK_AUTO_CAP",
 ]
 
 _BANDS = (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+
+# Auto-accuracy memory bound: the GK summary keeps O(accuracy)
+# (value, g, Δ) tuples per (event_type, day) cell in the agg buffer,
+# ~24 B each → 2^20 caps a cell's summary at ~25 MB.  Below the cap
+# auto mode is exact (merge-free); past it the documented
+# ±n/accuracy rank envelope takes over — at the cap that is a
+# 1-per-million rank error.
+GK_AUTO_CAP = 1 << 20
+
+
+def choose_gk_accuracy(
+    events: DataFrame, cap: int = GK_AUTO_CAP
+) -> tuple[int, int]:
+    """ONE cheap cell-size probe → (accuracy, largest_cell): the
+    Q2–Q4 two-phase adaptive pattern (plans/adaptive.py) applied to
+    sketch sizing.  accuracy = 2·largest_cell + 1 keeps every cell
+    inside GK's merge-free regime (cell rows < accuracy/2), so
+    ``quantile_bands_gk`` returns exact order statistics — the r13
+    sf1 sweep proved the fixed default was a foot-gun (accuracy=10000
+    drifted on ~7 400-row cells).  Measured boundary (r14, random
+    int fixtures n ∈ {1000, 7400, 20000}, 1 and 32 partitions):
+    accuracy ≥ 2n−1 bit-exact, 1.5n drifts — 2n+1 carries margin.
+    The probe is a count-only groupBy (map-side combinable, output
+    bounded by |types|×|days|) and collects one scalar."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    largest = (
+        _cents_base(events)
+        .groupBy("event_type", "day")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    ) or 0
+    return min(cap, 2 * int(largest) + 1), int(largest)
 
 
 def _cents_base(events: DataFrame) -> DataFrame:
@@ -103,7 +139,9 @@ def quantile_bands(events: DataFrame) -> DataFrame:
 
 
 def quantile_bands_gk(
-    events: DataFrame, accuracy: int = 10000
+    events: DataFrame,
+    accuracy: int | str = "auto",
+    auto_cap: int = GK_AUTO_CAP,
 ) -> DataFrame:
     """→ same shape as ``quantile_bands`` — (event_type, day, n,
     p50_cents, p90_cents, p99_cents) — via Spark's Greenwald–Khanna
@@ -128,9 +166,18 @@ def quantile_bands_gk(
     and checks the envelope.  (The streaming twin's pure-python GK
     in streaming/quantiles.py merges only once 2·ε·n > 2, i.e. it
     stays exact up to n = accuracy.)
+
+    DEFAULT accuracy="auto" (r13 verdict ask #4) removes the manual
+    foot-gun: ``choose_gk_accuracy`` probes the largest cell once and
+    sizes accuracy = 2·largest + 1 capped at ``auto_cap`` — exact
+    below the cap, the documented rank envelope above it.
     """
-    if accuracy < 1:
-        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    if accuracy == "auto":
+        accuracy, _ = choose_gk_accuracy(events, auto_cap)
+    if not isinstance(accuracy, int) or accuracy < 1:
+        raise ValueError(
+            f"accuracy must be 'auto' or an int >= 1, got {accuracy!r}"
+        )
     qs = F.array(*(F.lit(q) for _, q in _BANDS))
     agg = (
         _cents_base(events)

@@ -175,6 +175,87 @@ class TestQuantileBandsGK:
         assert got == want and len(got) > 0
 
 
+class TestAutoAccuracy:
+    """accuracy="auto" (r13 verdict ask #4): the cell-size probe
+    sizes the sketch so exactness no longer depends on the caller
+    knowing the 2x-largest-cell rule."""
+
+    def test_probe_returns_2n_plus_1(self, spark):
+        from eventhub_to_timescale_spark.operators.quantband import (
+            choose_gk_accuracy,
+        )
+
+        spec = [("a", 0, float(i)) for i in range(700)] + [
+            ("b", 1, float(i)) for i in range(40)
+        ]
+        acc, largest = choose_gk_accuracy(_events(spark, spec))
+        assert largest == 700 and acc == 1401
+
+    def test_auto_is_bit_exact_without_manual_sizing(self, spark):
+        """The r13 foot-gun scenario: a cell big enough that the old
+        fixed default (10000) would NOT obviously cover it — auto
+        mode must match the exact form with no caller knowledge."""
+        from eventhub_to_timescale_spark.operators.quantband import (
+            quantile_bands_gk,
+        )
+
+        rng = random.Random(31)
+        spec = [("a", 0, rng.uniform(0, 1000)) for _ in range(6000)] + [
+            ("b", 0, rng.uniform(-10, 10)) for _ in range(150)
+        ]
+        ev = _events(spark, spec)
+        exact = [tuple(r) for r in quantile_bands(ev).collect()]
+        auto = [tuple(r) for r in quantile_bands_gk(ev).collect()]
+        assert auto == exact
+
+    def test_cap_bounds_accuracy_and_envelope_holds(self, spark):
+        """Past the cap the probe must NOT size accuracy to the data
+        (that is the memory bound's whole point); the result falls
+        back to the documented +-n/accuracy rank envelope."""
+        from eventhub_to_timescale_spark.operators.quantband import (
+            _BANDS,
+            choose_gk_accuracy,
+            quantile_bands_gk,
+        )
+
+        rng = random.Random(37)
+        vals = [rng.uniform(0, 1000) for _ in range(5000)]
+        ev = _events(spark, [("a", 0, v) for v in vals])
+        cap = 50
+        acc, largest = choose_gk_accuracy(ev, cap=cap)
+        assert largest == 5000 and acc == cap
+        row = quantile_bands_gk(ev, accuracy="auto", auto_cap=cap).collect()[0]
+        cents = sorted(int(math.floor(v * 100 + 0.5)) for v in vals)
+        n, eps = len(cents), 1.0 / cap
+        for name, q in _BANDS:
+            got = row[f"{name}_cents"]
+            lo = cents[max(1, math.ceil((q - eps) * n)) - 1]
+            hi = cents[min(n, math.ceil((q + eps) * n)) - 1]
+            assert lo <= got <= hi, (name, got, lo, hi)
+
+    def test_bad_cap_raises(self, spark):
+        import pytest
+
+        from eventhub_to_timescale_spark.operators.quantband import (
+            choose_gk_accuracy,
+        )
+
+        with pytest.raises(ValueError):
+            choose_gk_accuracy(_events(spark, [("a", 0, 1.0)]), cap=0)
+
+    def test_non_int_accuracy_rejected(self, spark):
+        import pytest
+
+        from eventhub_to_timescale_spark.operators.quantband import (
+            quantile_bands_gk,
+        )
+
+        with pytest.raises(ValueError):
+            quantile_bands_gk(
+                _events(spark, [("a", 0, 1.0)]), accuracy="fast"
+            )
+
+
 def test_gk_merge_free_threshold(spark):
     """The honest exactness rule (r13 sf1 sweep lesson): Spark's
     summary is provably merge-free only while n < accuracy/2 — at
