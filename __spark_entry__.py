@@ -197,27 +197,32 @@ def _q9_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q8_changes_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key scale path for Q8 (chunked lag, SCALE.md "Windows");
-    row-identical to q8_changed_rows, so it shares that oracle —
-    6-hour chunks force many boundary repairs at this data density."""
+    row-identical to q8_changed_rows, so it shares that oracle.
+    Gates the DEFAULT call (r14): chunk_seconds="auto" sizes the
+    chunk from the CMS subject-skew profile (r13 verdict ask #3) —
+    balanced data degenerates to one chunk; the boundary-repair
+    machinery is exercised by the width-parameterized property tests
+    in tests/test_queries.py."""
     from eventhub_to_timescale_spark.operators.timeseries import (
         changed_rows_salted,
     )
 
     return changed_rows_salted(
         _conditions(spark, sf_dir), None, "event_type", START, END,
-        chunk_seconds=21600,
     )
 
 
 def _q9_intervals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key scale path for Q9; shares q9_state_intervals' oracle."""
+    """Hot-key scale path for Q9; shares q9_state_intervals' oracle.
+    Gates the DEFAULT call (r14): chunk_seconds="auto" — see
+    _q8_changes_salted."""
     from eventhub_to_timescale_spark.operators.timeseries import (
         state_intervals_salted,
     )
 
     df = state_intervals_salted(
         _conditions(spark, sf_dir), None, "event_type", START, END,
-        close_at=END, chunk_seconds=21600,
+        close_at=END,
     )
     return df.select(
         "time", F.col("timeEnd").alias("time_end"), "measurement_subject", "value"
@@ -1179,7 +1184,9 @@ def _asof_probe_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """asof_probe_value through the time-chunk-salted carry
     (operators/asof.py asof_join_salted) — the hot-subject scale path.
     Row-identity to the vanilla carry is pinned by
-    tests/test_asof_salted.py, so it shares the DuckDB ASOF oracle."""
+    tests/test_asof_salted.py, so it shares the DuckDB ASOF oracle.
+    Gates the DEFAULT call (r14): chunk_seconds="auto" via the CMS
+    subject-skew profile (r13 verdict ask #3)."""
     from eventhub_to_timescale_spark.operators.asof import asof_join_salted
 
     cond = (
@@ -1200,7 +1207,7 @@ def _asof_probe_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("probe_time"),
     )
-    return asof_join_salted(probes, cond, "value", chunk_seconds=86400)
+    return asof_join_salted(probes, cond, "value")
 
 
 def _range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,9 +150,15 @@ def asof_join_salted(
     conditions: DataFrame,
     of: str,
     tolerance_seconds: int | None = None,
-    chunk_seconds: int = 86400,
+    chunk_seconds: int | str = "auto",
 ) -> DataFrame:
     """``asof_join`` with the carry window salted by time-chunk.
+    ``chunk_seconds="auto"`` (default, r13 verdict ask #3): the CMS
+    skew profile (joinplan.choose_salt_factor) measures the hottest
+    subject across BOTH sides and the observed ts span divided by
+    that factor sets the chunk width; a balanced key gets one chunk
+    (the unsalted plan).  Correctness is width-independent (pinned
+    row-identical for arbitrary widths in tests/test_asof_salted.py).
 
     ``Window.partitionBy(subject)`` concentrates a hot subject's whole
     history (measurements AND probes) in ONE task; AQE cannot split a
@@ -166,10 +172,28 @@ def asof_join_salted(
     partition the timestamp axis), so within-chunk ordering (ts, side,
     m_time, _tie) reproduces the global order exactly."""
     meas, pr = _sides(probes, conditions, of)
+    unioned_base = meas.unionByName(pr)
+    if chunk_seconds == "auto":
+        import math
+
+        from eventhub_to_timescale_spark.operators.joinplan import (
+            choose_salt_factor,
+        )
+
+        factor = choose_salt_factor(unioned_base, "measurement_subject")
+        lo, hi = unioned_base.agg(
+            F.min("ts"), F.max("ts")
+        ).collect()[0]
+        span = (
+            max(1, int(math.ceil((hi - lo).total_seconds())))
+            if lo is not None and hi is not None
+            else 1
+        )
+        chunk_seconds = max(1, int(math.ceil(span / factor)))
     chunk = F.floor(
         F.unix_micros(F.col("ts")) / F.lit(int(chunk_seconds) * 1_000_000)
     )
-    unioned = meas.unionByName(pr).withColumn("_chunk", chunk)
+    unioned = unioned_base.withColumn("_chunk", chunk)
     w_chunk = (
         Window.partitionBy("measurement_subject", "_chunk")
         .orderBy("ts", "side", "m_time", "_tie")

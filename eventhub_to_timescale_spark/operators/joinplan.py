@@ -76,6 +76,8 @@ __all__ = [
     "join_size_profile",
     "choose_join_strategy",
     "apply_join_strategy",
+    "key_profile",
+    "choose_salt_factor",
 ]
 
 
@@ -154,6 +156,62 @@ def join_size_profile(
             "est_max_key_right",
         )
     )
+
+
+def key_profile(
+    df: DataFrame,
+    key: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+) -> DataFrame:
+    """→ ONE row (n, est_max_key) for a single side — the same two
+    numbers ``join_size_profile`` reads per side, from one map-side-
+    combinable CMS pass (≤ d·w cells, no key-on-key shuffle).  n is
+    exact (every depth row's cells sum to the row count); est_max_key
+    = min_j max_b is the one-sided heavy-key OVERestimate."""
+    per_j = cms_cells(df, key, d, w, seed).groupBy("j").agg(
+        F.sum("c").alias("_n"), F.max("c").alias("_mx")
+    )
+    return per_j.agg(
+        F.max("_n").alias("n"), F.min("_mx").alias("est_max_key")
+    )
+
+
+def choose_salt_factor(
+    df: DataFrame,
+    key: str,
+    parallelism: int | None = None,
+    skew_ratio: float = 4.0,
+    max_salt: int = 64,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    seed: str = CMS_SEED,
+) -> int:
+    """Sketch-measured salt factor for the WINDOW/AGGREGATION family
+    — the paths AQE cannot split (its runtime skew handling is
+    join-only; measured in scripts/skew_evidence.py), where the r13
+    joinplan work showed manual salting of plain JOINS loses to AQE.
+
+    Same decision rule as ``choose_join_strategy``'s salt branch, one
+    side only: a key heavier than ``skew_ratio`` fair task-shares
+    (n / parallelism) returns ceil(est_max / share) capped at
+    ``max_salt``; a balanced key returns 1, so auto-salting callers
+    degenerate to the unsalted plan instead of paying fan-out for
+    skew that isn't there.  Cost: one CMS pass + ONE 1-row collect —
+    the price of not committing a 100 TB window to a straggler."""
+    if skew_ratio <= 0 or max_salt < 1:
+        raise ValueError(f"bad thresholds: {skew_ratio}, {max_salt}")
+    if parallelism is None:
+        parallelism = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    row = key_profile(df, key, d, w, seed).collect()[0]
+    n, mx = int(row.n or 0), int(row.est_max_key or 0)
+    share = max(n / parallelism, 1.0)
+    if mx > skew_ratio * share:
+        return min(max_salt, max(2, math.ceil(mx / share)))
+    return 1
 
 
 def choose_join_strategy(

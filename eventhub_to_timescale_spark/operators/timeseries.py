@@ -320,16 +320,47 @@ def _with_chunk(df: DataFrame, chunk_seconds: int) -> DataFrame:
     )
 
 
+def _auto_chunk_seconds(
+    sliced: DataFrame,
+    start: datetime,
+    end: datetime,
+    parallelism: int | None = None,
+) -> int:
+    """Sketch-sized chunk width (r13 verdict ask #3): the CMS skew
+    profile (joinplan.choose_salt_factor) measures the hottest
+    subject's share of the slice; the query span divided by that
+    factor is the chunk width that splits the straggler into ~factor
+    window tasks.  A balanced slice gets factor 1 ⇒ one chunk
+    spanning the query — the salted plan degenerates to the unsalted
+    window instead of paying boundary repairs for skew that isn't
+    there.  Correctness never depends on the width (the rewrite is
+    proven row-identical for ANY chunk_seconds in tests); the probe
+    costs one CMS pass + a 1-row collect."""
+    import math
+
+    from eventhub_to_timescale_spark.operators.joinplan import (
+        choose_salt_factor,
+    )
+
+    factor = choose_salt_factor(
+        sliced, "measurement_subject", parallelism=parallelism
+    )
+    span = max(1, int(math.ceil((end - start).total_seconds())))
+    return max(1, int(math.ceil(span / factor)))
+
+
 def changed_rows_salted(
     conditions: DataFrame,
     subject: str | None,
     of: str,
     start: datetime,
     end: datetime,
-    chunk_seconds: int = 86400,
+    chunk_seconds: int | str = "auto",
     keep_order_col: bool = False,
 ) -> DataFrame:
     """``changed_rows`` with the lag window salted by time-chunk.
+    ``chunk_seconds="auto"`` (default, r13 verdict ask #3) sizes the
+    chunk from the measured subject skew — ``_auto_chunk_seconds``.
 
     ``Window.partitionBy(subject)`` concentrates a hot subject's whole
     history in ONE task, and AQE cannot split a window exchange (its
@@ -342,6 +373,8 @@ def changed_rows_salted(
     Semantics are proven identical to ``changed_rows`` in
     tests/test_queries.py including NULL runs and timestamp ties."""
     sliced = _slice(conditions, subject, of, start, end)
+    if chunk_seconds == "auto":
+        chunk_seconds = _auto_chunk_seconds(sliced, start, end)
     order_cols = ["timestamp"]
     if "measurement_unique_id" in conditions.columns:
         order_cols.append("measurement_unique_id")
@@ -391,12 +424,18 @@ def state_intervals_salted(
     start: datetime,
     end: datetime,
     close_at: datetime | None = None,
-    chunk_seconds: int = 86400,
+    chunk_seconds: int | str = "auto",
 ) -> DataFrame:
     """``state_intervals`` on the salted change stream: the lead that
     closes each interval is likewise computed within (subject, chunk)
     and chunk-last rows take their end from the next non-empty chunk's
-    first change (summary join, same shape as the lag repair)."""
+    first change (summary join, same shape as the lag repair).
+    ``chunk_seconds="auto"`` resolves ONCE from the measured subject
+    skew and feeds both the change stream and the interval repair."""
+    if chunk_seconds == "auto":
+        chunk_seconds = _auto_chunk_seconds(
+            _slice(conditions, subject, of, start, end), start, end
+        )
     changes = changed_rows_salted(
         conditions,
         subject,

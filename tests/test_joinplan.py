@@ -14,7 +14,9 @@ from eventhub_to_timescale_spark.operators.joinplan import (
     _salt_frames,
     apply_join_strategy,
     choose_join_strategy,
+    choose_salt_factor,
     join_size_profile,
+    key_profile,
 )
 
 
@@ -83,6 +85,38 @@ class TestAdvice:
             choose_join_strategy(df, df, skew_ratio=0)
         with pytest.raises(ValueError):
             choose_join_strategy(df, df, max_salt=0)
+
+
+class TestSaltFactor:
+    """choose_salt_factor (r13 verdict ask #3): the one-sided CMS
+    profile sizing the salt for the window/agg family AQE can't
+    split."""
+
+    def test_profile_one_sided(self, spark):
+        df = _skewed(spark, hot=300, cold_keys=50)
+        row = key_profile(df, "user_id").collect()[0]
+        assert row.n == df.count()
+        assert row.est_max_key >= 300  # one-sided overestimate
+
+    def test_factor_responds_to_skew(self, spark):
+        hot = _skewed(spark, hot=4000, cold_keys=100)
+        factor = choose_salt_factor(hot, "user_id", parallelism=32)
+        assert factor >= 2
+        # the factor tracks the straggler's share: est_max / share
+        row = key_profile(hot, "user_id").collect()[0]
+        share = max(row.n / 32, 1.0)
+        assert factor <= 64 and factor >= min(64, row.est_max_key / share / 2)
+
+    def test_factor_one_on_balanced_keys(self, spark):
+        flat = _uniform(spark, n_keys=600, per_key=3)
+        assert choose_salt_factor(flat, "user_id", parallelism=32) == 1
+
+    def test_bad_thresholds_raise(self, spark):
+        df = _uniform(spark, 5, 1)
+        with pytest.raises(ValueError):
+            choose_salt_factor(df, "user_id", skew_ratio=0)
+        with pytest.raises(ValueError):
+            choose_salt_factor(df, "user_id", max_salt=0)
 
 
 class TestExecutedPlans:
