@@ -2112,6 +2112,24 @@ def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CURATION chain a training-data run ships, as ONE plan
+    (r13 verdict ask #2): normalize → Gopher quality cut → substring
+    span removal → MinHash keep-first → decontaminate vs the eval
+    slice → 8 000-token budget select → shard order — the manifest
+    (doc_id, n_tokens, shard, pos) a trainer consumes
+    (operators/curation_pipeline.py).  The semantic stage is
+    deliberately absent so the entry stays sf1-sweepable (its oracle
+    is the documented quadratic exclusion); all stage parameters
+    match the standalone gated entries (substr 48/16/2, minhash
+    12/6/3 @0.5, eval doc_id %% 97, Gopher STOPWORDS)."""
+    from eventhub_to_timescale_spark.operators.curation_pipeline import (
+        curation_full_pipeline,
+    )
+
+    return curation_full_pipeline(_docs(spark, sf_dir))
+
+
 def _events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 ordered 3-step user journeys (behavioral sequence
     mining): one user-partitioned lead window + two map-side
@@ -2726,57 +2744,57 @@ def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R13_HEAD = [
+_R14_HEAD = [
+    "pipeline_curation_full",
     "events_quantile_bands_gk",
-    "sketch_bloom_stream_twin",
-    "sketch_join_profile",
-    "sim_rrf_fusion",
-    "mm_phash_neardup",
-    "mm_phash_keep",
-    "text_bm25_topk",
-    "sample_dsir_topn",
-    "curation_gopher_quality",
-    "sample_token_budget",
-    "events_anomaly_mad",
-    "sample_temperature_mix",
-    "dedup_pagerank",
-    "text_word_entropy",
-    "dedup_cross_source",
-    "rel_revenue_rollup",
-    "dedup_corpus_diff",
-    "rel_cross_nation_volume",
-    "rel_order_distribution",
-    "rel_top_supplier",
-    "rel_small_qty_revenue",
-    "layout_zorder_profile",
-    "rollup_upsert_value",
-    "docs_global_enumerate",
-    "docs_wfq_interleave",
-    "events_trending_topk",
-    "rel_forecast_revenue",
-    "rel_market_share",
-    "rel_nation_profit",
-    "rel_important_parts",
-    "rel_dominant_suppliers",
-    "rel_idle_customers",
-    "dedup_substr_spans",
-    "rel_cheapest_supplier",
-    "rel_priority_late",
-    "rel_no_return_customers",
-    "rel_promo_share",
-    "rel_supplier_variety",
-    "rel_disjunctive_revenue",
-    "cluster_kmeans",
-    "cluster_balanced_sample",
-    "sketch_hll_portable",
-    "sketch_hll_union",
-    "sketch_cms_counts",
-    "dedup_jaccard_prefix",
-    "dedup_semantic_keep",
-    "text_quality_logit",
-    "text_bigrams_topk",
-    "text_bigram_lm",
-    "sketch_histogram",
+    "q8_changed_rows_salted",
+    "q9_state_intervals_salted",
+    "asof_probe_value_salted",
+    "q1_bucket_avg",
+    "q2_resolution_avg",
+    "q3_daily_max",
+    "q4_mode_adaptive",
+    "q5_timeweight_locf",
+    "q6_asap_smooth",
+    "q6_lttb_downsample",
+    "q7_unique_subjects",
+    "q8_changed_rows",
+    "q9_state_intervals",
+    "asof_probe_value",
+    "range_overlap_join",
+    "gapfill_linear",
+    "ingest_events_unpivot",
+    "ingest_glow",
+    "ingest_homie",
+    "ingest_emon",
+    "ingest_bmw",
+    "ingest_dynamic",
+    "ingest_records_strict",
+    "ingest_router_union",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "pack_documents",
+    "curation_pii_redact",
+    "curation_decontaminate",
+    "curation_repetition",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "rel_revenue_by_nation",
+    "rel_shipmode_priority",
+    "events_journey_trigrams",
+    "dedup_substr_clean",
+    "pipeline_dedup_full",
+    "emb_random_projection",
+    "dedup_semantic_default",
+    "sketch_kmv_overlap",
+    "curation_normalize",
+    "dedup_exact_normalized",
+    "toolkit_ohlc",
 ]
 
 
@@ -2918,7 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     freshly driver-green.
     reg = {
         # ------------- registry (historical r12 head order follows;
-        # the LIVE gate head is _R13_HEAD, applied at return) -------
+        # the LIVE gate head is _R14_HEAD, applied at return) -------
         # — (a) the 2 NEW never-driver-witnessed r12 entries (gear
         #   CDC scale twin + streaming CDC-dedup batch twin)
         "dedup_cdc_gear": _dedup_cdc_gear,
@@ -3123,40 +3141,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
-        # — r13 additions (registered here; _R13_HEAD places them)
+        # — r13 additions (registered here; _R14_HEAD places them)
         "events_quantile_bands_gk": _events_quantile_bands_gk,
         "sketch_bloom_stream_twin": _sketch_bloom_stream_twin,
         "sketch_join_profile": _sketch_join_profile,
         "sim_rrf_fusion": _sim_rrf_fusion,
+        # — r14 addition (registered here; _R14_HEAD places it)
+        "pipeline_curation_full": _pipeline_curation_full,
     }
-    # ------------- r13 GATE HEAD (50 entries) -------------
-    # Composed per ROTATION.md's committed r13 staleness queue
-    # (r12 verdict ask #5), reordered at return time so the big
-    # literal above stays in stable registry order:
-    #   (a) the 4 NEW never-witnessed r13 entries: the GK quantile-
-    #       bands at-scale twin (verdict ask #2), the streaming
-    #       Bloom pre-filter's batch twin (verdict ask #6), and the
-    #       sketch-driven join-planning profile (verdict ask #7);
-    #   (b) the 2 RE-GATES: mm_phash_neardup / mm_phash_keep now gate
-    #       the DEFAULT banding config against the near-pair-planted
-    #       corpus (verdict ask #1) — a changed surface needs a fresh
-    #       driver witness;
-    #   (c) the FULL 45-entry since-3 pool (44 r9-green entries +
-    #       text_bm25_topk, all of which ceded their r12 slots to the
-    #       core restoration) in ROTATION.md queue order;
-    #   4 + 2 + 44 = 50 (the later new entries sketch_join_profile
-    #   and sim_rrf_fusion displaced the planned since-2 promotion
-    #   rel_shipmode_priority and the queue tail rel_revenue_by_nation
-    #   to the r14 queue front).  The §2 core is green in
-    #   CORRECTNESS_r12.json and on its standing 2-round cadence —
-    #   due back in the r14 head.
+    # ------------- r14 GATE HEAD (50 entries) -------------
+    # Composed per ROTATION.md's committed r14 staleness queue
+    # (regenerated from CORRECTNESS_r13.json), reordered at return
+    # time so the big literal above stays in stable registry order:
+    #   (a) the 1 NEW never-witnessed r14 entry:
+    #       pipeline_curation_full (the composed end-to-end curation
+    #       chain, r13 verdict ask #2), head-resident by the ledger
+    #       invariant;
+    #   (b) the 4 RE-GATES for r14-changed surfaces:
+    #       events_quantile_bands_gk now gates accuracy="auto" (the
+    #       self-sizing probe, ask #4); q8_changed_rows_salted /
+    #       q9_state_intervals_salted / asof_probe_value_salted now
+    #       gate chunk_seconds="auto" (the CMS-sized salt, ask #3) —
+    #       a changed surface needs a fresh driver witness (the r13
+    #       phash rule);
+    #   (c) the 34-entry always-gated §2 core, green r12 and DUE on
+    #       the standing 2-round cadence (r10, r12 → r14);
+    #   (d) the 11 queue-front entries by rounds-since-witness:
+    #       rel_revenue_by_nation (since-5) then the r10-green
+    #       since-4 pool front (rel_shipmode_priority ...
+    #       toolkit_ohlc) in ROTATION.md queue order.
+    #   1 + 4 + 34 + 11 = 50.  The remaining since-4 pool
+    #   (toolkit_trend_slope, emb_normalize_quantize, doc_chunks,
+    #   corpus_shard_order, events_sessionize, toolkit_gauge_delta)
+    #   leads the r15 queue; the 44 r13-head entries demote to the
+    #   tail freshly driver-green.
     # a misspelled/renamed head entry must fail FAST at registration,
     # not silently slide the first tail entry into the driver's
     # 50-entry witnessed window (r13 ADVICE, low)
-    missing = set(_R13_HEAD) - reg.keys()
+    missing = set(_R14_HEAD) - reg.keys()
     assert not missing, f"gate-head entries not in registry: {missing}"
-    head = list(_R13_HEAD)
-    tail = [k for k in reg if k not in set(_R13_HEAD)]
+    head = list(_R14_HEAD)
+    tail = [k for k in reg if k not in set(_R14_HEAD)]
     return {k: reg[k] for k in head + tail}
 
 
@@ -3437,6 +3462,14 @@ def _pipeline_dedup_oracle() -> str:
     )
 
     return dedup_full_pipeline_oracle_sql(k=8, iters=2, threshold=0.4)
+
+
+def _pipeline_curation_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.curation_pipeline import (
+        curation_full_pipeline_oracle_sql,
+    )
+
+    return curation_full_pipeline_oracle_sql()
 
 
 def _normalize_oracle() -> str:
@@ -4738,6 +4771,7 @@ JOIN customer ON o_custkey = c_custkey
         "events_journey_trigrams": _journey_ngrams_oracle(),
         "dedup_corpus_diff": oc.corpus_diff_oracle(),
         "pipeline_dedup_full": _pipeline_dedup_oracle(),
+        "pipeline_curation_full": _pipeline_curation_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -119,14 +119,68 @@ ALWAYS_GATED_CORE = {
 }
 
 
-# The planned r13 gate head (ROTATION.md / registry ledger), pinned
+# The planned r14 gate head (ROTATION.md / registry ledger), pinned
 # EXACTLY so an accidental reorder cannot silently change what the
-# driver witnesses: the 2 new never-witnessed r13 entries + the 2
-# phash re-gates (changed surface: default-call config against the
-# near-pair-planted corpus) first, then the FULL since-3 pool in
-# ROTATION.md queue order, then the front of the since-2 pool.  The
-# core is green in CORRECTNESS_r12.json and due back r14 on its
-# standing 2-round cadence.
+# driver witnesses: the 1 new never-witnessed entry
+# (pipeline_curation_full) + the 4 changed-surface re-gates
+# (events_quantile_bands_gk accuracy="auto"; the three salted
+# variants chunk_seconds="auto") first, then the restored 34-entry
+# always-gated core (2-round cadence: r10, r12 -> r14), then the 11
+# queue-front entries in ROTATION.md order.
+R14_HEAD = [
+    "pipeline_curation_full",
+    "events_quantile_bands_gk",
+    "q8_changed_rows_salted",
+    "q9_state_intervals_salted",
+    "asof_probe_value_salted",
+    "q1_bucket_avg",
+    "q2_resolution_avg",
+    "q3_daily_max",
+    "q4_mode_adaptive",
+    "q5_timeweight_locf",
+    "q6_asap_smooth",
+    "q6_lttb_downsample",
+    "q7_unique_subjects",
+    "q8_changed_rows",
+    "q9_state_intervals",
+    "asof_probe_value",
+    "range_overlap_join",
+    "gapfill_linear",
+    "ingest_events_unpivot",
+    "ingest_glow",
+    "ingest_homie",
+    "ingest_emon",
+    "ingest_bmw",
+    "ingest_dynamic",
+    "ingest_records_strict",
+    "ingest_router_union",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "pack_documents",
+    "curation_pii_redact",
+    "curation_decontaminate",
+    "curation_repetition",
+    "mm_blob_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "rel_revenue_by_nation",
+    "rel_shipmode_priority",
+    "events_journey_trigrams",
+    "dedup_substr_clean",
+    "pipeline_dedup_full",
+    "emb_random_projection",
+    "dedup_semantic_default",
+    "sketch_kmv_overlap",
+    "curation_normalize",
+    "dedup_exact_normalized",
+    "toolkit_ohlc",
+]
+
+# Historical r13 head (kept for the demotion-pool registration test).
 R13_HEAD = [
     # (a) the 4 NEW never-driver-witnessed r13 entries
     "events_quantile_bands_gk",
@@ -270,15 +324,15 @@ _OLD_R9_HEAD_DEMOTIONS = [
 ]
 
 
-def test_gate_head_matches_r13_rotation_plan():
-    """The driver's 50-entry window holds exactly the ledger's r13
-    rotation plan (VERDICT r12 ask #5): both new never-witnessed
-    entries + both phash re-gates are inside the window, followed by
-    the full since-3 pool."""
+def test_gate_head_matches_r14_rotation_plan():
+    """The driver's 50-entry window holds exactly the ledger's r14
+    rotation plan (VERDICT r13 ask #1): the new entry + the 4
+    changed-surface re-gates inside the window, followed by the
+    restored 34-entry core (cadence due r14) and the queue front."""
     head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
-    assert head == R13_HEAD, (
-        f"gate head drifted from the r13 plan: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R13_HEAD)) if a != b][:5]}"
+    assert head == R14_HEAD, (
+        f"gate head drifted from the r14 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R14_HEAD)) if a != b][:5]}"
     )
 
 
@@ -398,7 +452,8 @@ def test_rotated_out_entries_stay_registered_with_oracles():
         "dedup_evidence_report", "emb_pca_project",
         "asof_probe_value_salted",
     }
-    rotated_pool = set(_OLD_R9_HEAD_DEMOTIONS) | r11_head_demotions | {
+    rotated_pool = set(_OLD_R9_HEAD_DEMOTIONS) | r11_head_demotions \
+        | set(R13_HEAD) | {
         "q3_intraday_avg", "q5_timeweight_linear",
         "q3_daily_from_cascade", "dedup_components",
         "dedup_ngram_jaccard", "text_quality_sample_cut",
