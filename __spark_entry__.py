@@ -796,12 +796,23 @@ def _dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence: chunks cut where a rolling window hash ≡ 0 mod divisor,
     so copied spans share chunk hashes regardless of offset drift —
     the insertion-robust complement to substrdup's fixed windows. See
-    operators/cdcchunk.py."""
+    operators/cdcchunk.py.
+
+    BOUNDED WITNESS FIXTURE (r13 verdict ask #5): this md5-window form
+    is the never-documented-usage cross-engine anchor for the gear
+    differential tests — its per-position md5 constant made it 12%% of
+    the whole sf0.1 bench and 79 s of the sf1 sweep while witnessing
+    nothing the first 500 documents don't.  The fixture is capped at
+    doc_id < 500: byte-identical at gate scale (sf0.001/sf0.01 hold
+    exactly docs 0-499) and constant-cost at sf0.1/sf1.  The
+    production path is dedup_cdc_gear over the FULL corpus."""
     from eventhub_to_timescale_spark.operators.cdcchunk import (
         cdc_shared_chunks,
     )
 
-    return cdc_shared_chunks(_docs(spark, sf_dir))
+    return cdc_shared_chunks(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    )
 
 
 def _dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3942,7 +3953,10 @@ def _cdc_oracle() -> str:
         cdc_shared_chunks_oracle_sql,
     )
 
-    return cdc_shared_chunks_oracle_sql()
+    # same doc_id < 500 bound as the Spark wrapper (r13 ask #5)
+    return cdc_shared_chunks_oracle_sql(
+        table="(SELECT * FROM documents WHERE doc_id < 500)"
+    )
 
 
 def _bloom_probe_oracle() -> str:

@@ -24,6 +24,26 @@ from eventhub_to_timescale_spark.functions.scalars import epoch_bucket  # noqa: 
 from eventhub_to_timescale_spark.session import get_spark  # noqa: E402
 
 
+def _current_round() -> int:
+    """The build round an isolated-bench artifact belongs to: the
+    latest committed CORRECTNESS_r{N}.json + 1 (the driver writes
+    round N's artifact at round END, so during round N the newest on
+    disk is N-1), overridable via SPARK_GRAFT_ROUND."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
 def _bench_all_subject_avg(spark, sf_dir):
     """Whole-table tumbling aggregation: every subject, 6-h buckets."""
     from eventhub_to_timescale_spark.sources.testdata import events_as_conditions
@@ -251,9 +271,14 @@ def main() -> None:
     }
     try:
         # an SPARK_GRAFT_BENCH_ONLY bisect must not clobber the
-        # committed full-suite artifact
+        # committed full-suite artifact — and its evidence must be
+        # discoverable per round (r13 verdict ask #7), so the
+        # isolated artifact carries the round number: the latest
+        # committed CORRECTNESS_r{N}.json + 1, or SPARK_GRAFT_ROUND
         detail_name = (
-            "BENCH_DETAIL_only.json" if only else "BENCH_DETAIL.json"
+            f"BENCH_ISOLATED_r{_current_round()}.json"
+            if only
+            else "BENCH_DETAIL.json"
         )
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), detail_name

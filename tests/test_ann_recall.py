@@ -161,3 +161,75 @@ def test_lsh_recall_on_clustered_fixture(spark, clustered_ground_truth):
         exact,
     )
     assert r2 >= 0.7, f"clustered LSH(r=2) recall@{K} = {r2:.3f} (floor 0.7)"
+
+
+def test_rrf_fusion_beats_each_single_ranker(spark, clustered_ground_truth):
+    """The retrieval-quality claim behind sim_rrf_fusion (r13 verdict
+    ask #6): fusing two APPROXIMATE rankers whose miss patterns differ
+    structurally — single-bucket LSH (misses = sign-sketch disagreers)
+    and aggressively-pruned IVF at 64 cells / 1 probe (misses = wrong
+    coarse cell) — must recover MORE of the true top-10 than either
+    ranker alone.  Measured on this fixture (r14): LSH 0.569, IVF
+    0.600, fused 0.750 — a +0.15 lift over the better input.  All
+    inputs are deterministic (fixed fixture seed, deterministic
+    planes/centroids), so the floors are exact pins, not tolerances.
+
+    Per-query fusion runs through ONE rrf_fuse call via composite keys
+    (query_id·N + neighbor_id keeps contributions per-query while the
+    operator's groupBy fuses all queries at once); per-query top-K is
+    then read off by the operator's own (rrf_nanos DESC, doc_id)
+    order."""
+    import collections
+
+    from eventhub_to_timescale_spark.operators.fusion import rrf_fuse
+    from eventhub_to_timescale_spark.operators.similarity import (
+        cosine_topk_lsh,
+        ivf_topk,
+    )
+
+    emb, exact = clustered_ground_truth
+    lsh = cosine_topk_lsh(
+        emb, query_max_id=Q, k=K, num_planes=8, probe_hamming=0
+    ).collect()
+    ivf = ivf_topk(
+        emb, query_max_id=Q, k=K, n_centroids=64, nprobe=1
+    ).collect()
+
+    def _avg(rows):
+        a = collections.defaultdict(set)
+        for r in rows:
+            a[r.query_id].add(r.neighbor_id)
+        return sum(
+            len(a[q] & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r_lsh, r_ivf = _avg(lsh), _avg(ivf)
+
+    def _composite(rows):
+        return spark.createDataFrame(
+            [
+                (r.query_id * N_CLUSTERED + r.neighbor_id, r.rank)
+                for r in rows
+            ],
+            "doc_id long, rank long",
+        )
+
+    fused = rrf_fuse(
+        [_composite(lsh), _composite(ivf)], top_n=Q * K * 2
+    ).collect()
+    by_q = collections.defaultdict(list)
+    for r in fused:
+        by_q[r["doc_id"] // N_CLUSTERED].append(
+            (-r["rrf_nanos"], r["doc_id"] % N_CLUSTERED)
+        )
+    fused_rec = []
+    for q in exact:
+        top = {d for _, d in sorted(by_q.get(q, []))[:K]}
+        fused_rec.append(len(top & exact[q]) / len(exact[q]))
+    r_fused = sum(fused_rec) / len(fused_rec)
+
+    assert r_fused >= r_lsh and r_fused >= r_ivf, (
+        f"fusion lost to an input: fused={r_fused:.3f} "
+        f"lsh={r_lsh:.3f} ivf={r_ivf:.3f}"
+    )
+    assert r_fused >= 0.70, f"fused recall@{K} = {r_fused:.3f} (floor 0.70)"
