@@ -2141,6 +2141,42 @@ def _pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_full_pipeline(_docs(spark, sf_dir))
 
 
+def _pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition audit of the curation chain (r14, the curation
+    analog of dedup_evidence_report): (stage, n_docs, n_tokens) for
+    0_input → 1_quality → 2_spans_clean → 3_neardup →
+    4_decontaminated → 5_budget_selected, token-counted with the
+    corpus-standard lexer on each stage's OWN text form — row
+    attrition AND text shrinkage in one 6-row frame.  Shares
+    pipeline_curation_full's stage construction and persist
+    boundaries (operators/curation_pipeline.py _build_stages)."""
+    from eventhub_to_timescale_spark.operators.curation_pipeline import (
+        curation_stage_report,
+    )
+
+    return curation_stage_report(_docs(spark, sf_dir))
+
+
+def _dedup_minhash_autoband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs with the banding SOLVED from the target
+    threshold (r14, the self-sizing theme of asks #3/#4 applied to
+    LSH): choose_minhash_bands picks the divisor banding whose
+    S-curve characteristic (1/b)^(1/r) best matches the target (MMDS
+    §3.4.3), so callers state the Jaccard they mean instead of
+    hand-sizing (bands, rows).  Gated at threshold 0.8 / 12 hashes —
+    the solver lands on 3 bands × 4 rows, a genuinely different
+    banding (and plan) than the manual 6×2 entries; at the repo's
+    standard 0.5 it reproduces the manual 6×2 exactly (pinned by
+    test).  See operators/dedup.py choose_minhash_bands."""
+    from eventhub_to_timescale_spark.operators.dedup import (
+        minhash_autoband_pairs,
+    )
+
+    return minhash_autoband_pairs(
+        _docs(spark, sf_dir), num_hashes=12, jaccard_threshold=0.8
+    )
+
+
 def _events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 ordered 3-step user journeys (behavioral sequence
     mining): one user-partitioned lead window + two map-side
@@ -2757,6 +2793,8 @@ def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _R14_HEAD = [
     "pipeline_curation_full",
+    "pipeline_curation_report",
+    "dedup_minhash_autoband",
     "events_quantile_bands_gk",
     "q8_changed_rows_salted",
     "q9_state_intervals_salted",
@@ -2804,8 +2842,6 @@ _R14_HEAD = [
     "dedup_semantic_default",
     "sketch_kmv_overlap",
     "curation_normalize",
-    "dedup_exact_normalized",
-    "toolkit_ohlc",
 ]
 
 
@@ -3157,17 +3193,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_stream_twin": _sketch_bloom_stream_twin,
         "sketch_join_profile": _sketch_join_profile,
         "sim_rrf_fusion": _sim_rrf_fusion,
-        # — r14 addition (registered here; _R14_HEAD places it)
+        # — r14 additions (registered here; _R14_HEAD places them)
         "pipeline_curation_full": _pipeline_curation_full,
+        "pipeline_curation_report": _pipeline_curation_report,
+        "dedup_minhash_autoband": _dedup_minhash_autoband,
     }
     # ------------- r14 GATE HEAD (50 entries) -------------
     # Composed per ROTATION.md's committed r14 staleness queue
     # (regenerated from CORRECTNESS_r13.json), reordered at return
     # time so the big literal above stays in stable registry order:
-    #   (a) the 1 NEW never-witnessed r14 entry:
-    #       pipeline_curation_full (the composed end-to-end curation
-    #       chain, r13 verdict ask #2), head-resident by the ledger
-    #       invariant;
+    #   (a) the 3 NEW never-witnessed r14 entries, head-resident by
+    #       the ledger invariant: pipeline_curation_full (the
+    #       composed end-to-end curation chain, r13 verdict ask #2),
+    #       pipeline_curation_report (its stage-attrition audit),
+    #       and dedup_minhash_autoband (threshold-solved LSH
+    #       banding — the self-sizing theme of asks #3/#4);
     #   (b) the 4 RE-GATES for r14-changed surfaces:
     #       events_quantile_bands_gk now gates accuracy="auto" (the
     #       self-sizing probe, ask #4); q8_changed_rows_salted /
@@ -3177,15 +3217,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       phash rule);
     #   (c) the 34-entry always-gated §2 core, green r12 and DUE on
     #       the standing 2-round cadence (r10, r12 → r14);
-    #   (d) the 11 queue-front entries by rounds-since-witness:
+    #   (d) the 9 queue-front entries by rounds-since-witness:
     #       rel_revenue_by_nation (since-5) then the r10-green
     #       since-4 pool front (rel_shipmode_priority ...
-    #       toolkit_ohlc) in ROTATION.md queue order.
-    #   1 + 4 + 34 + 11 = 50.  The remaining since-4 pool
-    #   (toolkit_trend_slope, emb_normalize_quantize, doc_chunks,
-    #   corpus_shard_order, events_sessionize, toolkit_gauge_delta)
-    #   leads the r15 queue; the 44 r13-head entries demote to the
-    #   tail freshly driver-green.
+    #       curation_normalize) in ROTATION.md queue order.
+    #   3 + 4 + 34 + 9 = 50.  The remaining since-4 pool
+    #   (dedup_exact_normalized and toolkit_ohlc — displaced by the
+    #   two later r14 additions — then toolkit_trend_slope,
+    #   emb_normalize_quantize, doc_chunks, corpus_shard_order,
+    #   events_sessionize, toolkit_gauge_delta) leads the r15 queue;
+    #   the 44 r13-head entries demote to the tail freshly
+    #   driver-green.
     # a misspelled/renamed head entry must fail FAST at registration,
     # not silently slide the first tail entry into the driver's
     # 50-entry witnessed window (r13 ADVICE, low)
@@ -3481,6 +3523,25 @@ def _pipeline_curation_oracle() -> str:
     )
 
     return curation_full_pipeline_oracle_sql()
+
+
+def _curation_report_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.curation_pipeline import (
+        curation_stage_report_oracle_sql,
+    )
+
+    return curation_stage_report_oracle_sql()
+
+
+def _minhash_autoband_oracle() -> str:
+    from eventhub_to_timescale_spark.oracles import dedup_minhash_oracle
+    from eventhub_to_timescale_spark.operators.dedup import (
+        choose_minhash_bands,
+    )
+
+    # same driver-side solve as the Spark wrapper: 12 hashes @ 0.8
+    bands, _ = choose_minhash_bands(12, 0.8)
+    return dedup_minhash_oracle(12, bands, 0.8)
 
 
 def _normalize_oracle() -> str:
@@ -4786,6 +4847,8 @@ JOIN customer ON o_custkey = c_custkey
         "dedup_corpus_diff": oc.corpus_diff_oracle(),
         "pipeline_dedup_full": _pipeline_dedup_oracle(),
         "pipeline_curation_full": _pipeline_curation_oracle(),
+        "pipeline_curation_report": _curation_report_oracle(),
+        "dedup_minhash_autoband": _minhash_autoband_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

@@ -62,29 +62,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def curation_full_pipeline(
+def _build_stages(
     docs: DataFrame,
-    eval_mod: int = 97,
-    min_words: int = 10,
-    max_words: int = 500,
-    window: int = 48,
-    stride: int = 16,
-    min_docs: int = 2,
-    num_hashes: int = 12,
-    bands: int = 6,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-    decon_shingle_n: int = 5,
-    budget: int = 8000,
-    num_shards: int = 8,
-    order_salt: str = "order-v1",
-    stopwords: tuple[str, ...] | None = None,
-    persist_stages: bool = True,
-) -> DataFrame:
-    """→ (doc_id, n_tokens, shard, pos): the training manifest —
-    documents surviving quality + dedup + decontamination, selected
-    into ``budget`` tokens in deterministic md5 order, with their
-    shard/position in the reproducible training order."""
+    eval_mod: int,
+    min_words: int,
+    max_words: int,
+    window: int,
+    stride: int,
+    min_docs: int,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+    decon_shingle_n: int,
+    budget: int,
+    stopwords: tuple[str, ...] | None,
+    persist_stages: bool,
+) -> dict[str, DataFrame]:
+    """The shared stage chain — one construction for the manifest
+    (``curation_full_pipeline``) and the attrition report
+    (``curation_stage_report``).  Returns the named stage frames; the
+    persist boundaries live HERE so both consumers get identical
+    caching behavior."""
     from eventhub_to_timescale_spark.operators.curation import (
         decontaminate,
         gopher_quality_flags,
@@ -94,7 +93,6 @@ def curation_full_pipeline(
         minhash_keep_first,
     )
     from eventhub_to_timescale_spark.operators.sampling import (
-        shard_order,
         token_budget_select,
     )
     from eventhub_to_timescale_spark.operators.substrdup import (
@@ -138,17 +136,18 @@ def curation_full_pipeline(
     )
 
     decon = decontaminate(surv, eval_docs, shingle_n=decon_shingle_n)
-
     sel = token_budget_select(decon, budget=budget)
-    order = shard_order(sel, "doc_id", num_shards, salt=order_salt)
-    return (
-        sel.join(order, "doc_id")
-        .select("doc_id", "n_tokens", "shard", "pos")
-        .orderBy("shard", "pos")
-    )
+    return {
+        "qdocs": qdocs,
+        "clean": clean,
+        "surv": surv,
+        "decon": decon,
+        "sel": sel,
+    }
 
 
-def curation_full_pipeline_oracle_sql(
+def curation_full_pipeline(
+    docs: DataFrame,
     eval_mod: int = 97,
     min_words: int = 10,
     max_words: int = 500,
@@ -157,18 +156,125 @@ def curation_full_pipeline_oracle_sql(
     min_docs: int = 2,
     num_hashes: int = 12,
     bands: int = 6,
+    shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     decon_shingle_n: int = 5,
     budget: int = 8000,
     num_shards: int = 8,
     order_salt: str = "order-v1",
     stopwords: tuple[str, ...] | None = None,
-    table: str = "documents",
+    persist_stages: bool = True,
+) -> DataFrame:
+    """→ (doc_id, n_tokens, shard, pos): the training manifest —
+    documents surviving quality + dedup + decontamination, selected
+    into ``budget`` tokens in deterministic md5 order, with their
+    shard/position in the reproducible training order."""
+    from eventhub_to_timescale_spark.operators.sampling import (
+        shard_order,
+    )
+
+    sel = _build_stages(
+        docs, eval_mod, min_words, max_words, window, stride, min_docs,
+        num_hashes, bands, shingle_n, jaccard_threshold,
+        decon_shingle_n, budget, stopwords, persist_stages,
+    )["sel"]
+    order = shard_order(sel, "doc_id", num_shards, salt=order_salt)
+    return (
+        sel.join(order, "doc_id")
+        .select("doc_id", "n_tokens", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_TOKEN_RE = r"[a-z]+|[0-9]+"
+
+
+def _stage_count(df: DataFrame, stage: str, text_col: str) -> DataFrame:
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
+        )
+    ).cast("long")
+    return df.agg(
+        F.lit(stage).alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(toks), F.lit(0).cast("long")).alias("n_tokens"),
+    )
+
+
+def curation_stage_report(
+    docs: DataFrame,
+    eval_mod: int = 97,
+    min_words: int = 10,
+    max_words: int = 500,
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    decon_shingle_n: int = 5,
+    budget: int = 8000,
+    stopwords: tuple[str, ...] | None = None,
+    persist_stages: bool = True,
+) -> DataFrame:
+    """→ (stage, n_docs, n_tokens): the attrition audit every
+    curation run ships next to its manifest — how many documents and
+    tokens each cut removed (the curation analog of
+    dedup_evidence_report).  Stages: 0_input (raw corpus),
+    1_quality (post-normalize Gopher survivors), 2_spans_clean (same
+    rows, boilerplate characters cut — the token delta IS the
+    evidence), 3_neardup (MinHash keep-first survivors),
+    4_decontaminated, 5_budget_selected.  Token counts use the
+    corpus-standard ``[a-z]+|[0-9]+`` lexer on each stage's OWN text
+    form, so the report shows both row attrition and text shrinkage.
+    Each stage row is one map-side-combinable aggregate over a frame
+    the persist boundaries already hold; output is 6 rows."""
+    stages = _build_stages(
+        docs, eval_mod, min_words, max_words, window, stride, min_docs,
+        num_hashes, bands, shingle_n, jaccard_threshold,
+        decon_shingle_n, budget, stopwords, persist_stages,
+    )
+    sel = stages["sel"]
+    parts = [
+        _stage_count(docs, "0_input", "text"),
+        _stage_count(stages["qdocs"], "1_quality", "text"),
+        _stage_count(stages["clean"], "2_spans_clean", "clean_text"),
+        _stage_count(stages["surv"], "3_neardup", "text"),
+        _stage_count(stages["decon"], "4_decontaminated", "text"),
+        sel.agg(
+            F.lit("5_budget_selected").alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage")
+
+
+def _stage_ctes_sql(
+    eval_mod: int,
+    min_words: int,
+    max_words: int,
+    window: int,
+    stride: int,
+    min_docs: int,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    decon_shingle_n: int,
+    budget: int,
+    stopwords: tuple[str, ...] | None,
+    table: str,
 ) -> str:
-    """DuckDB rendering of ``curation_full_pipeline`` — the seven
-    standalone stage oracles composed through CTEs.  AS MATERIALIZED
-    on every multi-consumer stage, matching the Spark persist
-    boundaries stage-for-stage (same reason as
+    """The shared CTE prelude (through ``sel``) both oracles build
+    on.  AS MATERIALIZED on every multi-consumer stage, matching the
+    Spark persist boundaries stage-for-stage (same reason as
     dedup_full_pipeline_oracle_sql: DuckDB inlines CTEs by default,
     so each downstream reference would re-run the whole upstream
     chain)."""
@@ -181,7 +287,6 @@ def curation_full_pipeline_oracle_sql(
         normalize_oracle_sql,
     )
     from eventhub_to_timescale_spark.operators.sampling import (
-        shard_order_oracle_sql,
         token_budget_oracle_sql,
     )
     from eventhub_to_timescale_spark.operators.substrdup import (
@@ -207,9 +312,6 @@ def curation_full_pipeline_oracle_sql(
     )
     sh = _word_shingles_sql(decon_shingle_n)
     budget_sel = token_budget_oracle_sql(budget, table="decon")
-    order = shard_order_oracle_sql(
-        "doc_id", num_shards, order_salt, table="sel"
-    )
     return f"""
 WITH norm AS MATERIALIZED ({norm}),
 normdocs AS MATERIALIZED (
@@ -242,7 +344,42 @@ contaminated AS (
 decon AS MATERIALIZED (
   SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
-sel AS MATERIALIZED ({budget_sel}),
+sel AS MATERIALIZED ({budget_sel})"""
+
+
+def curation_full_pipeline_oracle_sql(
+    eval_mod: int = 97,
+    min_words: int = 10,
+    max_words: int = 500,
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    num_hashes: int = 12,
+    bands: int = 6,
+    jaccard_threshold: float = 0.5,
+    decon_shingle_n: int = 5,
+    budget: int = 8000,
+    num_shards: int = 8,
+    order_salt: str = "order-v1",
+    stopwords: tuple[str, ...] | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``curation_full_pipeline`` — the seven
+    standalone stage oracles composed through the shared CTE prelude
+    plus the shard-order tail."""
+    from eventhub_to_timescale_spark.operators.sampling import (
+        shard_order_oracle_sql,
+    )
+
+    prelude = _stage_ctes_sql(
+        eval_mod, min_words, max_words, window, stride, min_docs,
+        num_hashes, bands, jaccard_threshold, decon_shingle_n, budget,
+        stopwords, table,
+    )
+    order = shard_order_oracle_sql(
+        "doc_id", num_shards, order_salt, table="sel"
+    )
+    return f"""{prelude},
 ordered AS ({order})
 SELECT s.doc_id, s.n_tokens, o.shard, o.pos
 FROM sel s JOIN ordered o ON o.doc_id = s.doc_id
@@ -250,4 +387,61 @@ ORDER BY o.shard, o.pos
 """
 
 
-__all__ = ["curation_full_pipeline", "curation_full_pipeline_oracle_sql"]
+def curation_stage_report_oracle_sql(
+    eval_mod: int = 97,
+    min_words: int = 10,
+    max_words: int = 500,
+    window: int = 48,
+    stride: int = 16,
+    min_docs: int = 2,
+    num_hashes: int = 12,
+    bands: int = 6,
+    jaccard_threshold: float = 0.5,
+    decon_shingle_n: int = 5,
+    budget: int = 8000,
+    stopwords: tuple[str, ...] | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of ``curation_stage_report`` — the shared CTE
+    prelude plus one UNION ALL count per stage, token-counted with
+    the same ``[a-z]+|[0-9]+`` lexer on the same per-stage text."""
+    prelude = _stage_ctes_sql(
+        eval_mod, min_words, max_words, window, stride, min_docs,
+        num_hashes, bands, jaccard_threshold, decon_shingle_n, budget,
+        stopwords, table,
+    )
+
+    def cnt(stage: str, src: str, text_expr: str) -> str:
+        return (
+            f"SELECT '{stage}' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            f" CAST(COALESCE(SUM(len(regexp_extract_all("
+            f"lower({text_expr}), '{_TOKEN_RE}', 0))), 0) AS BIGINT)"
+            f" AS n_tokens FROM {src}"
+        )
+
+    unions = "\nUNION ALL\n".join(
+        [
+            cnt("0_input", table, "text"),
+            cnt("1_quality", "qdocs", "text"),
+            cnt("2_spans_clean", "clean", "clean_text"),
+            cnt("3_neardup", "surv", "text"),
+            cnt("4_decontaminated", "decon", "text"),
+            "SELECT '5_budget_selected' AS stage,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens"
+            " FROM sel",
+        ]
+    )
+    return f"""{prelude}
+SELECT * FROM (
+{unions}
+) ORDER BY stage
+"""
+
+
+__all__ = [
+    "curation_full_pipeline",
+    "curation_full_pipeline_oracle_sql",
+    "curation_stage_report",
+    "curation_stage_report_oracle_sql",
+]

@@ -164,6 +164,68 @@ def banded_signatures(
     ).select("doc_id", "shingles", "band.band_id", "band.band_key")
 
 
+def choose_minhash_bands(
+    num_hashes: int, jaccard_threshold: float
+) -> tuple[int, int]:
+    """→ (bands, rows_per_band): the banding whose LSH S-curve
+    characteristic threshold best matches the target Jaccard — the
+    standard rule (Leskovec, Rajaraman & Ullman, *Mining of Massive
+    Datasets* §3.4.3): with b bands of r rows the candidate
+    probability crosses 1/2 near t ≈ (1/b)^(1/r), so among the
+    divisors b of ``num_hashes`` pick argmin |(1/b)^(1/r) − t|.
+    Sizing the banding by hand is the same foot-gun class as the GK
+    accuracy and window-salt widths this repo removed in r13/r14 —
+    callers state the THRESHOLD they mean and the curve is solved for
+    them.  Ties prefer MORE bands (higher recall at the threshold;
+    false positives are killed by the exact-Jaccard verify stage
+    anyway, false negatives are unrecoverable).  Pure driver-side
+    arithmetic — both engines receive the same resolved banding, so
+    the oracle surface is unchanged."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if not 0.0 < jaccard_threshold < 1.0:
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1), got {jaccard_threshold}"
+        )
+    best: tuple[float, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        t = (1.0 / b) ** (1.0 / r)
+        key = (abs(t - jaccard_threshold), -b)
+        if best is None or key < best[0:2]:
+            best = (key[0], key[1], b)
+    assert best is not None
+    b = best[2]
+    return b, num_hashes // b
+
+
+def minhash_autoband_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    persist_banded: bool = False,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` with the banding solved from the
+    threshold by ``choose_minhash_bands`` instead of passed by hand —
+    same (doc_a, doc_b, jaccard) contract, same banded-equi-join
+    plan, zero extra passes (the banding choice is driver
+    arithmetic)."""
+    bands, _ = choose_minhash_bands(num_hashes, jaccard_threshold)
+    return minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        persist_banded=persist_banded,
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

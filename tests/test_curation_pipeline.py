@@ -100,6 +100,53 @@ def test_budget_zero_selects_nothing(spark):
     assert curation_full_pipeline(_docs(spark), budget=0).count() == 0
 
 
+def test_stage_report_consistent_with_manifest(spark):
+    """The attrition report must agree with the pipeline it audits:
+    monotone non-increasing doc counts, the span stage preserving
+    rows while cutting tokens, and the final stage equal to the
+    manifest's own totals."""
+    from eventhub_to_timescale_spark.operators.curation_pipeline import (
+        curation_full_pipeline,
+        curation_stage_report,
+    )
+
+    docs = _docs(spark)
+    rep = {r["stage"]: r for r in curation_stage_report(docs).collect()}
+    assert list(rep) == [
+        "0_input", "1_quality", "2_spans_clean", "3_neardup",
+        "4_decontaminated", "5_budget_selected",
+    ]
+    counts = [rep[s]["n_docs"] for s in rep]
+    assert counts == sorted(counts, reverse=True)
+    assert rep["2_spans_clean"]["n_docs"] == rep["1_quality"]["n_docs"]
+    assert rep["2_spans_clean"]["n_tokens"] < rep["1_quality"]["n_tokens"]
+    manifest = curation_full_pipeline(docs).collect()
+    assert rep["5_budget_selected"]["n_docs"] == len(manifest)
+    assert rep["5_budget_selected"]["n_tokens"] == sum(
+        r["n_tokens"] for r in manifest
+    )
+
+
+def test_stage_report_oracle_parity_sf0001(spark):
+    from eventhub_to_timescale_spark.operators.curation_pipeline import (
+        curation_stage_report,
+        curation_stage_report_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in curation_stage_report(_docs(spark)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(curation_stage_report_oracle_sql()).fetchall()
+    ]
+    assert got == want and len(got) == 6
+
+
 def test_oracle_parity_sf0001(spark):
     """The composed DuckDB oracle (stage CTEs materialized to match
     the Spark persist boundaries) agrees bit-for-bit."""

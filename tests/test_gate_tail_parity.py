@@ -121,14 +121,17 @@ ALWAYS_GATED_CORE = {
 
 # The planned r14 gate head (ROTATION.md / registry ledger), pinned
 # EXACTLY so an accidental reorder cannot silently change what the
-# driver witnesses: the 1 new never-witnessed entry
-# (pipeline_curation_full) + the 4 changed-surface re-gates
+# driver witnesses: the 3 new never-witnessed entries
+# (pipeline_curation_full + its stage-attrition report +
+# dedup_minhash_autoband) + the 4 changed-surface re-gates
 # (events_quantile_bands_gk accuracy="auto"; the three salted
 # variants chunk_seconds="auto") first, then the restored 34-entry
-# always-gated core (2-round cadence: r10, r12 -> r14), then the 11
+# always-gated core (2-round cadence: r10, r12 -> r14), then the 9
 # queue-front entries in ROTATION.md order.
 R14_HEAD = [
     "pipeline_curation_full",
+    "pipeline_curation_report",
+    "dedup_minhash_autoband",
     "events_quantile_bands_gk",
     "q8_changed_rows_salted",
     "q9_state_intervals_salted",
@@ -176,8 +179,6 @@ R14_HEAD = [
     "dedup_semantic_default",
     "sketch_kmv_overlap",
     "curation_normalize",
-    "dedup_exact_normalized",
-    "toolkit_ohlc",
 ]
 
 # Historical r13 head (kept for the demotion-pool registration test).

@@ -57,6 +57,52 @@ def test_minhash_identical_docs_jaccard_one(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_autoband_solves_the_s_curve(spark):
+    """choose_minhash_bands (r14): among the divisor bandings of the
+    hash budget, the chosen one's characteristic threshold
+    (1/b)^(1/r) is the closest to the target (MMDS §3.4.3), ties to
+    more bands; the repo's standard 0.5 target reproduces the manual
+    6×2 pairs exactly; invalid targets raise."""
+    import pytest
+
+    from eventhub_to_timescale_spark.operators.dedup import (
+        choose_minhash_bands,
+        minhash_autoband_pairs,
+    )
+
+    # closest-divisor property, exhaustively for the 12-hash budget
+    for t in (0.1, 0.3, 0.5, 0.8, 0.95):
+        b, r = choose_minhash_bands(12, t)
+        assert b * r == 12
+        dist = abs((1.0 / b) ** (1.0 / r) - t)
+        for b2 in (1, 2, 3, 4, 6, 12):
+            d2 = abs((1.0 / b2) ** (1.0 / (12 // b2)) - t)
+            assert dist <= d2 + 1e-12, (t, b, b2)
+    assert choose_minhash_bands(12, 0.5) == (6, 2)   # the manual gate
+    assert choose_minhash_bands(12, 0.8) == (3, 4)   # the r14 gate
+    with pytest.raises(ValueError):
+        choose_minhash_bands(12, 0.0)
+    with pytest.raises(ValueError):
+        choose_minhash_bands(0, 0.5)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words appear within this other unrelated document here"
+    docs = _docs(spark, [base, base, near, far])
+    auto = sorted(
+        tuple(r)
+        for r in minhash_autoband_pairs(docs, jaccard_threshold=0.3).collect()
+    )
+    manual = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, bands=choose_minhash_bands(12, 0.3)[0],
+            jaccard_threshold=0.3,
+        ).collect()
+    )
+    assert auto == manual and auto
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     base = "one two three four five six seven eight nine ten"
     docs = _docs(spark, [base, base, "alpha beta gamma delta epsilon zeta eta theta"])
