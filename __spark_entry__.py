@@ -3228,11 +3228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   events_sessionize, toolkit_gauge_delta) leads the r15 queue;
     #   the 44 r13-head entries demote to the tail freshly
     #   driver-green.
-    # a misspelled/renamed head entry must fail FAST at registration,
-    # not silently slide the first tail entry into the driver's
-    # 50-entry witnessed window (r13 ADVICE, low)
+    # a misspelled/renamed/duplicated head entry must fail FAST at
+    # registration, not silently slide the first tail entry into the
+    # driver's 50-entry witnessed window (r13 ADVICE + r14 review:
+    # a duplicate name dedupes in the returned dict and shrinks the
+    # window the same way a missing one would; real raise, not
+    # assert, so `python -O` can't strip the guard)
     missing = set(_R14_HEAD) - reg.keys()
-    assert not missing, f"gate-head entries not in registry: {missing}"
+    if missing:
+        raise RuntimeError(f"gate-head entries not in registry: {missing}")
+    if len(_R14_HEAD) != len(set(_R14_HEAD)) or len(_R14_HEAD) != 50:
+        raise RuntimeError(
+            f"gate head must be 50 unique entries, got {len(_R14_HEAD)} "
+            f"({len(set(_R14_HEAD))} unique)"
+        )
     head = list(_R14_HEAD)
     tail = [k for k in reg if k not in set(_R14_HEAD)]
     return {k: reg[k] for k in head + tail}

@@ -174,22 +174,14 @@ def asof_join_salted(
     meas, pr = _sides(probes, conditions, of)
     unioned_base = meas.unionByName(pr)
     if chunk_seconds == "auto":
-        import math
-
         from eventhub_to_timescale_spark.operators.joinplan import (
-            choose_salt_factor,
+            auto_chunk_seconds,
         )
 
-        factor = choose_salt_factor(unioned_base, "measurement_subject")
-        lo, hi = unioned_base.agg(
-            F.min("ts"), F.max("ts")
-        ).collect()[0]
-        span = (
-            max(1, int(math.ceil((hi - lo).total_seconds())))
-            if lo is not None and hi is not None
-            else 1
+        # shared data-span helper: profile + span in one collect
+        chunk_seconds = auto_chunk_seconds(
+            unioned_base, "ts", "measurement_subject"
         )
-        chunk_seconds = max(1, int(math.ceil(span / factor)))
     chunk = F.floor(
         F.unix_micros(F.col("ts")) / F.lit(int(chunk_seconds) * 1_000_000)
     )

@@ -72,7 +72,6 @@ def _build_stages(
     min_docs: int,
     num_hashes: int,
     bands: int,
-    shingle_n: int,
     jaccard_threshold: float,
     decon_shingle_n: int,
     budget: int,
@@ -126,16 +125,28 @@ def _build_stages(
         clean = clean.persist()
     cleaned = clean.select("doc_id", F.col("clean_text").alias("text"))
 
+    # the MinHash shingle size is pinned at the corpus-standard 3
+    # words — the only size the shared oracle family renders, so a
+    # Spark-side knob here would be silently unverifiable (r14 review)
     surv = minhash_keep_first(
         cleaned,
         num_hashes=num_hashes,
         bands=bands,
-        shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold,
         persist=persist_stages,
     )
+    if persist_stages:
+        # two consumers inside decontaminate (the shingle scan and the
+        # anti-join's corpus side) — without this the LSH pair join
+        # and the keep-first anti-join run twice
+        surv = surv.persist()
 
     decon = decontaminate(surv, eval_docs, shingle_n=decon_shingle_n)
+    if persist_stages:
+        # three consumers: token_budget_select's eager bucket-totals
+        # collect, its phase-2 base, and the downstream sel subtree's
+        # double evaluation (shard_order + the final join)
+        decon = decon.persist()
     sel = token_budget_select(decon, budget=budget)
     return {
         "qdocs": qdocs,
@@ -156,7 +167,6 @@ def curation_full_pipeline(
     min_docs: int = 2,
     num_hashes: int = 12,
     bands: int = 6,
-    shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     decon_shingle_n: int = 5,
     budget: int = 8000,
@@ -175,7 +185,7 @@ def curation_full_pipeline(
 
     sel = _build_stages(
         docs, eval_mod, min_words, max_words, window, stride, min_docs,
-        num_hashes, bands, shingle_n, jaccard_threshold,
+        num_hashes, bands, jaccard_threshold,
         decon_shingle_n, budget, stopwords, persist_stages,
     )["sel"]
     order = shard_order(sel, "doc_id", num_shards, salt=order_salt)
@@ -212,7 +222,6 @@ def curation_stage_report(
     min_docs: int = 2,
     num_hashes: int = 12,
     bands: int = 6,
-    shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     decon_shingle_n: int = 5,
     budget: int = 8000,
@@ -233,7 +242,7 @@ def curation_stage_report(
     the persist boundaries already hold; output is 6 rows."""
     stages = _build_stages(
         docs, eval_mod, min_words, max_words, window, stride, min_docs,
-        num_hashes, bands, shingle_n, jaccard_threshold,
+        num_hashes, bands, jaccard_threshold,
         decon_shingle_n, budget, stopwords, persist_stages,
     )
     sel = stages["sel"]

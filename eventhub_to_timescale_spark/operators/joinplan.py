@@ -78,6 +78,7 @@ __all__ = [
     "apply_join_strategy",
     "key_profile",
     "choose_salt_factor",
+    "auto_chunk_seconds",
 ]
 
 
@@ -178,6 +179,18 @@ def key_profile(
     )
 
 
+
+# choose_salt_factor's default sketch width.  NOT the gate-demo CMS_W
+# (64): est_max_key is floored at ~n/w by bucket collisions, so at
+# w=64 a BALANCED key space of a few hundred keys reads as skewed
+# (est_max ≈ n/28 vs a true max of n/cardinality) and the "balanced
+# key returns 1" guarantee breaks (r14 review finding).  w=8192 keeps
+# the collision floor at n/8192 — below the skew_ratio × n/parallelism
+# trip line for any realistic parallelism — at a cost of ≤ d·w ≈ 32k
+# sketch cells, still constant.
+SALT_PROFILE_W = 8192
+
+
 def choose_salt_factor(
     df: DataFrame,
     key: str,
@@ -185,7 +198,7 @@ def choose_salt_factor(
     skew_ratio: float = 4.0,
     max_salt: int = 64,
     d: int = CMS_D,
-    w: int = CMS_W,
+    w: int = SALT_PROFILE_W,
     seed: str = CMS_SEED,
 ) -> int:
     """Sketch-measured salt factor for the WINDOW/AGGREGATION family
@@ -212,6 +225,58 @@ def choose_salt_factor(
     if mx > skew_ratio * share:
         return min(max_salt, max(2, math.ceil(mx / share)))
     return 1
+
+
+def auto_chunk_seconds(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    parallelism: int | None = None,
+    skew_ratio: float = 4.0,
+    max_salt: int = 64,
+) -> int:
+    """Sketch-sized time-chunk width for the salted window family:
+    the OBSERVED data span (max − min of ``ts_col``) divided by
+    ``choose_salt_factor``'s skew factor, so a hot key splits into
+    ~factor window tasks and balanced data degenerates to one chunk.
+
+    The span is the DATA's, not the caller's query window — a wide
+    query over a narrow data extent would otherwise produce one chunk
+    regardless of the measured factor and silently defeat the salt
+    (r14 review finding; the shared helper replaces two divergent
+    per-module implementations).  The profile and the span collapse
+    into ONE driver collect (a crossJoin of two 1-row aggregates);
+    the two aggregate subtrees each scan ``df`` once — at deployment
+    scale both come from the same pass over a sample or a prior run.
+    """
+    import math
+
+    if skew_ratio <= 0 or max_salt < 1:
+        raise ValueError(f"bad thresholds: {skew_ratio}, {max_salt}")
+    if parallelism is None:
+        parallelism = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    row = (
+        key_profile(df, key_col)
+        .crossJoin(
+            F.broadcast(
+                df.agg(
+                    F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+                )
+            )
+        )
+        .collect()[0]
+    )
+    n, mx = int(row.n or 0), int(row.est_max_key or 0)
+    share = max(n / parallelism, 1.0)
+    factor = 1
+    if mx > skew_ratio * share:
+        factor = min(max_salt, max(2, math.ceil(mx / share)))
+    if row._lo is None or row._hi is None:
+        return 1
+    span = max(1, int(math.ceil((row._hi - row._lo).total_seconds())))
+    return max(1, int(math.ceil(span / factor)))
 
 
 def choose_join_strategy(

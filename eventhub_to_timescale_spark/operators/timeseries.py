@@ -327,26 +327,22 @@ def _auto_chunk_seconds(
     parallelism: int | None = None,
 ) -> int:
     """Sketch-sized chunk width (r13 verdict ask #3): the CMS skew
-    profile (joinplan.choose_salt_factor) measures the hottest
-    subject's share of the slice; the query span divided by that
-    factor is the chunk width that splits the straggler into ~factor
-    window tasks.  A balanced slice gets factor 1 ⇒ one chunk
-    spanning the query — the salted plan degenerates to the unsalted
-    window instead of paying boundary repairs for skew that isn't
-    there.  Correctness never depends on the width (the rewrite is
-    proven row-identical for ANY chunk_seconds in tests); the probe
-    costs one CMS pass + a 1-row collect."""
-    import math
-
+    profile measures the hottest subject's share of the slice and the
+    OBSERVED data span divided by that factor is the chunk width that
+    splits the straggler into ~factor window tasks — a balanced slice
+    gets factor 1 ⇒ one chunk, the unsalted plan.  Delegates to the
+    shared ``joinplan.auto_chunk_seconds`` (data-span based: a wide
+    query window over a narrow data extent must not defeat the salt —
+    r14 review fix).  Correctness never depends on the width (the
+    rewrite is proven row-identical for ANY chunk_seconds in tests);
+    ``start``/``end`` already bounded the slice upstream."""
     from eventhub_to_timescale_spark.operators.joinplan import (
-        choose_salt_factor,
+        auto_chunk_seconds,
     )
 
-    factor = choose_salt_factor(
-        sliced, "measurement_subject", parallelism=parallelism
+    return auto_chunk_seconds(
+        sliced, "timestamp", "measurement_subject", parallelism=parallelism
     )
-    span = max(1, int(math.ceil((end - start).total_seconds())))
-    return max(1, int(math.ceil(span / factor)))
 
 
 def changed_rows_salted(

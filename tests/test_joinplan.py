@@ -111,6 +111,16 @@ class TestSaltFactor:
         flat = _uniform(spark, n_keys=600, per_key=3)
         assert choose_salt_factor(flat, "user_id", parallelism=32) == 1
 
+    def test_factor_one_on_balanced_moderate_cardinality(self, spark):
+        """r14 review finding: at the gate-demo CMS width (w=64) a
+        BALANCED key space of ~128 keys reads as skewed — bucket
+        collisions floor est_max at ~n/28 while the true max is
+        n/128, tripping the ratio at parallelism 200.  The salt
+        profile's default width (SALT_PROFILE_W) must keep the
+        'balanced key returns 1' guarantee at exactly this shape."""
+        flat = _uniform(spark, n_keys=128, per_key=8)  # n=1024
+        assert choose_salt_factor(flat, "user_id", parallelism=200) == 1
+
     def test_bad_thresholds_raise(self, spark):
         df = _uniform(spark, 5, 1)
         with pytest.raises(ValueError):

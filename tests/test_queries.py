@@ -446,8 +446,20 @@ def test_salted_auto_chunk_responds_to_measured_skew(spark):
         _slice(balanced, None, "state", start, end), start, end,
         parallelism=32,
     )
-    assert auto_skew < span_s, "hot subject must shrink the chunk"
-    assert auto_flat >= span_s, "balanced slice must stay one chunk"
+    # widths come from the OBSERVED data span (r14 review fix: a wide
+    # query over a narrow extent must not defeat the salt), so compare
+    # against the data's own extent, not the query window
+    assert auto_skew <= auto_flat / 4, "hot subject must shrink the chunk"
+    assert auto_flat > span_s - 60, "balanced slice must stay one chunk"
+
+    # the query-window independence the fix is FOR: the same skewed
+    # data probed through a 5x wider query window must still split
+    wide_end = datetime(2024, 3, 1, 5)
+    auto_wide = _auto_chunk_seconds(
+        _slice(skewed, None, "state", start, wide_end), start, wide_end,
+        parallelism=32,
+    )
+    assert auto_wide == auto_skew, "query width leaked into the chunk"
 
     key = lambda t: tuple(map(repr, t))
     a = changed_rows(skewed, None, "state", start, end).collect()
