@@ -273,19 +273,33 @@ def main() -> None:
         # an SPARK_GRAFT_BENCH_ONLY bisect must not clobber the
         # committed full-suite artifact — and its evidence must be
         # discoverable per round (r13 verdict ask #7), so the
-        # isolated artifact carries the round number: the latest
-        # committed CORRECTNESS_r{N}.json + 1, or SPARK_GRAFT_ROUND
-        detail_name = (
-            f"BENCH_ISOLATED_r{_current_round()}.json"
-            if only
-            else "BENCH_DETAIL.json"
-        )
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), detail_name
-        )
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-    except OSError as e:
+        # isolated artifact carries the round number (the latest
+        # committed CORRECTNESS_r{N}.json + 1, or SPARK_GRAFT_ROUND)
+        # and ACCUMULATES as a list of run payloads: successive
+        # isolated runs in one round (adjudication, then a fix
+        # re-measure) must not repurpose the file in place — the r13
+        # blemish this artifact exists to end.
+        if only:
+            detail_name = f"BENCH_ISOLATED_r{_current_round()}.json"
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), detail_name
+            )
+            runs = []
+            if os.path.exists(detail_path):
+                with open(detail_path) as fh:
+                    prev = json.load(fh)
+                runs = prev if isinstance(prev, list) else [prev]
+            runs.append(detail)
+            with open(detail_path, "w") as fh:
+                json.dump(runs, fh, indent=1, sort_keys=True)
+        else:
+            detail_name = "BENCH_DETAIL.json"
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), detail_name
+            )
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+    except (OSError, ValueError) as e:
         print(f"could not write {detail_name}: {e}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr)
 
