@@ -337,6 +337,30 @@ def test_gate_head_matches_r14_rotation_plan():
     )
 
 
+def test_gate_head_guard_rejects_bad_lists():
+    """queries()'s registration guard (r13 ADVICE + r14 review): a
+    misspelled, duplicated, or wrong-length head list must raise at
+    registration rather than silently sliding tail entries into the
+    driver's witnessed window.  Exercised by monkeypatching the live
+    head list and restoring it."""
+    import pytest
+
+    good = list(entrymod._R14_HEAD)
+    try:
+        entrymod._R14_HEAD[:] = good[:-1] + ["no_such_entry"]
+        with pytest.raises(RuntimeError, match="not in registry"):
+            entrymod.queries()
+        entrymod._R14_HEAD[:] = good[:-1] + [good[0]]  # duplicate
+        with pytest.raises(RuntimeError, match="unique"):
+            entrymod.queries()
+        entrymod._R14_HEAD[:] = good[:-1]  # 49 entries
+        with pytest.raises(RuntimeError, match="50"):
+            entrymod.queries()
+    finally:
+        entrymod._R14_HEAD[:] = good
+    assert list(entrymod.queries())[:DRIVER_GATE_WINDOW] == good
+
+
 def test_rotation_ledger_has_no_drift():
     """scripts/rotation_ledger.py is the generated table of record
     (VERDICT r10 ask #7 — the r10 prose ledger drifted); its invariant

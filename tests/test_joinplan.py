@@ -128,6 +128,18 @@ class TestSaltFactor:
         with pytest.raises(ValueError):
             choose_salt_factor(df, "user_id", max_salt=0)
 
+    def test_auto_chunk_empty_frame_returns_one(self, spark):
+        """An empty slice (min/max ts NULL) must yield a harmless
+        width, not crash the salted plan construction."""
+        from eventhub_to_timescale_spark.operators.joinplan import (
+            auto_chunk_seconds,
+        )
+
+        empty = spark.createDataFrame(
+            [], "user_id long, ts timestamp"
+        )
+        assert auto_chunk_seconds(empty, "ts", "user_id") == 1
+
 
 class TestExecutedPlans:
     def test_broadcast_advice_changes_plan(self, spark):
