@@ -31,7 +31,18 @@ def _current_round() -> int:
     disk is N-1), overridable via SPARK_GRAFT_ROUND."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            # a bad env value must not crash main after the whole
+            # bench has run (r14 ADVICE #2: the ValueError used to
+            # fire inside the f-string before detail_name was bound,
+            # turning the except handler into a NameError) — fall
+            # through to the artifact scan instead
+            print(
+                f"ignoring non-integer SPARK_GRAFT_ROUND={env!r}",
+                file=sys.stderr,
+            )
     import glob
     import re
 
@@ -269,6 +280,8 @@ def main() -> None:
         "total_warm_median": total_warm,
         "deltas_vs_previous": deltas,
     }
+    detail_name = "BENCH_DETAIL.json"  # bound pre-try: the except
+    # handler prints it, so nothing inside may raise before it's set
     try:
         # an SPARK_GRAFT_BENCH_ONLY bisect must not clobber the
         # committed full-suite artifact — and its evidence must be

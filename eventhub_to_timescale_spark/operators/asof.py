@@ -151,6 +151,7 @@ def asof_join_salted(
     of: str,
     tolerance_seconds: int | None = None,
     chunk_seconds: int | str = "auto",
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """``asof_join`` with the carry window salted by time-chunk.
     ``chunk_seconds="auto"`` (default, r13 verdict ask #3): the CMS
@@ -159,6 +160,10 @@ def asof_join_salted(
     that factor sets the chunk width; a balanced key gets one chunk
     (the unsalted plan).  Correctness is width-independent (pinned
     row-identical for arbitrary widths in tests/test_asof_salted.py).
+    Callers that already measured the skew (``choose_salt_factor`` on
+    a sample, a prior run's profile) pass ``salt_factor=`` to skip the
+    CMS probe — only the 1-row span aggregate runs (r14 ADVICE #3);
+    an explicit integer ``chunk_seconds`` keeps the fully lazy path.
 
     ``Window.partitionBy(subject)`` concentrates a hot subject's whole
     history (measurements AND probes) in ONE task; AQE cannot split a
@@ -180,7 +185,7 @@ def asof_join_salted(
 
         # shared data-span helper: profile + span in one collect
         chunk_seconds = auto_chunk_seconds(
-            unioned_base, "ts", "measurement_subject"
+            unioned_base, "ts", "measurement_subject", factor=salt_factor
         )
     chunk = F.floor(
         F.unix_micros(F.col("ts")) / F.lit(int(chunk_seconds) * 1_000_000)

@@ -191,6 +191,24 @@ def key_profile(
 SALT_PROFILE_W = 8192
 
 
+def _salt_factor_from(
+    n: int,
+    est_max_key: int,
+    parallelism: int,
+    skew_ratio: float,
+    max_salt: int,
+) -> int:
+    """The ONE decision rule shared by ``choose_salt_factor`` and
+    ``auto_chunk_seconds`` (they duplicated it until the r14 advisor
+    caught the copies drifting on sketch width): a key heavier than
+    ``skew_ratio`` fair task-shares returns ceil(est_max / share)
+    capped at ``max_salt``; balanced returns 1."""
+    share = max(n / parallelism, 1.0)
+    if est_max_key > skew_ratio * share:
+        return min(max_salt, max(2, math.ceil(est_max_key / share)))
+    return 1
+
+
 def choose_salt_factor(
     df: DataFrame,
     key: str,
@@ -221,10 +239,7 @@ def choose_salt_factor(
         )
     row = key_profile(df, key, d, w, seed).collect()[0]
     n, mx = int(row.n or 0), int(row.est_max_key or 0)
-    share = max(n / parallelism, 1.0)
-    if mx > skew_ratio * share:
-        return min(max_salt, max(2, math.ceil(mx / share)))
-    return 1
+    return _salt_factor_from(n, mx, parallelism, skew_ratio, max_salt)
 
 
 def auto_chunk_seconds(
@@ -234,6 +249,7 @@ def auto_chunk_seconds(
     parallelism: int | None = None,
     skew_ratio: float = 4.0,
     max_salt: int = 64,
+    factor: int | None = None,
 ) -> int:
     """Sketch-sized time-chunk width for the salted window family:
     the OBSERVED data span (max − min of ``ts_col``) divided by
@@ -243,36 +259,44 @@ def auto_chunk_seconds(
     The span is the DATA's, not the caller's query window — a wide
     query over a narrow data extent would otherwise produce one chunk
     regardless of the measured factor and silently defeat the salt
-    (r14 review finding; the shared helper replaces two divergent
-    per-module implementations).  The profile and the span collapse
-    into ONE driver collect (a crossJoin of two 1-row aggregates);
-    the two aggregate subtrees each scan ``df`` once — at deployment
-    scale both come from the same pass over a sample or a prior run.
-    """
-    import math
+    (r14 review finding).  The skew probe runs at ``SALT_PROFILE_W``
+    — the r14 advisor caught this helper re-profiling at the narrow
+    gate-demo width (w=64), whose n/64 collision floor reads any
+    balanced key space beyond ~64 distinct keys as skewed and quietly
+    breaks the "balanced data degenerates to one chunk" guarantee on
+    the now-default ``chunk_seconds='auto'`` paths.  The factor comes
+    from the shared ``_salt_factor_from`` rule so the two callers
+    cannot drift again.
 
+    The profile and the span collapse into ONE driver collect (a
+    crossJoin of two 1-row aggregates); the two aggregate subtrees
+    each scan ``df`` once.  Callers that already measured the skew —
+    ``choose_salt_factor`` on a sample, a prior run's profile — pass
+    ``factor=`` to skip the CMS subtree entirely: only the span
+    aggregate runs (still one collect), which is the deployment-scale
+    path the r14 advisor asked for.
+    """
     if skew_ratio <= 0 or max_salt < 1:
         raise ValueError(f"bad thresholds: {skew_ratio}, {max_salt}")
+    if factor is not None and factor < 1:
+        raise ValueError(f"bad precomputed factor: {factor}")
     if parallelism is None:
         parallelism = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-    row = (
-        key_profile(df, key_col)
-        .crossJoin(
-            F.broadcast(
-                df.agg(
-                    F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
-                )
-            )
-        )
-        .collect()[0]
+    span_agg = df.agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
     )
-    n, mx = int(row.n or 0), int(row.est_max_key or 0)
-    share = max(n / parallelism, 1.0)
-    factor = 1
-    if mx > skew_ratio * share:
-        factor = min(max_salt, max(2, math.ceil(mx / share)))
+    if factor is None:
+        row = (
+            key_profile(df, key_col, w=SALT_PROFILE_W)
+            .crossJoin(F.broadcast(span_agg))
+            .collect()[0]
+        )
+        n, mx = int(row.n or 0), int(row.est_max_key or 0)
+        factor = _salt_factor_from(n, mx, parallelism, skew_ratio, max_salt)
+    else:
+        row = span_agg.collect()[0]
     if row._lo is None or row._hi is None:
         return 1
     span = max(1, int(math.ceil((row._hi - row._lo).total_seconds())))

@@ -325,6 +325,7 @@ def _auto_chunk_seconds(
     start: datetime,
     end: datetime,
     parallelism: int | None = None,
+    salt_factor: int | None = None,
 ) -> int:
     """Sketch-sized chunk width (r13 verdict ask #3): the CMS skew
     profile measures the hottest subject's share of the slice and the
@@ -341,7 +342,11 @@ def _auto_chunk_seconds(
     )
 
     return auto_chunk_seconds(
-        sliced, "timestamp", "measurement_subject", parallelism=parallelism
+        sliced,
+        "timestamp",
+        "measurement_subject",
+        parallelism=parallelism,
+        factor=salt_factor,
     )
 
 
@@ -353,10 +358,13 @@ def changed_rows_salted(
     end: datetime,
     chunk_seconds: int | str = "auto",
     keep_order_col: bool = False,
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """``changed_rows`` with the lag window salted by time-chunk.
     ``chunk_seconds="auto"`` (default, r13 verdict ask #3) sizes the
-    chunk from the measured subject skew — ``_auto_chunk_seconds``.
+    chunk from the measured subject skew — ``_auto_chunk_seconds``;
+    pass ``salt_factor=`` to reuse a precomputed skew factor (skips
+    the CMS probe, only the span aggregate runs — r14 ADVICE #3).
 
     ``Window.partitionBy(subject)`` concentrates a hot subject's whole
     history in ONE task, and AQE cannot split a window exchange (its
@@ -370,7 +378,9 @@ def changed_rows_salted(
     tests/test_queries.py including NULL runs and timestamp ties."""
     sliced = _slice(conditions, subject, of, start, end)
     if chunk_seconds == "auto":
-        chunk_seconds = _auto_chunk_seconds(sliced, start, end)
+        chunk_seconds = _auto_chunk_seconds(
+            sliced, start, end, salt_factor=salt_factor
+        )
     order_cols = ["timestamp"]
     if "measurement_unique_id" in conditions.columns:
         order_cols.append("measurement_unique_id")
@@ -421,16 +431,21 @@ def state_intervals_salted(
     end: datetime,
     close_at: datetime | None = None,
     chunk_seconds: int | str = "auto",
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """``state_intervals`` on the salted change stream: the lead that
     closes each interval is likewise computed within (subject, chunk)
     and chunk-last rows take their end from the next non-empty chunk's
     first change (summary join, same shape as the lag repair).
     ``chunk_seconds="auto"`` resolves ONCE from the measured subject
-    skew and feeds both the change stream and the interval repair."""
+    skew and feeds both the change stream and the interval repair;
+    ``salt_factor=`` reuses a precomputed skew factor (r14 ADVICE #3)."""
     if chunk_seconds == "auto":
         chunk_seconds = _auto_chunk_seconds(
-            _slice(conditions, subject, of, start, end), start, end
+            _slice(conditions, subject, of, start, end),
+            start,
+            end,
+            salt_factor=salt_factor,
         )
     changes = changed_rows_salted(
         conditions,

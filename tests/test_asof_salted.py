@@ -130,3 +130,20 @@ def test_asof_empty_chunk_carry(spark):
     assert len(got) == 1
     assert got[0]["asof_value"] == 5.0
     assert got[0]["asof_time"] == base
+
+
+def test_asof_salted_precomputed_factor_row_identical(spark):
+    """r14 ADVICE #3: salt_factor= (a precomputed skew factor from a
+    sample or a prior run) must skip the CMS probe yet produce rows
+    identical to the unsalted truth — width-independence already
+    guarantees this for ANY factor, so pin both a splitting factor
+    and the degenerate factor 1."""
+    probes, cond = _corpus(spark)
+    truth = _rows(asof_join(probes, cond, "value"))
+    for factor in (1, 5):
+        got = _rows(
+            asof_join_salted(
+                probes, cond, "value", salt_factor=factor
+            )
+        )
+        assert got == truth

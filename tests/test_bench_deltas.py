@@ -78,3 +78,17 @@ def test_ambient_load_threshold():
     assert b.ambient_load(32, 4.5)
     # degenerate cores never divides by zero
     assert b.ambient_load(0, 1.0)
+
+
+def test_current_round_bad_env_falls_back(monkeypatch, capsys):
+    """r14 ADVICE #2: a non-integer SPARK_GRAFT_ROUND used to raise
+    ValueError inside the detail_name f-string, turning the except
+    handler into a NameError that escaped AFTER the whole bench had
+    run.  A bad env value now falls back to the artifact scan."""
+    b = _bench()
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "not-a-number")
+    r = b._current_round()
+    assert isinstance(r, int) and r >= 0
+    assert "SPARK_GRAFT_ROUND" in capsys.readouterr().err
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "17")
+    assert b._current_round() == 17

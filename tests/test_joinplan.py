@@ -140,6 +140,64 @@ class TestSaltFactor:
         )
         assert auto_chunk_seconds(empty, "ts", "user_id") == 1
 
+    def test_auto_chunk_one_chunk_on_balanced_moderate_cardinality(
+        self, spark
+    ):
+        """r14 ADVICE #1: auto_chunk_seconds re-profiled at the
+        gate-demo width (w=64) instead of SALT_PROFILE_W and
+        duplicated the decision rule, so a balanced key space beyond
+        ~64 distinct keys tripped the skew line (est_max floored at
+        ~n/28 > 4·n/200) and silently chunk-split balanced data on
+        the default chunk_seconds='auto' paths.  Mirror of
+        test_factor_one_on_balanced_moderate_cardinality through the
+        chunk sizer: 128 balanced keys at parallelism 200 must yield
+        factor 1 ⇒ ONE chunk covering the whole span."""
+        from eventhub_to_timescale_spark.operators.joinplan import (
+            auto_chunk_seconds,
+        )
+
+        flat = _uniform(spark, n_keys=128, per_key=8).withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("payload")),
+        )
+        width = auto_chunk_seconds(
+            flat, "ts", "user_id", parallelism=200
+        )
+        span = 7  # payload 0..7 within each key -> max-min = 7 s
+        assert width >= span  # factor 1: one chunk spans the data
+
+    def test_auto_chunk_precomputed_factor_skips_probe(self, spark):
+        """r14 ADVICE #3: a caller with a precomputed skew factor
+        (choose_salt_factor on a sample, a prior run) passes
+        factor= and only the span aggregate runs.  The width must
+        equal ceil(span / factor) exactly, and a bad factor raises."""
+        from eventhub_to_timescale_spark.operators.joinplan import (
+            auto_chunk_seconds,
+        )
+
+        flat = _uniform(spark, n_keys=16, per_key=8).withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("payload")),
+        )
+        # span = 7 s; factor 4 -> ceil(7/4) = 2
+        assert auto_chunk_seconds(flat, "ts", "user_id", factor=4) == 2
+        assert auto_chunk_seconds(flat, "ts", "user_id", factor=1) == 7
+        with pytest.raises(ValueError):
+            auto_chunk_seconds(flat, "ts", "user_id", factor=0)
+
+    def test_factor_rule_is_shared(self):
+        """The decision rule lives in ONE place (_salt_factor_from);
+        the two sketch-width copies drifted once (r14 ADVICE #1) and
+        must not exist to drift again."""
+        import inspect
+
+        from eventhub_to_timescale_spark.operators import joinplan
+
+        for fn in (joinplan.choose_salt_factor, joinplan.auto_chunk_seconds):
+            src = inspect.getsource(fn)
+            assert "_salt_factor_from" in src
+            assert "skew_ratio * share" not in src  # no inline copy
+
 
 class TestExecutedPlans:
     def test_broadcast_advice_changes_plan(self, spark):
