@@ -1903,13 +1903,26 @@ def _dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     below 0.1, the rest above 0.9 — SCALE.md), so 0.5 and 0.8 emit
     the SAME pairs while 0.8 keeps the prefix ~2.5× shorter and the
     candidate set ~20× smaller.  The exact-verify exchange is
-    candidate-bound, so the threshold IS the scale dial."""
+    candidate-bound, so the threshold IS the scale dial.
+
+    BOUNDED WITNESS FIXTURE (r14 verdict ask #1, the r14 md5-CDC
+    pattern): the ORACLE is the unbounded O(N²) brute force — ~1.25e9
+    12-gram list-intersects at sf1, the reason this entry sat on the
+    sf1 sweep skip list r8–r14.  The fixture caps BOTH sides at
+    doc_id < 500: byte-identical at gate scale (sf0.001/sf0.01 hold
+    exactly docs 0–499) and constant-cost above it, so the
+    cross-engine witness (prefix filter's recall-1 bound vs brute
+    force) now sweeps at sf1.  The production path is the operator
+    itself over the FULL corpus — prefix-filtered, candidate-bound,
+    never quadratic (SCALE_SF1.json exp 0.81 pre-bound)."""
     from eventhub_to_timescale_spark.operators.dedup import (
         jaccard_prefix_pairs,
     )
 
     return jaccard_prefix_pairs(
-        _docs(spark, sf_dir), ngram=12, threshold=0.8
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 500),
+        ngram=12,
+        threshold=0.8,
     )
 
 
@@ -1992,8 +2005,21 @@ def _dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.4: the synthetic embeddings are near-orthogonal
     # (max off-diagonal cosine ~0.5), so the paper's 0.9-ish cut
     # would drop nothing — 0.4 exercises real survivor pruning here
+    #
+    # BOUNDED WITNESS FIXTURE (r14 verdict ask #1): this fixed-k=8
+    # form is the oracle-witness anchor for the k∝N production path
+    # (dedup_semantic_default) — its ORACLE's within-cluster pair set
+    # spilled >80 GB at sf1 in r8 (clusters of ~2500 vecs ⇒ ~25M
+    # pair rows × dim), the registry's only superlinear exponent.
+    # vec_id < 500 is byte-identical at gate scale (sf0.001/sf0.01
+    # hold exactly vecs 0–499) and constant-cost above, so the
+    # witness now sweeps at sf1.  The production path stays
+    # dedup_semantic_default over the FULL corpus (k∝N, exp −0.13).
     return semantic_dedup_keep(
-        _embs(spark, sf_dir), k=8, iters=2, threshold=0.4
+        _embs(spark, sf_dir).filter(F.col("vec_id") < 500),
+        k=8,
+        iters=2,
+        threshold=0.4,
     )
 
 
@@ -2109,14 +2135,24 @@ def _pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries between stages so each corpus scan happens once
     (operators/dedup_pipeline.py).  k=8 pinned for the stable
     unrolled-CTE oracle; threshold 0.4 as in dedup_semantic_keep
-    (synthetic embeddings are near-orthogonal)."""
+    (synthetic embeddings are near-orthogonal).
+
+    BOUNDED SEMANTIC-STAGE FIXTURE (r14 verdict ask #1): ONLY the
+    embeddings input is capped at vec_id < 500 — the span-removal and
+    MinHash stages still run over the FULL corpus in both engines, so
+    the sweep keeps exercising the lexical chain at sf1 while the
+    quadratic-ORACLE semantic stage (the reason this entry sat on the
+    skip list) becomes constant-cost.  Byte-identical at gate scale
+    (sf0.001/sf0.01 hold exactly vecs 0–499); keep-first semantics
+    make docs ≥ 500 irrelevant to the < 500 survivor set anyway
+    (doc_b > doc_a in every removal pair)."""
     from eventhub_to_timescale_spark.operators.dedup_pipeline import (
         dedup_full_pipeline,
     )
 
     return dedup_full_pipeline(
         _docs(spark, sf_dir),
-        _embs(spark, sf_dir),
+        _embs(spark, sf_dir).filter(F.col("vec_id") < 500),
         k=8,
         iters=2,
         threshold=0.4,
@@ -3515,7 +3551,15 @@ def _dedup_semantic_oracle() -> str:
         semantic_dedup_oracle_sql,
     )
 
-    return semantic_dedup_oracle_sql(k=8, iters=2, threshold=0.4)
+    # bounded witness fixture (r14 ask #1): vec_id < 500 on both
+    # sides — identity at gate scale, sf1-sweepable (the unbounded
+    # within-cluster pair set spilled >80 GB at sf1 in r8)
+    return semantic_dedup_oracle_sql(
+        k=8,
+        iters=2,
+        threshold=0.4,
+        table="(SELECT * FROM embeddings WHERE vec_id < 500)",
+    )
 
 
 def _pipeline_dedup_oracle() -> str:
@@ -3523,7 +3567,14 @@ def _pipeline_dedup_oracle() -> str:
         dedup_full_pipeline_oracle_sql,
     )
 
-    return dedup_full_pipeline_oracle_sql(k=8, iters=2, threshold=0.4)
+    # bounded semantic-stage fixture (r14 ask #1): embeddings capped
+    # at vec_id < 500 on both sides; lexical stages stay full-corpus
+    return dedup_full_pipeline_oracle_sql(
+        k=8,
+        iters=2,
+        threshold=0.4,
+        emb_table="(SELECT * FROM embeddings WHERE vec_id < 500)",
+    )
 
 
 def _pipeline_curation_oracle() -> str:
@@ -4805,7 +4856,9 @@ JOIN customer ON o_custkey = c_custkey
         "cluster_kmeans": _cluster_kmeans_oracle(),
         "cluster_balanced_sample": _cluster_balanced_oracle(),
         "sketch_hll_portable": _hll_portable_oracle(),
-        "dedup_jaccard_prefix": oc.dedup_ngram_oracle(12, 0.8, 10**9),
+        # bounded witness fixture (r14 ask #1): cap matches the Spark
+        # side's doc_id < 500 — identity at gate scale, sf1-sweepable
+        "dedup_jaccard_prefix": oc.dedup_ngram_oracle(12, 0.8, 500),
         "text_quality_logit": _quality_logit_oracle(),
         "sketch_hll_union": _hll_union_oracle(),
         "text_bigrams_topk": _bigram_topk_oracle(),
