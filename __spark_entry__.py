@@ -2213,6 +2213,34 @@ def _dedup_minhash_autoband(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAIN (r14 verdict ask #5): 12 merge
+    rounds as 12 bounded Spark jobs over the word-frequency VOCAB
+    frame (never the corpus — one map-side word-count groupBy is the
+    only corpus pass), each round one vocab-sized pair-count
+    aggregate + ONE 1-row argmax collect + a JVM-side greedy fold
+    apply.  Deterministic ties (count DESC, pair ASC) keep both
+    engines byte-identical; the oracle unrolls the same loop as
+    materialized CTEs (the k-means precedent).  See operators/bpe.py.
+    """
+    from eventhub_to_timescale_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(spark, _docs(spark, sf_dir), num_merges=12)
+
+
+def _text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful token counts (r14 verdict ask #5): train
+    the 12-merge BPE on the corpus, then count each document's BPE
+    tokens via ONE broadcast join of the vocab's per-word
+    segmentation sizes + a map-side SUM — the corpus is scanned twice
+    total (train + apply), never per merge round.  The manifest's
+    lexer n_tokens stays the default; this is the budgeting twin a
+    trainer actually wants.  See operators/bpe.py bpe_token_counts."""
+    from eventhub_to_timescale_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), num_merges=12)
+
+
 def _events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 ordered 3-step user journeys (behavioral sequence
     mining): one user-partitioned lead window + two map-side
@@ -3233,6 +3261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_full": _pipeline_curation_full,
         "pipeline_curation_report": _pipeline_curation_report,
         "dedup_minhash_autoband": _dedup_minhash_autoband,
+        # — r15 additions (registered here; _R15_HEAD places them)
+        "text_bpe_merges": _text_bpe_merges,
+        "text_bpe_token_count": _text_bpe_token_count,
     }
     # ------------- r14 GATE HEAD (50 entries) -------------
     # Composed per ROTATION.md's committed r14 staleness queue
@@ -3602,6 +3633,22 @@ def _minhash_autoband_oracle() -> str:
     # same driver-side solve as the Spark wrapper: 12 hashes @ 0.8
     bands, _ = choose_minhash_bands(12, 0.8)
     return dedup_minhash_oracle(12, bands, 0.8)
+
+
+def _bpe_merges_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.bpe import (
+        bpe_merges_oracle_sql,
+    )
+
+    return bpe_merges_oracle_sql(num_merges=12)
+
+
+def _bpe_token_count_oracle() -> str:
+    from eventhub_to_timescale_spark.operators.bpe import (
+        bpe_token_count_oracle_sql,
+    )
+
+    return bpe_token_count_oracle_sql(num_merges=12)
 
 
 def _normalize_oracle() -> str:
@@ -4911,6 +4958,8 @@ JOIN customer ON o_custkey = c_custkey
         "pipeline_curation_full": _pipeline_curation_oracle(),
         "pipeline_curation_report": _curation_report_oracle(),
         "dedup_minhash_autoband": _minhash_autoband_oracle(),
+        "text_bpe_merges": _bpe_merges_oracle(),
+        "text_bpe_token_count": _bpe_token_count_oracle(),
         "docs_global_enumerate": """
 SELECT doc_id, source,
        row_number() OVER (ORDER BY doc_id) - 1 AS global_pos

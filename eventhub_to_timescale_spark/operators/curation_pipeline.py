@@ -77,6 +77,8 @@ def _build_stages(
     budget: int,
     stopwords: tuple[str, ...] | None,
     persist_stages: bool,
+    token_mode: str = "lexer",
+    bpe_merges: int = 12,
 ) -> dict[str, DataFrame]:
     """The shared stage chain — one construction for the manifest
     (``curation_full_pipeline``) and the attrition report
@@ -147,7 +149,25 @@ def _build_stages(
         # collect, its phase-2 base, and the downstream sel subtree's
         # double evaluation (shard_order + the final join)
         decon = decon.persist()
-    sel = token_budget_select(decon, budget=budget)
+    if token_mode == "bpe":
+        # tokenizer-faithful budgeting (r14 verdict ask #5): train
+        # the BPE on the decontaminated survivors — the corpus the
+        # budget actually selects from — and budget ITS counts.
+        # Optional mode: "lexer" stays the oracled default.
+        from eventhub_to_timescale_spark.operators.bpe import (
+            bpe_token_counts,
+        )
+
+        counts = bpe_token_counts(decon, num_merges=bpe_merges)
+        sel = token_budget_select(
+            decon, budget=budget, token_counts=counts
+        )
+    elif token_mode == "lexer":
+        sel = token_budget_select(decon, budget=budget)
+    else:
+        raise ValueError(
+            f"token_mode must be 'lexer' or 'bpe', got {token_mode!r}"
+        )
     return {
         "qdocs": qdocs,
         "clean": clean,
@@ -174,11 +194,16 @@ def curation_full_pipeline(
     order_salt: str = "order-v1",
     stopwords: tuple[str, ...] | None = None,
     persist_stages: bool = True,
+    token_mode: str = "lexer",
+    bpe_merges: int = 12,
 ) -> DataFrame:
     """→ (doc_id, n_tokens, shard, pos): the training manifest —
     documents surviving quality + dedup + decontamination, selected
     into ``budget`` tokens in deterministic md5 order, with their
-    shard/position in the reproducible training order."""
+    shard/position in the reproducible training order.
+    ``token_mode="bpe"`` budgets tokenizer-faithful BPE counts
+    (trained on the decontaminated survivors, operators/bpe.py)
+    instead of lexer words — the optional mode of r14 ask #5."""
     from eventhub_to_timescale_spark.operators.sampling import (
         shard_order,
     )
@@ -187,6 +212,7 @@ def curation_full_pipeline(
         docs, eval_mod, min_words, max_words, window, stride, min_docs,
         num_hashes, bands, jaccard_threshold,
         decon_shingle_n, budget, stopwords, persist_stages,
+        token_mode, bpe_merges,
     )["sel"]
     order = shard_order(sel, "doc_id", num_shards, salt=order_salt)
     return (

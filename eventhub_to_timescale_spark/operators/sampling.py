@@ -322,6 +322,7 @@ def token_budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_hex_len: int = 2,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic token-budget corpus selection: walk the corpus in
     md5-shuffled order and keep documents while the running token
@@ -343,24 +344,47 @@ def token_budget_select(
     At 100 TB raise ``bucket_hex_len`` (4 hex chars → 65 536 buckets →
     the sorted slice is ~0.0015% of the corpus).  The driver collect
     is bounded at 16^len rows by construction.  Token counting uses
-    the same ``[a-z]+|[0-9]+`` lexer as text.token_stats.
+    the same ``[a-z]+|[0-9]+`` lexer as text.token_stats — or, when
+    ``token_counts`` is given, a caller-supplied (id, n_tokens)
+    frame (e.g. ``bpe.bpe_token_counts`` for tokenizer-faithful
+    budgeting, r14 verdict ask #5): the counts join replaces the
+    inline lexer, docs absent from the frame count 0 tokens (the
+    zero-lexer-word case), and the two-phase bucket walk is
+    unchanged — the budget semantics never depend on HOW a token
+    was counted.
     """
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
     h = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")
     )
-    toks = F.size(
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+"), 0
+    if token_counts is not None:
+        toks_frame = token_counts.select(
+            F.col(id_col), F.col("n_tokens").alias("_tc")
         )
-    ).cast("long")
-    base = docs.select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        h.alias("_h"),
-        F.substring(h, 1, bucket_hex_len).alias("_b"),
-    )
+        base = (
+            docs.join(toks_frame, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("_tc"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+                h.alias("_h"),
+                F.substring(h, 1, bucket_hex_len).alias("_b"),
+            )
+        )
+    else:
+        toks = F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+"), 0
+            )
+        ).cast("long")
+        base = docs.select(
+            F.col(id_col),
+            toks.alias("n_tokens"),
+            h.alias("_h"),
+            F.substring(h, 1, bucket_hex_len).alias("_b"),
+        )
     # phase 1: per-bucket token totals (bounded: 16^bucket_hex_len rows)
     totals = sorted(
         base.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect(),
