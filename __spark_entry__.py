@@ -2855,13 +2855,23 @@ def _dedup_winnow_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R14_HEAD = [
+# r15 head = the r14 head with the two never-witnessed r15 additions
+# (text_bpe_merges / text_bpe_token_count — the rotation-ledger
+# invariant: a never-driver-witnessed entry must sit inside the gate
+# window) swapped in for the two SIBLING-EXEMPT salted variants
+# (q8/q9_..._salted: documented permanent-tail candidates whose
+# mechanism q8/q9_changed_rows witness every round they gate —
+# scripts/rotation_ledger.py SIBLING_WITNESS; both earned driver-green
+# rows in r14).  The minimal interruption-recovery head: the r14 build
+# round registered the BPE entries but was stopped before composing
+# the r15 window.
+_R15_HEAD = [
     "pipeline_curation_full",
     "pipeline_curation_report",
     "dedup_minhash_autoband",
     "events_quantile_bands_gk",
-    "q8_changed_rows_salted",
-    "q9_state_intervals_salted",
+    "text_bpe_merges",
+    "text_bpe_token_count",
     "asof_probe_value_salted",
     "q1_bucket_avg",
     "q2_resolution_avg",
@@ -3047,7 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     freshly driver-green.
     reg = {
         # ------------- registry (historical r12 head order follows;
-        # the LIVE gate head is _R14_HEAD, applied at return) -------
+        # the LIVE gate head is _R15_HEAD, applied at return) -------
         # — (a) the 2 NEW never-driver-witnessed r12 entries (gear
         #   CDC scale twin + streaming CDC-dedup batch twin)
         "dedup_cdc_gear": _dedup_cdc_gear,
@@ -3252,12 +3262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_from_rollup": _q1_from_rollup,
         "q8_changed_rows_salted": _q8_changes_salted,
         "q9_state_intervals_salted": _q9_intervals_salted,
-        # — r13 additions (registered here; _R14_HEAD places them)
+        # — r13 additions (registered here; _R15_HEAD places them)
         "events_quantile_bands_gk": _events_quantile_bands_gk,
         "sketch_bloom_stream_twin": _sketch_bloom_stream_twin,
         "sketch_join_profile": _sketch_join_profile,
         "sim_rrf_fusion": _sim_rrf_fusion,
-        # — r14 additions (registered here; _R14_HEAD places them)
+        # — r14 additions (registered here; _R15_HEAD places them)
         "pipeline_curation_full": _pipeline_curation_full,
         "pipeline_curation_report": _pipeline_curation_report,
         "dedup_minhash_autoband": _dedup_minhash_autoband,
@@ -3301,16 +3311,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a duplicate name dedupes in the returned dict and shrinks the
     # window the same way a missing one would; real raise, not
     # assert, so `python -O` can't strip the guard)
-    missing = set(_R14_HEAD) - reg.keys()
+    missing = set(_R15_HEAD) - reg.keys()
     if missing:
         raise RuntimeError(f"gate-head entries not in registry: {missing}")
-    if len(_R14_HEAD) != len(set(_R14_HEAD)) or len(_R14_HEAD) != 50:
+    if len(_R15_HEAD) != len(set(_R15_HEAD)) or len(_R15_HEAD) != 50:
         raise RuntimeError(
-            f"gate head must be 50 unique entries, got {len(_R14_HEAD)} "
-            f"({len(set(_R14_HEAD))} unique)"
+            f"gate head must be 50 unique entries, got {len(_R15_HEAD)} "
+            f"({len(set(_R15_HEAD))} unique)"
         )
-    head = list(_R14_HEAD)
-    tail = [k for k in reg if k not in set(_R14_HEAD)]
+    head = list(_R15_HEAD)
+    tail = [k for k in reg if k not in set(_R15_HEAD)]
     return {k: reg[k] for k in head + tail}
 
 

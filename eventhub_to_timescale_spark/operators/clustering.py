@@ -180,6 +180,7 @@ def semantic_dedup_keep(
     scale: int = 10**6,
     vectorized_assign: bool | None = None,
     target_cluster_size: int = 64,
+    persist: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the exact
@@ -217,10 +218,22 @@ def semantic_dedup_keep(
       explicit ``k`` only when a FIXED clustering is the point (the
       stable-oracle gate entry does).
     - ``vectorized_assign=None`` auto-selects: the pure-JVM expression
-      argmin up to k=32 (codegen-friendly literal tree), the exact-
+      argmin up to k=16 (codegen-friendly literal tree), the exact-
       int64 Arrow/numpy argmin above (the literal tree grows linearly
-      in k and falls out of codegen; both paths are bit-identical —
-      pinned by tests/test_clustering.py).
+      in k, falls out of codegen, and as a CodegenFallback
+      higher-order-function chain is evaluated INTERPRETED with
+      per-row array allocation — r15 profiling measured the k=31
+      tree at ~2.4 s per evaluation over 2 000 rows where the numpy
+      argmin is milliseconds; both paths are bit-identical — pinned
+      by tests/test_clustering.py).
+    - ``persist=True`` caches the assigned frame: the final plan
+      consumes it THREE times (both sides of the within-cluster pair
+      join and the survivor anti-join), and without the cache each
+      consumer re-scans the corpus and re-evaluates the assignment —
+      at bench scale the dominant cost, re-paid per consumer (guide
+      §2.4/§5: one evaluation, three readers).  A 100 TB run keeps
+      the same boundary with an explicit DISK_ONLY level; the caller
+      owns release (the same contract as minhash_keep_first).
     """
     quant = _quantized(embeddings, scale)
     if k is None:
@@ -229,7 +242,7 @@ def semantic_dedup_keep(
         n_vecs = quant.count()
         k = max(8, n_vecs // target_cluster_size)
     if vectorized_assign is None:
-        vectorized_assign = k > 32
+        vectorized_assign = k > 16
     centroids = _fit_centroids(quant, k, iters, dim, vectorized_assign)
     nsq = F.aggregate(
         F.zip_with("iv", "iv", lambda a, b: a * b),
@@ -238,6 +251,10 @@ def semantic_dedup_keep(
     )
     assign_fn = _assign_vectorized if vectorized_assign else _assign
     assigned = assign_fn(quant, centroids).withColumn("nsq", nsq)
+    if persist:
+        # three consumers below — without this boundary each one
+        # re-scans the source and re-runs the assignment
+        assigned = assigned.persist()
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cl"),

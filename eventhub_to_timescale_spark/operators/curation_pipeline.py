@@ -104,12 +104,32 @@ def _build_stages(
     if stopwords is None:
         stopwords = STOPWORDS
 
+    # Stage-boundary mechanism (r15 optimization): localCheckpoint
+    # instead of persist.  persist() caches the DATA but every
+    # downstream frame still carries the full upstream LOGICAL plan —
+    # and because each stage references its predecessor 2-3×, the
+    # composed manifest's analyzed tree multiplied out to 2 163 nodes
+    # with the documents relation appearing 148 times.  Catalyst paid
+    # for that tree on every execution (≈0.4 s per fresh plan), and
+    # AQE re-optimizes it after EVERY shuffle stage, so the measured
+    # warm run was ~0.2 s of tasks inside ~3.5-4.4 s of wall clock —
+    # the driver, not the cluster, was the bottleneck (guide §3.3:
+    # enormous plans make planning itself the cost; §5: localCheckpoint
+    # cuts lineage).  A lazy localCheckpoint materializes each
+    # multi-consumer stage ONCE (same work the persist did) and hands
+    # downstream plans a leaf, so the manifest's plan shrinks to the
+    # post-boundary tail.  At deployment scale the boundary would be a
+    # reliable checkpoint / staged table instead — the lineage cut is
+    # the point, not the storage medium.
+    def _boundary(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
     norm = normalize_text(docs).select(
         "doc_id", F.col("norm_text").alias("text")
     )
     if persist_stages:
         # two consumers: the quality stage and the eval shingle slice
-        norm = norm.persist()
+        norm = _boundary(norm)
     eval_docs = norm.filter(F.col("doc_id") % eval_mod == 0)
 
     flags = gopher_quality_flags(
@@ -124,7 +144,7 @@ def _build_stages(
     if persist_stages:
         # three consumers: minhash pair subplan, survivor anti-join,
         # and the decontamination scan
-        clean = clean.persist()
+        clean = _boundary(clean)
     cleaned = clean.select("doc_id", F.col("clean_text").alias("text"))
 
     # the MinHash shingle size is pinned at the corpus-standard 3
@@ -141,14 +161,14 @@ def _build_stages(
         # two consumers inside decontaminate (the shingle scan and the
         # anti-join's corpus side) — without this the LSH pair join
         # and the keep-first anti-join run twice
-        surv = surv.persist()
+        surv = _boundary(surv)
 
     decon = decontaminate(surv, eval_docs, shingle_n=decon_shingle_n)
     if persist_stages:
         # three consumers: token_budget_select's eager bucket-totals
         # collect, its phase-2 base, and the downstream sel subtree's
         # double evaluation (shard_order + the final join)
-        decon = decon.persist()
+        decon = _boundary(decon)
     if token_mode == "bpe":
         # tokenizer-faithful budgeting (r14 verdict ask #5): train
         # the BPE on the decontaminated survivors — the corpus the

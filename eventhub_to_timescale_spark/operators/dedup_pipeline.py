@@ -76,9 +76,16 @@ def dedup_full_pipeline(
 
     clean = remove_repeated_spans(docs, window, stride, min_docs)
     if persist_stages:
-        # three consumers below — the persist boundary that keeps the
-        # span-removal subplan from running three times
-        clean = clean.persist()
+        # three consumers below — the boundary that keeps the
+        # span-removal subplan from running three times.  r15: a lazy
+        # localCheckpoint rather than persist, for the same reason as
+        # curation_pipeline._build_stages — persist caches the data
+        # but leaves the full logical tree under every consumer, and
+        # Catalyst/AQE re-optimized the multiplied-out chain on every
+        # execution (guide §3.3/§5); the checkpoint hands downstream
+        # plans a leaf.  Deployment scale would use a reliable
+        # checkpoint/staged table — the lineage cut is the point.
+        clean = clean.localCheckpoint(eager=False)
     cleaned = clean.select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -93,7 +100,8 @@ def dedup_full_pipeline(
     surv = near_dedup_filter(clean, pairs)
     if persist_stages:
         # two consumers: the embedding semi-join and the final join
-        surv = surv.persist()
+        # (lazy localCheckpoint — see the clean boundary above)
+        surv = surv.localCheckpoint(eager=False)
     emb_surv = embeddings.join(
         surv.select(F.col("doc_id").alias("vec_id")),
         "vec_id",

@@ -119,22 +119,22 @@ ALWAYS_GATED_CORE = {
 }
 
 
-# The planned r14 gate head (ROTATION.md / registry ledger), pinned
+# The planned r15 gate head (ROTATION.md / registry ledger), pinned
 # EXACTLY so an accidental reorder cannot silently change what the
-# driver witnesses: the 3 new never-witnessed entries
-# (pipeline_curation_full + its stage-attrition report +
-# dedup_minhash_autoband) + the 4 changed-surface re-gates
-# (events_quantile_bands_gk accuracy="auto"; the three salted
-# variants chunk_seconds="auto") first, then the restored 34-entry
-# always-gated core (2-round cadence: r10, r12 -> r14), then the 9
-# queue-front entries in ROTATION.md order.
-R14_HEAD = [
+# driver witnesses.  The r14 build round registered the two BPE
+# entries but was interrupted before composing the r15 window, so the
+# minimal recovery head is the r14 head with the two NEVER-WITNESSED
+# additions (text_bpe_merges / text_bpe_token_count) swapped in for
+# the two SIBLING-EXEMPT salted variants (q8/q9_..._salted — gated
+# green r14; their mechanism is witnessed by q8/q9_changed_rows per
+# scripts/rotation_ledger.py SIBLING_WITNESS).
+R15_HEAD = [
     "pipeline_curation_full",
     "pipeline_curation_report",
     "dedup_minhash_autoband",
     "events_quantile_bands_gk",
-    "q8_changed_rows_salted",
-    "q9_state_intervals_salted",
+    "text_bpe_merges",
+    "text_bpe_token_count",
     "asof_probe_value_salted",
     "q1_bucket_avg",
     "q2_resolution_avg",
@@ -325,15 +325,15 @@ _OLD_R9_HEAD_DEMOTIONS = [
 ]
 
 
-def test_gate_head_matches_r14_rotation_plan():
-    """The driver's 50-entry window holds exactly the ledger's r14
-    rotation plan (VERDICT r13 ask #1): the new entry + the 4
-    changed-surface re-gates inside the window, followed by the
-    restored 34-entry core (cadence due r14) and the queue front."""
+def test_gate_head_matches_r15_rotation_plan():
+    """The driver's 50-entry window holds exactly the planned r15
+    head: the r14 window with the two never-witnessed BPE additions
+    swapped in for the two sibling-exempt salted variants (see the
+    R15_HEAD comment above)."""
     head = list(entrymod.queries())[:DRIVER_GATE_WINDOW]
-    assert head == R14_HEAD, (
-        f"gate head drifted from the r14 plan: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R14_HEAD)) if a != b][:5]}"
+    assert head == R15_HEAD, (
+        f"gate head drifted from the r15 plan: "
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(head, R15_HEAD)) if a != b][:5]}"
     )
 
 
@@ -345,19 +345,19 @@ def test_gate_head_guard_rejects_bad_lists():
     head list and restoring it."""
     import pytest
 
-    good = list(entrymod._R14_HEAD)
+    good = list(entrymod._R15_HEAD)
     try:
-        entrymod._R14_HEAD[:] = good[:-1] + ["no_such_entry"]
+        entrymod._R15_HEAD[:] = good[:-1] + ["no_such_entry"]
         with pytest.raises(RuntimeError, match="not in registry"):
             entrymod.queries()
-        entrymod._R14_HEAD[:] = good[:-1] + [good[0]]  # duplicate
+        entrymod._R15_HEAD[:] = good[:-1] + [good[0]]  # duplicate
         with pytest.raises(RuntimeError, match="unique"):
             entrymod.queries()
-        entrymod._R14_HEAD[:] = good[:-1]  # 49 entries
+        entrymod._R15_HEAD[:] = good[:-1]  # 49 entries
         with pytest.raises(RuntimeError, match="50"):
             entrymod.queries()
     finally:
-        entrymod._R14_HEAD[:] = good
+        entrymod._R15_HEAD[:] = good
     assert list(entrymod.queries())[:DRIVER_GATE_WINDOW] == good
 
 

@@ -45,33 +45,52 @@ def _events(spark):
 
 
 class TestCurationPipelinePlan:
-    def test_persist_boundaries_broadcast_probe_no_cartesian(self, spark):
-        """The composed manifest plan must (a) read its four
-        multi-consumer stages (norm/clean/surv/decon) from cache —
-        InMemoryTableScan nodes, the Spark analog of the oracle's
-        MATERIALIZED CTEs — (b) broadcast the decontaminate shingle
-        probe, and (c) contain no cartesian product anywhere."""
+    def test_persist_boundaries_truncate_lineage_no_cartesian(self, spark):
+        """The composed manifest plan must read its four
+        multi-consumer stages (norm/clean/surv/decon) from
+        materialized lineage-cut boundaries — localCheckpoint leaves
+        (``Scan ExistingRDD``), the Spark analog of the oracle's
+        MATERIALIZED CTEs (r15: persist kept the full 2k-node logical
+        tree alive and AQE re-optimized it per stage; the checkpoint
+        leaf is what makes the manifest's own plan this small) — and
+        contain no cartesian product."""
         from eventhub_to_timescale_spark.operators.curation_pipeline import (
             curation_full_pipeline,
         )
 
         manifest = curation_full_pipeline(_docs(spark))
         plan = _plan(manifest)
-        assert plan.count("InMemoryTableScan") >= 4, plan
+        assert plan.count("Scan ExistingRDD") >= 4, plan
+        assert "Cartesian" not in plan
+        # the boundary actually shrank the plan: the lazy composed
+        # form is hundreds of operators, the truncated one tens
+        assert plan.count("\n") < 120, plan.count("\n")
+
+    def test_lazy_composed_plan_broadcasts_probe_no_cartesian(self, spark):
+        """The fully-lazy composed form (persist_stages=False — the
+        oracle-comparison shape) must broadcast the decontaminate
+        shingle probe and contain no cartesian product anywhere in
+        the end-to-end chain."""
+        from eventhub_to_timescale_spark.operators.curation_pipeline import (
+            curation_full_pipeline,
+        )
+
+        manifest = curation_full_pipeline(_docs(spark), persist_stages=False)
+        plan = _plan(manifest)
         assert "BroadcastHashJoin" in plan
         assert "Cartesian" not in plan
 
     def test_report_reads_persisted_stages(self, spark):
         """The attrition report consumes the SAME stage frames — its
-        aggregates must also come off the cached boundaries rather
-        than re-deriving the chain per stage row."""
+        aggregates must also come off the materialized boundaries
+        rather than re-deriving the chain per stage row."""
         from eventhub_to_timescale_spark.operators.curation_pipeline import (
             curation_stage_report,
         )
 
         report = curation_stage_report(_docs(spark))
         plan = _plan(report)
-        assert "InMemoryTableScan" in plan
+        assert "Scan ExistingRDD" in plan
         assert "Cartesian" not in plan
 
 
