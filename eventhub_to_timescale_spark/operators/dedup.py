@@ -267,8 +267,27 @@ def minhash_lsh_pairs(
     if persist_banded:
         banded = banded.persist()
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Decide with small rows, attach the payload once (guide §8; r15
+    # profiling: the signature pass costs ~the scan, the old join tail
+    # was ~80% of the operator).  The band self-join used to carry BOTH
+    # sides' full shingle arrays — kilobytes per row, ×bands copies per
+    # doc — through the join and the dropDuplicates exchange.  Now the
+    # join and pair-dedup see only (doc_id, band_id, band_key); the
+    # shingle arrays re-attach afterwards by doc_id — taken from the
+    # banded frame's band 0 slice (one row per doc, no extra shuffle or
+    # recompute under persist_banded).  The attach joins are left
+    # UNHINTED on purpose: dedup pair graphs are sparse relative to
+    # the corpus, so AQE broadcast-converts the pair side at runtime
+    # (measured: forced shuffle-hash hints cost two extra exchanges
+    # and nearly doubled the operator); when a dup-dense corpus makes
+    # the pair set too big to broadcast, the session's
+    # adaptive.maxShuffledHashJoinLocalMapThreshold converts the
+    # sort-merge fallback to a shuffled-hash join at runtime, keeping
+    # the never-sort-the-array-payload property test_plan_pins_r8
+    # pins for jaccard_prefix_pairs.
+    slim = banded.select("doc_id", "band_id", "band_key")
+    a = slim.alias("a")
+    b = slim.alias("b")
     cand = (
         a.join(
             b.hint("shuffle_hash"),
@@ -279,16 +298,23 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_frame = banded.filter(F.col("band_id") == 0)
+    sh_a = sh_frame.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = sh_frame.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter / union
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

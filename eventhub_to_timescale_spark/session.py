@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime SMJ→shuffled-hash conversion (guide §3.1): when a
+        # post-shuffle partition's build side fits this bound, AQE
+        # replaces the sort-merge join with a shuffled-hash join — the
+        # never-sort-kilobyte-array-payloads rule (r8: sorted exchanges
+        # of gram arrays spilled ~200 GB at the 10× sweep) enforced at
+        # RUNTIME from real sizes instead of per-join hints that would
+        # also block AQE's broadcast conversion when the other side is
+        # tiny.  Size-based and scale-neutral: huge per-partition
+        # builds keep the spillable sort-merge path.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # test parquet carries TIMESTAMP(NANOS) (pandas-written); Spark

@@ -239,9 +239,26 @@ class TestDedupJoinStrategy:
         )
 
     def test_minhash_band_self_join_is_hash_not_sort(self, spark):
+        """r15 shape: the band self-join stays a hinted shuffled-hash
+        join on the slim (doc_id, band_id, band_key) rows, and the
+        shingle-array ATTACH joins — statically planned sort-merge —
+        must be converted by AQE at runtime (broadcast when the pair
+        side is small, shuffled-hash via
+        adaptive.maxShuffledHashJoinLocalMapThreshold otherwise), so
+        the FINAL executed plan never sorts the array payload."""
         from eventhub_to_timescale_spark.operators.dedup import (
             minhash_lsh_pairs,
         )
 
-        plan = _plan(minhash_lsh_pairs(_docs(spark)))
-        assert "SortMergeJoin" not in plan
+        pairs = minhash_lsh_pairs(_docs(spark))
+        # execute THIS Dataset's own query execution (count() would
+        # build a separate aggregate plan and leave this one initial)
+        pairs.collect()
+        whole = _plan(pairs)
+        assert "isFinalPlan=true" in whole, whole
+        # the adaptive plan string prints the final plan first, then
+        # the pre-execution "Initial Plan" (where the statically
+        # planned SMJs legitimately appear) — assert on the final only
+        final = whole.split("Initial Plan")[0]
+        assert "SortMergeJoin" not in final, final
+        assert "BroadcastHashJoin" in final or "ShuffledHashJoin" in final
