@@ -115,14 +115,19 @@ def _build_stages(
     # warm run was ~0.2 s of tasks inside ~3.5-4.4 s of wall clock —
     # the driver, not the cluster, was the bottleneck (guide §3.3:
     # enormous plans make planning itself the cost; §5: localCheckpoint
-    # cuts lineage).  A lazy localCheckpoint materializes each
+    # cuts lineage).  An EAGER localCheckpoint materializes each
     # multi-consumer stage ONCE (same work the persist did) and hands
     # downstream plans a leaf, so the manifest's plan shrinks to the
-    # post-boundary tail.  At deployment scale the boundary would be a
+    # post-boundary tail.  Eager, not lazy: with eager=False the first
+    # action computes the chain and then doCheckpoint() re-runs each
+    # boundary's missing partitions as separate single-task jobs —
+    # measured ~4×2.7 s of duplicate work at construction; the eager
+    # cascade computes each stage exactly once off the previous
+    # boundary's blocks.  At deployment scale the boundary would be a
     # reliable checkpoint / staged table instead — the lineage cut is
     # the point, not the storage medium.
     def _boundary(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=True)
 
     norm = normalize_text(docs).select(
         "doc_id", F.col("norm_text").alias("text")

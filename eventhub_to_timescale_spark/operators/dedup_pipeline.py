@@ -77,7 +77,7 @@ def dedup_full_pipeline(
     clean = remove_repeated_spans(docs, window, stride, min_docs)
     if persist_stages:
         # three consumers below — the boundary that keeps the
-        # span-removal subplan from running three times.  r15: a lazy
+        # span-removal subplan from running three times.  r15: an eager
         # localCheckpoint rather than persist, for the same reason as
         # curation_pipeline._build_stages — persist caches the data
         # but leaves the full logical tree under every consumer, and
@@ -85,7 +85,7 @@ def dedup_full_pipeline(
         # execution (guide §3.3/§5); the checkpoint hands downstream
         # plans a leaf.  Deployment scale would use a reliable
         # checkpoint/staged table — the lineage cut is the point.
-        clean = clean.localCheckpoint(eager=False)
+        clean = clean.localCheckpoint(eager=True)
     cleaned = clean.select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -100,15 +100,23 @@ def dedup_full_pipeline(
     surv = near_dedup_filter(clean, pairs)
     if persist_stages:
         # two consumers: the embedding semi-join and the final join
-        # (lazy localCheckpoint — see the clean boundary above)
-        surv = surv.localCheckpoint(eager=False)
+        # (eager localCheckpoint — see the clean boundary above)
+        surv = surv.localCheckpoint(eager=True)
     emb_surv = embeddings.join(
         surv.select(F.col("doc_id").alias("vec_id")),
         "vec_id",
         "left_semi",
     )
     sem = semantic_dedup_keep(
-        emb_surv, k=k, iters=iters, threshold=threshold, dim=dim
+        emb_surv,
+        k=k,
+        iters=iters,
+        threshold=threshold,
+        dim=dim,
+        # persist_stages=False is the fully-lazy oracle-comparison
+        # form (test_plan_pins_r9) — the semantic stage's internal
+        # assignment cache must follow the same switch
+        persist=persist_stages,
     ).withColumnRenamed("vec_id", "doc_id")
     return (
         surv.join(sem, "doc_id")

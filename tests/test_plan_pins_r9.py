@@ -30,10 +30,14 @@ def _embs(spark):
 class TestDedupPipelinePlan:
     def test_stage_boundaries_are_cached(self, spark):
         """With persist_stages=True the final plan must read the
-        cleaned corpus and the survivor frame from InMemory scans —
-        NOT re-derive them: a plan that re-runs span removal per
-        consumer would show multiple copies of the span-removal
-        aggregate subtree instead of cache hits."""
+        cleaned corpus and the survivor frame from stage-boundary
+        leaves — NOT re-derive them: a plan that re-runs span removal
+        per consumer would show multiple copies of the span-removal
+        aggregate subtree.  r15: the boundaries are eager
+        localCheckpoints (Scan ExistingRDD leaves — the persist left
+        the full logical tree under every consumer and Catalyst/AQE
+        re-planned it per execution); the semantic stage's internal
+        assignment cache still shows as an InMemory scan."""
         from eventhub_to_timescale_spark.operators.dedup_pipeline import (
             dedup_full_pipeline,
         )
@@ -43,9 +47,14 @@ class TestDedupPipelinePlan:
                 _docs(spark), _embs(spark), k=2, dim=8, threshold=0.95
             )
             plan = _plan(df)
+            assert "char_start" not in plan, (
+                "span-removal subtree visible in the final plan — the "
+                "clean-stage checkpoint boundary lost (it should have "
+                "run once at construction, leaving a leaf)"
+            )
             assert "InMemoryTableScan" in plan, (
-                "no cache scan in the pipeline plan — stage persist "
-                "boundaries lost"
+                "no cache scan in the pipeline plan — the semantic "
+                "stage's assignment boundary lost"
             )
             assert "Cartesian" not in plan
             assert "BroadcastNestedLoop" not in plan
@@ -67,7 +76,12 @@ class TestDedupPipelinePlan:
             threshold=0.95,
             persist_stages=False,
         )
-        assert "InMemoryTableScan" not in _plan(df)
+        plan = _plan(df)
+        assert "InMemoryTableScan" not in plan
+        assert "char_start" in plan, (
+            "span-removal subtree missing — the lazy form is no "
+            "longer recomputable from the inputs"
+        )
 
 
 class TestSemanticDedupDefaults:
