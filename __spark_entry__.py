@@ -1350,11 +1350,18 @@ def _emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_quantize,
     )
 
+    # posexplode_OUTER on purpose (r15): the codes array is non-null
+    # and non-empty by construction (norm > 0 ⇒ ≥ 1 component), so
+    # the rows are identical — but the non-outer form made Catalyst
+    # infer `size(q) > 0 AND isnotnull(q)` constraints and push them
+    # below the projection, re-evaluating the whole interpreted
+    # quantize tree per row just to re-prove what the operator
+    # already guarantees.
     return normalize_quantize(_embs(spark, sf_dir)).select(
         "vec_id",
         "dim",
         "norm",
-        F.posexplode("q").alias("component_idx", "q_code"),
+        F.posexplode_outer("q").alias("component_idx", "q_code"),
     )
 
 

@@ -95,28 +95,51 @@ def dsir_topn(
             F.sum(F.col("_is_target").cast("long")).alias("t_cnt"),
         )
     )
-    totals = per_bucket.agg(
-        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    # r15 (guide §2.4): ``per_bucket`` used to feed TWO consumers —
+    # a totals aggregate and the map build — so the corpus bigram
+    # explode + aggregate subplan ran twice.  Collect the ≤ buckets
+    # rows into ONE array row first; totals and the per-bucket
+    # log-ratios are then pure array arithmetic on that row (same
+    # double divisions, same single micro-unit rounding — bit-exact),
+    # and the corpus is exploded exactly once.
+    entries = per_bucket.agg(
+        F.collect_list(F.struct("bucket", "r_cnt", "t_cnt")).alias("es")
+    ).select(
+        "es",
+        F.aggregate(
+            "es", F.lit(0).cast("long"), lambda a, e: a + e["r_cnt"]
+        ).alias("r_tot"),
+        F.aggregate(
+            "es", F.lit(0).cast("long"), lambda a, e: a + e["t_cnt"]
+        ).alias("t_tot"),
     )
-    lw = F.round(
-        (
-            F.log(
-                (F.col("t_cnt") + 1).cast("double")
-                / (F.col("t_tot") + buckets).cast("double")
+
+    def _lw(e: Column) -> Column:
+        return F.round(
+            (
+                F.log(
+                    (e["t_cnt"] + 1).cast("double")
+                    / (F.col("t_tot") + buckets).cast("double")
+                )
+                - F.log(
+                    (e["r_cnt"] + 1).cast("double")
+                    / (F.col("r_tot") + buckets).cast("double")
+                )
             )
-            - F.log(
-                (F.col("r_cnt") + 1).cast("double")
-                / (F.col("r_tot") + buckets).cast("double")
-            )
-        )
-        * 1_000_000
-    ).cast("long")
+            * 1_000_000
+        ).cast("long")
+
     wmap = (
-        per_bucket.crossJoin(F.broadcast(totals))
-        .select(F.col("bucket"), lw.alias("lw_micro"))
-        .agg(
+        entries
+        .select(
             F.map_from_entries(
-                F.collect_list(F.struct("bucket", "lw_micro"))
+                F.transform(
+                    "es",
+                    lambda e: F.struct(
+                        e["bucket"].alias("bucket"),
+                        _lw(e).alias("lw_micro"),
+                    ),
+                )
             ).alias("wmap")
         )
     )

@@ -44,16 +44,27 @@ def normalize_quantize(
     surface; the codes themselves are exact integers so the value hash
     carries no float-rendering risk.
     """
+    # r15 (guide §4.4-adjacent): the norm and the quantize transform
+    # are CodegenFallback higher-order functions, and Catalyst inlines
+    # projected definitions into pushed-down predicates — the
+    # ``raw_norm > 0`` filter (plus downstream Generate-inferred
+    # constraints on ``q``) used to re-evaluate the whole interpreted
+    # aggregate/transform tree up to 3x per row below the exchange.
+    # Routing ``raw_norm`` through the single-element-explode barrier
+    # (ingest.envelope.materialize — a Generate node whose output is
+    # an attribute CollapseProject/pushdown cannot cross) pins ONE
+    # evaluation per row; the quantize transform then references the
+    # attribute and is evaluated once per surviving row.
+    from eventhub_to_timescale_spark.ingest.envelope import materialize
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = l2_norm(v)
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        "vec_id",
+        F.size(F.col(vec_col)).alias("dim"),
+        v.alias("v"),
+    )
     return (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(
-            "vec_id",
-            F.size(F.col(vec_col)).alias("dim"),
-            norm.alias("raw_norm"),
-            v.alias("v"),
-        )
+        materialize(base, l2_norm(F.col("v")), "raw_norm")
         .filter(F.col("raw_norm") > 0)
         .select(
             "vec_id",

@@ -681,6 +681,16 @@ def kmv_source_overlap(
     )
 
     kmv = kmv_sketch(docs, k, group_col, text_col, seed)
+    # r15 (guide §2.4/§5): the overlap shape consumes the sketch frame
+    # twice (pair tagging + the broadcast source list); without a
+    # boundary each reference re-ran the whole scan → distinct → rank
+    # subplan (measured: 4 corpus scans, 34 Exchanges in one plan).
+    # The sketch is ≤ |sources|·k rows — driver-scale — so an eager
+    # localCheckpoint costs one tiny materialization and every
+    # consumer reads a leaf.  At deployment scale this frame is the
+    # STORED per-day sketch table anyway (see docstring) — the
+    # boundary mirrors production, it does not fake it.
+    kmv = kmv.localCheckpoint(eager=True)
     return kmv_overlap_from_sketches(kmv, k)
 
 
@@ -728,26 +738,32 @@ def kmv_overlap_from_sketches(kmv: DataFrame, k: int) -> DataFrame:
     window), or exploded streaming state."""
     from pyspark.sql.window import Window  # noqa: F401
 
-    a = kmv.select(F.col("src").alias("source_a"), "h")
-    b = kmv.select(F.col("src").alias("source_b"), "h")
     # per-pair merged values; tag membership on each side.  Each
     # sketch row replicates to its |sources|-1 partner pairs via an
     # inequality join against the BROADCAST source list — a
     # BroadcastNestedLoop over (sketch rows × |sources|): both sides
     # bounded, never the corpus (a plain non-equi join here would
     # plan as CartesianProduct — pinned out by tests/test_kmv_sketch).
-    pairs_a = a.join(
-        F.broadcast(kmv.select(F.col("src").alias("source_b")).distinct()),
-        F.col("source_a") < F.col("source_b"),
-    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"),
-             F.lit(0).alias("in_b"))
-    pairs_b = b.join(
-        F.broadcast(kmv.select(F.col("src").alias("source_a")).distinct()),
-        F.col("source_a") < F.col("source_b"),
-    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"),
-             F.lit(1).alias("in_b"))
+    # r15: ONE join in both roles instead of two joins + union — a row
+    # (src, h) paired with partner ``other`` lands in the ordered pair
+    # (least, greatest) flagged for whichever side ``src`` is; the
+    # row multiset is identical to the old pairs_a ∪ pairs_b (each
+    # unordered pair contributes every sketch row of each side exactly
+    # once, one membership flag set), so ``merged`` is unchanged —
+    # but the sketch subplan is referenced half as often and the
+    # union branch disappears from the plan.
+    srcs = kmv.select(F.col("src").alias("other")).distinct()
+    tagged = kmv.join(
+        F.broadcast(srcs), F.col("src") != F.col("other")
+    ).select(
+        F.least("src", "other").alias("source_a"),
+        F.greatest("src", "other").alias("source_b"),
+        "h",
+        (F.col("src") < F.col("other")).cast("int").alias("in_a"),
+        (F.col("src") > F.col("other")).cast("int").alias("in_b"),
+    )
     merged = (
-        pairs_a.unionByName(pairs_b)
+        tagged
         .groupBy("source_a", "source_b", "h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
