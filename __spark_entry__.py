@@ -2617,16 +2617,37 @@ def _dedup_evidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventhub_to_timescale_spark.operators.winnowing import winnow_pairs
 
     docs = _docs(spark, sf_dir)
-    mh = minhash_lsh_pairs(
+    # r15: stage each family's PAIR frame (pair-graph-sized, a few
+    # hundred rows here) behind an eager localCheckpoint — without the
+    # boundary every action re-ran all three candidate+verify subplans
+    # end-to-end (profiled: ~3.2 s and 22 jobs per warm count at
+    # sf0.1, ~11 s of task time).  Checkpoint, NOT persist(): a
+    # cached subplan compiles without AQE, so the minhash attach
+    # joins lose their runtime broadcast conversion and the first
+    # action paid ~2x in sort-merge exchanges (measured 7.9 → 15-17 s
+    # cold); the checkpoint runs each family as a normal fully-
+    # adaptive job once, and later actions join three leaves.
+    # The three materializations are INDEPENDENT jobs — overlap them
+    # from a small driver thread pool (guide §2.6) so each family's
+    # straggler tail back-fills the others' idle cores; sequential
+    # eager checkpoints measured ~19 s cold vs ~8 s overlapped.
+    from concurrent.futures import ThreadPoolExecutor
+
+    mh_lazy = minhash_lsh_pairs(
         docs, num_hashes=12, bands=6, jaccard_threshold=0.5,
         persist_banded=True,
     ).select("doc_a", "doc_b", "jaccard")
-    wp = winnow_pairs(docs, k=5, w=4, min_shared=2).select(
+    wp_lazy = winnow_pairs(docs, k=5, w=4, min_shared=2).select(
         "doc_a", "doc_b", F.col("shared").alias("shared_fps")
     )
-    ed = edit_distance_pairs(docs, max_distance=8).select(
+    ed_lazy = edit_distance_pairs(docs, max_distance=8).select(
         "doc_a", "doc_b", "distance"
     )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        mh, wp, ed = pool.map(
+            lambda f: f.localCheckpoint(eager=True),
+            [mh_lazy, wp_lazy, ed_lazy],
+        )
     keys = ["doc_a", "doc_b"]
     return (
         mh.join(wp, keys, "full_outer")

@@ -971,6 +971,17 @@ def tfidf_top_terms(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # r15 (guide §2.4): tf feeds TWO consumers — the df aggregate and
+    # the score join — whose column prunings differ (term-only vs the
+    # full row), so ReuseExchange cannot share the subplan and the
+    # corpus tokenize+explode ran twice (profiled: 2 concurrent
+    # ~900 ms 32-task jobs per count at sf0.1).  An eager
+    # localCheckpoint stages the (doc_id, term, tf) frame once; both
+    # consumers read the leaf.  At deployment scale this is the
+    # staged term-frequency table every IR system materializes anyway
+    # — the idf aggregate stays vocabulary-sized and re-enters as a
+    # broadcast, the corpus is read once.
+    tf = tf.localCheckpoint(eager=True)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = (
         tf.groupBy("term")

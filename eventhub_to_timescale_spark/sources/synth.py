@@ -404,6 +404,8 @@ def events_to_record_messages(events: DataFrame) -> DataFrame:
     undeclared ``smuggled`` field — an ``additionalProperties: false``
     violation the strict validator must reject (``to_json`` omits the
     null field on conforming rows, so only violators carry it)."""
+    from eventhub_to_timescale_spark.ingest.envelope import materialize
+
     events = _parallel(events)
     rec = F.struct(
         _iso(F.col("ts")).alias("timestamp"),
@@ -417,7 +419,15 @@ def events_to_record_messages(events: DataFrame) -> DataFrame:
         F.col("event_id").cast("string").alias("correlation_id"),
         F.when(F.col("event_id") % 10 == 0, F.lit(1)).alias("smuggled"),
     )
-    return events.select(F.to_json(rec).alias("value"))
+    # materialize (Generate barrier), not a bare select: the strict
+    # validator filters on json_object_keys(raw) — a predicate over
+    # THIS rendered string.  As a plain projection Catalyst inlined
+    # the whole StructsToJson render into that predicate and pushed
+    # it below the fan-out repartition, re-rendering every row's JSON
+    # twice in the single-input-partition pre-shuffle stage (r15
+    # profile: 1.2-1.6 s single-task job per warm count).  The
+    # barrier pins one render per row, after the exchange.
+    return materialize(events, F.to_json(rec), "value").select("value")
 
 
 RECORDS_STRICT_ORACLE = """
