@@ -859,6 +859,7 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=12, bands=6, shingle_n=3,
         jaccard_threshold=0.5,
+        persist_banded=True,  # self-join sides share one signature pass
     )
     return near_dedup_components(pairs).orderBy("doc_id")
 
@@ -876,7 +877,8 @@ def _dedup_components_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(
-        docs, num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.5
+        docs, num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.5,
+        persist_banded=True,  # self-join sides share one signature pass
     )
     return dedup_components_keep(docs, pairs).select("doc_id").orderBy(
         "doc_id"
@@ -2216,7 +2218,8 @@ def _dedup_minhash_autoband(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return minhash_autoband_pairs(
-        _docs(spark, sf_dir), num_hashes=12, jaccard_threshold=0.8
+        _docs(spark, sf_dir), num_hashes=12, jaccard_threshold=0.8,
+        persist_banded=True,  # self-join sides share one signature pass
     )
 
 

@@ -143,6 +143,14 @@ def dsir_topn(
             ).alias("wmap")
         )
     )
+    # Stage the trained weight map (ONE row) behind an eager
+    # localCheckpoint: it is the model-parameters frame of the
+    # two-phase DSIR design — without the boundary every action
+    # re-ran the whole train pass (corpus explode + aggregate,
+    # ~0.5 s/count at sf0.1) before scoring.  One tiny row, exactly
+    # the stored-artifact a production importance-resampling run
+    # would persist between train and apply.
+    wmap = wmap.localCheckpoint(eager=True)
     bgs = _bigram_strings(text_col)
     score = F.aggregate(
         F.col("_bgs"),
