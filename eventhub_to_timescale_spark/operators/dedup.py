@@ -96,24 +96,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 
-def banded_signatures(
+def doc_signatures(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = 12,
-    bands: int = 6,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """→ (doc_id, shingles, band_id, band_key): the LSH-banded MinHash
-    signature frame — the candidate-generation key space shared by the
-    batch self-join (``minhash_lsh_pairs``) and the streaming seen-set
-    operator (``streaming/neardup.py``), built from ONE set of Spark
-    expressions so the two paths band identically by construction.
-    NULL texts are excluded (see ``minhash_lsh_pairs`` for why)."""
-    if num_hashes % bands != 0:
-        # a bare assert vanishes under python -O and would silently
-        # truncate the signature
-        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
-    rows_per_band = num_hashes // bands
+    """→ (doc_id, shingles, sig): ONE row per document with its
+    shingle set and full MinHash signature — the pre-banding frame.
+    Split out of ``banded_signatures`` in r15 so the persisted form
+    of ``minhash_lsh_pairs`` can cache shingles ONCE per document
+    instead of once per (document, band).  NULL texts are excluded
+    (see ``minhash_lsh_pairs`` for why)."""
     sh = docs.filter(F.col(text_col).isNotNull()).select(
         F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
@@ -129,7 +123,7 @@ def banded_signatures(
         # hashes are still 12 independent hashes and LSH recall hid it)
         return lambda x: _hash32(x, seed)
 
-    sig = sh.select(
+    return sh.select(
         "doc_id",
         "shingles",
         F.array(
@@ -141,6 +135,20 @@ def banded_signatures(
             ]
         ).alias("sig"),
     )
+
+
+def _explode_bands(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, shingles, sig) → (doc_id, shingles, band_id,
+    band_key): the LSH band expansion — pure string work over the
+    signature array, cheap to re-derive from a cached signature
+    frame."""
+    if num_hashes % bands != 0:
+        # a bare assert vanishes under python -O and would silently
+        # truncate the signature
+        raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    rows_per_band = num_hashes // bands
     return sig.select(
         "doc_id",
         "shingles",
@@ -162,6 +170,26 @@ def banded_signatures(
             )
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+
+def banded_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """→ (doc_id, shingles, band_id, band_key): the LSH-banded MinHash
+    signature frame — the candidate-generation key space shared by the
+    batch self-join (``minhash_lsh_pairs``) and the streaming seen-set
+    operator (``streaming/neardup.py``), built from ONE set of Spark
+    expressions so the two paths band identically by construction.
+    NULL texts are excluded (see ``minhash_lsh_pairs`` for why)."""
+    return _explode_bands(
+        doc_signatures(docs, text_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
 
 
 def choose_minhash_bands(
@@ -251,21 +279,38 @@ def minhash_lsh_pairs(
     default). Results are identical either way; the caller owns
     ``unpersist`` if it cares about executor memory afterwards.
     """
-    # shingles are materialized once inside banded_signatures, then the
-    # signature derives from the materialized column (avoids
+    # shingles are materialized once inside the signature frame, then
+    # the signature derives from the materialized column (avoids
     # re-computing the shingling per hash).  NULL texts are excluded
     # there: the slice/concat_ws path would shingle them as [''] —
     # identical to an empty document — and emit jaccard-1.0 pairs the
-    # oracle (whose NULL band keys never join) doesn't produce
-    banded = banded_signatures(
-        docs,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-    )
+    # oracle (whose NULL band keys never join) doesn't produce.
+    # r15: the persisted form caches the DOC-LEVEL (doc_id, shingles,
+    # sig) frame — one shingle array per document — and re-derives the
+    # band explosion lazily per consumer (cheap string work over the
+    # cached sig).  Persisting the post-explosion frame stored every
+    # shingle array ``bands`` times, and all four consumers (two
+    # self-join sides + two attach slices) re-scanned those redundant
+    # kilobytes per action (profiled: 4 concurrent ~450 ms cache-scan
+    # jobs per warm count at sf0.1).
     if persist_banded:
-        banded = banded.persist()
+        sigs = doc_signatures(
+            docs,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        ).persist()
+        banded = _explode_bands(sigs, num_hashes, bands)
+        sh_frame = sigs
+    else:
+        banded = banded_signatures(
+            docs,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        sh_frame = banded.filter(F.col("band_id") == 0)
 
     # Decide with small rows, attach the payload once (guide §8; r15
     # profiling: the signature pass costs ~the scan, the old join tail
@@ -285,12 +330,21 @@ def minhash_lsh_pairs(
     # sort-merge fallback to a shuffled-hash join at runtime, keeping
     # the never-sort-the-array-payload property test_plan_pins_r8
     # pins for jaccard_prefix_pairs.
+    # The band self-join is UNHINTED (r15): it now carries only
+    # (doc_id, band_id, band_key) — the r8-era shuffle_hash hint
+    # guarded against sorting shingle-array payloads that no longer
+    # flow through this join, and forcing SHJ cost two exchanges
+    # where the planner/AQE can broadcast the narrow side (measured
+    # 0.75 -> 0.45 s per warm count at sf0.1).  At corpus scale the
+    # static plan falls back to sort-merge of narrow keys and the
+    # session's adaptive.maxShuffledHashJoinLocalMapThreshold
+    # converts it to a shuffled-hash join from real sizes at runtime.
     slim = banded.select("doc_id", "band_id", "band_key")
     a = slim.alias("a")
     b = slim.alias("b")
     cand = (
         a.join(
-            b.hint("shuffle_hash"),
+            b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -301,7 +355,6 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh_frame = banded.filter(F.col("band_id") == 0)
     sh_a = sh_frame.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
