@@ -37,13 +37,27 @@ from eventhub_to_timescale_spark.operators.text import _TOKEN_RE
 
 
 def frequent_terms(
-    docs: DataFrame, k: int = 200, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 200,
+    text_col: str = "text",
+    stage_phase1: bool = True,
 ) -> DataFrame:
     """→ (term, freq): every token whose corpus occurrence count
     strictly exceeds N/(k+1) (N = total token occurrences) — the
     exact φ=1/(k+1) heavy-hitter set, most frequent first (ties by
     term ASC).  At most k terms can qualify, by definition of the
-    threshold."""
+    threshold.
+
+    ``stage_phase1`` (r15): the phase-1 per-partition vocabulary —
+    the Misra–Gries summary state a production job would store — is
+    materialized once as an eager ``localCheckpoint`` leaf; the
+    candidate filter, the partition totals AND the global N all
+    derive from it, so each action re-scans the corpus exactly once
+    (phase 2).  Without it the plan re-ran the corpus explode four
+    times (phase-2 side, per-partition counts, the partition-total
+    re-aggregation of the same subplan, and a separate global COUNT —
+    ReuseExchange can't share them across differing prunings).  Pass
+    ``False`` to keep the whole chain lazy/recomputable."""
     if k < 1:
         raise ValueError(f"k must be positive, got {k}")
     toks = F.regexp_extract_all(
@@ -56,6 +70,8 @@ def frequent_terms(
         .groupBy("_pid", "term")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    if stage_phase1:
+        per_part = per_part.localCheckpoint(eager=True)
     part_totals = per_part.groupBy("_pid").agg(
         F.sum("_c").alias("_np")
     )
@@ -65,8 +81,15 @@ def frequent_terms(
         .select("term")
         .distinct()
     )
-    # phase 2: exact recount of the bounded candidate set
-    totals = occ.agg(F.count(F.lit(1)).alias("_n"))
+    # phase 2: exact recount of the bounded candidate set.  N is the
+    # sum of the phase-1 partial counts — identical to COUNT(*) over
+    # occ (every occurrence is counted in exactly one (_pid, term)
+    # group) without a third corpus scan; coalesce covers the
+    # empty-corpus frame (SUM→NULL where COUNT was 0 — the result is
+    # empty either way, but keep the comparison well-typed)
+    totals = per_part.agg(
+        F.coalesce(F.sum("_c"), F.lit(0).cast("bigint")).alias("_n")
+    )
     return (
         occ.join(F.broadcast(candidates), "term")
         .groupBy("term")

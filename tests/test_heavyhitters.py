@@ -100,3 +100,47 @@ class TestFrequentTerms:
                     (t, c) for t, c in toks.items() if c * (k + 1) > n
                 )
                 assert got == want, f"k={k} parts={parts}"
+
+
+class TestStagePhase1:
+    def test_lazy_and_staged_paths_agree(self, spark):
+        """r15: the staged (checkpointed phase-1) default and the
+        fully lazy chain must produce identical rows — the staging is
+        a materialization boundary, not a semantics change."""
+        rows = [
+            (i, "hot hot hot warm warm cold filler%d x%d" % (i, i % 3))
+            for i in range(25)
+        ]
+        staged = sorted(
+            (r["term"], r["freq"])
+            for r in frequent_terms(_docs(spark, rows), k=5).collect()
+        )
+        lazy = sorted(
+            (r["term"], r["freq"])
+            for r in frequent_terms(
+                _docs(spark, rows), k=5, stage_phase1=False
+            ).collect()
+        )
+        assert staged == lazy and staged
+
+    def test_staged_plan_scans_corpus_once(self, spark):
+        """The action-time plan must contain exactly ONE corpus
+        explode (phase 2); phase 1 ran at construction and re-enters
+        as a checkpoint leaf (was 4 explodes: phase-2 side, per_part,
+        part_totals' re-run of per_part, and a separate global
+        COUNT)."""
+        rows = [(i, "a a b c") for i in range(10)]
+        df = frequent_terms(_docs(spark, rows), k=3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate explode") == 1, plan
+        assert "Scan ExistingRDD" in plan, plan
+
+    def test_empty_corpus_is_empty_not_error(self, spark):
+        """N derives from SUM over phase-1 counts now (NULL on empty
+        input where COUNT was 0) — the coalesce keeps the threshold
+        comparison well-typed and the result empty."""
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert frequent_terms(empty, k=3).collect() == []
+        assert (
+            frequent_terms(empty, k=3, stage_phase1=False).collect() == []
+        )
