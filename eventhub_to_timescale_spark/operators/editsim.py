@@ -66,12 +66,27 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_index: bool = True,
+    stage: bool = True,
 ) -> DataFrame:
     """→ (doc_a, doc_b, distance): document pairs whose texts are
     within ``max_distance`` Levenshtein edits, doc_a < doc_b, ordered.
     Candidates must share ≥ ``min_shared`` distinct q-grams (each
     appearing in ≤ ``max_df`` documents); see the module docstring
-    for the completeness bound and the blocking trade."""
+    for the completeness bound and the blocking trade.
+
+    ``stage=True`` (r16 optimization, guide §2.4/§5 — the minhash/KMV
+    staged-frame pattern): eagerly ``localCheckpoint`` the text frame
+    and the df-pruned q-gram index.  Before, the committed r15 profile
+    showed the corpus subtree referenced ~6× in one action — the
+    parquet scan + round-robin exchange re-ran for both verify sides,
+    and the ``rare`` df-aggregate was computed once per self-join side
+    (persist caches data but leaves the full logical tree under every
+    consumer).  Staged, the corpus is read ONCE (at the text boundary)
+    and the gram index + df-prune run ONCE; both self-join sides and
+    both verify sides read checkpoint leaves.  At deployment scale the
+    boundaries are the stored blocking-index tables of a record-linkage
+    pipeline.  ``stage=False`` keeps the fully-lazy recomputable form
+    (oracle comparison / fault-tolerant clusters)."""
     if max_distance < 0 or q < 1:
         raise ValueError(
             f"need max_distance ≥ 0 and q ≥ 1, got {max_distance}, {q}"
@@ -79,6 +94,10 @@ def edit_distance_pairs(
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
     )
+    if stage:
+        # ONE corpus scan: the gram index and both verify sides all
+        # read this leaf
+        base = base.localCheckpoint(eager=True)
     grams = base.select(
         "_id", F.explode(qgram_set(F.col("_txt"), q)).alias("g")
     )
@@ -91,6 +110,14 @@ def edit_distance_pairs(
         .select("g")
     )
     pruned = grams.join(rare, "g")
+    if stage:
+        # one gram-explode + df-prune pass; the self-join reads leaves
+        pruned = pruned.localCheckpoint(eager=True)
+        if persist_index:
+            # the gram cache is fully consumed by the eager checkpoint
+            # above — release it here instead of leaving it to the
+            # caller (nothing downstream re-reads it)
+            grams.unpersist()
     a = pruned.select("g", F.col("_id").alias("doc_a"))
     b = pruned.select("g", F.col("_id").alias("doc_b"))
     cand = (

@@ -147,3 +147,38 @@ class TestEditDistancePairs:
             )
         )
         assert got == want and len(got) >= 1
+
+
+class TestStagedIndex:
+    def test_lazy_and_staged_paths_agree(self, spark):
+        """r16: the staged (checkpointed text + pruned-gram-index)
+        default and the fully lazy chain must produce identical rows —
+        staging is a materialization boundary, not a semantics
+        change."""
+        rows = [
+            (i, "the quick brown fox jumps over lazy dog %d" % (i % 4))
+            for i in range(30)
+        ] + [(99, None)]
+        staged = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(_docs(spark, rows), 4).collect()
+        )
+        lazy = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(
+                _docs(spark, rows), 4, stage=False
+            ).collect()
+        )
+        assert staged == lazy and staged
+
+    def test_staged_plan_scans_corpus_once(self, spark):
+        """The action-time plan must read checkpoint leaves only: no
+        in-plan corpus relation (the r15 profile showed the corpus
+        subtree referenced ~6×: both verify sides re-scanned it and
+        the df-prune aggregate ran once per self-join side) and no
+        gram explode (the index is staged at construction)."""
+        rows = [(i, "abcdefgh %d" % (i % 3)) for i in range(12)]
+        df = edit_distance_pairs(_docs(spark, rows), 3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan, plan
+        assert plan.count("Generate explode") == 0, plan
