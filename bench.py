@@ -197,6 +197,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     warm_min: dict[str, float] = {}
     rows: dict[str, int] = {}
+    leaked_rdd_max = 0  # post-cleanup persistent-RDD high-water mark
     for name, fn in bench_queries.items():
         t0 = time.perf_counter()
         try:
@@ -229,6 +230,27 @@ def main() -> None:
         # regressions on untouched code). One query's caches never
         # outlive its timing block now.
         spark.catalog.clearCache()
+        # clearCache() frees SQL-cached relations only; the eager
+        # localCheckpoint stage boundaries (pipelines, dsir, tfidf,
+        # kmv, heavyhitters, editsim, ...) register RDD-level blocks
+        # that are NOT in the CacheManager and would otherwise linger
+        # in the block manager until JVM GC (r15 verdict ask #3 /
+        # ADVICE: the r8 eviction-pressure failure mode returning
+        # through a different door). Unpersist them explicitly —
+        # safe here because the query's DataFrame is never touched
+        # again after its timing block (a localCheckpoint leaf is NOT
+        # recomputable once its blocks are dropped).
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap):
+            jmap[rid].unpersist()
+        leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+        if leaked:
+            leaked_rdd_max = max(leaked_rdd_max, leaked)
+            print(
+                f"warning: {leaked} RDD blocks survived cleanup after "
+                f"{name}",
+                file=sys.stderr,
+            )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(warm.values()), 3)
@@ -272,12 +294,32 @@ def main() -> None:
                 "cold": timings[k],
                 "warm_median": warm.get(k),
                 "warm_min": warm_min.get(k),
+                # cold + 3×warm composite (r15 verdict ask #5): staged
+                # queries pay their boundary materialization in the
+                # cold pass and read leaves warm, so warm-only
+                # round-over-round comparisons mix "full compute" and
+                # "read a leaf" regimes — this column compares total
+                # work under the bench's own 1-cold + 3-warm method.
+                "cold_plus_3warm": (
+                    round(timings[k] + 3 * warm[k], 3)
+                    if timings[k] >= 0 and k in warm
+                    else None
+                ),
                 "rows": rows.get(k),
             }
             for k in timings
         },
         "total_cold": total,
         "total_warm_median": total_warm,
+        "total_cold_plus_3warm": round(
+            sum(
+                timings[k] + 3 * warm[k]
+                for k in timings
+                if timings[k] >= 0 and k in warm
+            ),
+            3,
+        ),
+        "leaked_rdd_blocks_max": leaked_rdd_max,
         "deltas_vs_previous": deltas,
     }
     detail_name = "BENCH_DETAIL.json"  # bound pre-try: the except

@@ -126,8 +126,13 @@ def _build_stages(
     # boundary's blocks.  At deployment scale the boundary would be a
     # reliable checkpoint / staged table instead — the lineage cut is
     # the point, not the storage medium.
-    def _boundary(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+    # The mechanism is session-selectable via
+    # spark.eventhub_to_timescale.stageBoundary (operators/boundary.py
+    # — r15 ADVICE: cluster runs can choose a fault-tolerant boundary
+    # without code edits).
+    from eventhub_to_timescale_spark.operators.boundary import (
+        stage_boundary as _boundary,
+    )
 
     norm = normalize_text(docs).select(
         "doc_id", F.col("norm_text").alias("text")

@@ -70,6 +70,9 @@ def dedup_full_pipeline(
         minhash_lsh_pairs,
         near_dedup_filter,
     )
+    from eventhub_to_timescale_spark.operators.boundary import (
+        stage_boundary,
+    )
     from eventhub_to_timescale_spark.operators.substrdup import (
         remove_repeated_spans,
     )
@@ -84,8 +87,9 @@ def dedup_full_pipeline(
         # Catalyst/AQE re-optimized the multiplied-out chain on every
         # execution (guide §3.3/§5); the checkpoint hands downstream
         # plans a leaf.  Deployment scale would use a reliable
-        # checkpoint/staged table — the lineage cut is the point.
-        clean = clean.localCheckpoint(eager=True)
+        # checkpoint/staged table — the lineage cut is the point; the
+        # mechanism is session-selectable (operators/boundary.py).
+        clean = stage_boundary(clean)
     cleaned = clean.select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -100,8 +104,8 @@ def dedup_full_pipeline(
     surv = near_dedup_filter(clean, pairs)
     if persist_stages:
         # two consumers: the embedding semi-join and the final join
-        # (eager localCheckpoint — see the clean boundary above)
-        surv = surv.localCheckpoint(eager=True)
+        # (stage boundary — see the clean boundary above)
+        surv = stage_boundary(surv)
     emb_surv = embeddings.join(
         surv.select(F.col("doc_id").alias("vec_id")),
         "vec_id",

@@ -76,12 +76,20 @@ def dsir_topn(
     n: int = 100,
     buckets: int = 256,
     text_col: str = "text",
+    stage: bool = True,
 ) -> DataFrame:
     """→ (doc_id, dsir_logw): the ``n`` raw-corpus documents most
     target-like under the hashed-bigram importance weight, best first
     (ties by doc_id). ``target`` is a boolean Column marking the rows
     that define the target distribution (e.g. ``F.col("lang") ==
     "en"``); documents with fewer than two tokens score 0.
+
+    ``stage`` (default on) materializes the trained one-row weight map
+    as an eager ``localCheckpoint`` — the stored-model artifact of the
+    two-phase train/apply design.  ``stage=False`` keeps the fully
+    lazy, recomputable chain (no job at construction time; every
+    action re-runs the train pass) — the oracle-comparison form, same
+    escape hatch as the pipelines' ``persist_stages`` (r15 ADVICE).
     """
     bg = docs.select(
         F.col("doc_id"),
@@ -109,8 +117,15 @@ def dsir_topn(
         F.aggregate(
             "es", F.lit(0).cast("long"), lambda a, e: a + e["r_cnt"]
         ).alias("r_tot"),
+        # coalesce inside the fold (r15 ADVICE): SUM() skips NULLs but
+        # F.aggregate propagates them — a bucket whose every row has a
+        # NULL target predicate must poison only ITS OWN weight (the
+        # pre-r15 totals behaviour), not every bucket's t_tot.  r_cnt
+        # is COUNT(*) and can never be NULL.
         F.aggregate(
-            "es", F.lit(0).cast("long"), lambda a, e: a + e["t_cnt"]
+            "es",
+            F.lit(0).cast("long"),
+            lambda a, e: a + F.coalesce(e["t_cnt"], F.lit(0).cast("long")),
         ).alias("t_tot"),
     )
 
@@ -149,8 +164,14 @@ def dsir_topn(
     # re-ran the whole train pass (corpus explode + aggregate,
     # ~0.5 s/count at sf0.1) before scoring.  One tiny row, exactly
     # the stored-artifact a production importance-resampling run
-    # would persist between train and apply.
-    wmap = wmap.localCheckpoint(eager=True)
+    # would persist between train and apply.  Mechanism session-
+    # selectable (operators/boundary.py).
+    if stage:
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        wmap = stage_boundary(wmap)
     bgs = _bigram_strings(text_col)
     score = F.aggregate(
         F.col("_bgs"),

@@ -96,8 +96,13 @@ def edit_distance_pairs(
     )
     if stage:
         # ONE corpus scan: the gram index and both verify sides all
-        # read this leaf
-        base = base.localCheckpoint(eager=True)
+        # read this leaf (mechanism session-selectable —
+        # operators/boundary.py)
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        base = stage_boundary(base)
     grams = base.select(
         "_id", F.explode(qgram_set(F.col("_txt"), q)).alias("g")
     )
@@ -112,7 +117,7 @@ def edit_distance_pairs(
     pruned = grams.join(rare, "g")
     if stage:
         # one gram-explode + df-prune pass; the self-join reads leaves
-        pruned = pruned.localCheckpoint(eager=True)
+        pruned = stage_boundary(pruned)
         if persist_index:
             # the gram cache is fully consumed by the eager checkpoint
             # above — release it here instead of leaving it to the

@@ -71,7 +71,12 @@ def frequent_terms(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     if stage_phase1:
-        per_part = per_part.localCheckpoint(eager=True)
+        # mechanism session-selectable (operators/boundary.py)
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        per_part = stage_boundary(per_part)
     part_totals = per_part.groupBy("_pid").agg(
         F.sum("_c").alias("_np")
     )

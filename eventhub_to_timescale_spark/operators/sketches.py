@@ -639,6 +639,7 @@ def kmv_source_overlap(
     group_col: str = "source",
     text_col: str = "text",
     seed: str = KMV_SEED,
+    stage: bool = True,
 ) -> DataFrame:
     """→ (source_a, source_b, union_est, intersect_est, jaccard_est):
     estimated DISTINCT-content union / intersection / Jaccard for
@@ -690,7 +691,16 @@ def kmv_source_overlap(
     # consumer reads a leaf.  At deployment scale this frame is the
     # STORED per-day sketch table anyway (see docstring) — the
     # boundary mirrors production, it does not fake it.
-    kmv = kmv.localCheckpoint(eager=True)
+    # ``stage=False`` keeps the fully-lazy recomputable chain (no job
+    # at construction; the oracle-comparison form — r15 ADVICE, same
+    # escape hatch as the pipelines' ``persist_stages``).  Mechanism
+    # session-selectable (operators/boundary.py).
+    if stage:
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        kmv = stage_boundary(kmv)
     return kmv_overlap_from_sketches(kmv, k)
 
 

@@ -934,7 +934,7 @@ FROM m
 
 
 def tfidf_top_terms(
-    docs: DataFrame, k: int = 3, text_col: str = "text"
+    docs: DataFrame, k: int = 3, text_col: str = "text", stage: bool = True
 ) -> DataFrame:
     """→ (doc_id, term, tf, rank, tfidf): each document's top-``k``
     terms by smoothed TF-IDF — the per-document keyword extractor a
@@ -981,7 +981,16 @@ def tfidf_top_terms(
     # staged term-frequency table every IR system materializes anyway
     # — the idf aggregate stays vocabulary-sized and re-enters as a
     # broadcast, the corpus is read once.
-    tf = tf.localCheckpoint(eager=True)
+    # ``stage=False`` keeps the fully-lazy recomputable chain (no job
+    # at construction; the oracle-comparison form — r15 ADVICE, same
+    # escape hatch as the pipelines' ``persist_stages``).  Mechanism
+    # session-selectable (operators/boundary.py).
+    if stage:
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        tf = stage_boundary(tf)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = (
         tf.groupBy("term")

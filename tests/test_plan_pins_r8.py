@@ -239,13 +239,15 @@ class TestDedupJoinStrategy:
         )
 
     def test_minhash_band_self_join_is_hash_not_sort(self, spark):
-        """r15 shape: the band self-join stays a hinted shuffled-hash
-        join on the slim (doc_id, band_id, band_key) rows, and the
-        shingle-array ATTACH joins — statically planned sort-merge —
-        must be converted by AQE at runtime (broadcast when the pair
-        side is small, shuffled-hash via
-        adaptive.maxShuffledHashJoinLocalMapThreshold otherwise), so
-        the FINAL executed plan never sorts the array payload."""
+        """r15 shape: the band self-join is UNHINTED (the r8
+        shuffle_hash hint was removed once only slim (doc_id, band_id,
+        band_key) rows flow through it) — the planner/AQE picks the
+        strategy from real sizes — and the shingle-array ATTACH joins
+        — statically planned sort-merge — must be converted by AQE at
+        runtime (broadcast when the pair side is small, shuffled-hash
+        via adaptive.maxShuffledHashJoinLocalMapThreshold otherwise).
+        The assertion therefore covers the AQE-FINAL plan only: it
+        must never sort an array payload."""
         from eventhub_to_timescale_spark.operators.dedup import (
             minhash_lsh_pairs,
         )
