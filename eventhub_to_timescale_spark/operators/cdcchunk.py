@@ -95,20 +95,34 @@ def cdc_chunks(
         ),
         F.array(F.length(t)),
     )
-    chunk = lambda lo, hi: F.substring(t, lo + 1, hi - lo)  # noqa: E731
+
+    # Bind the boundary array ONCE per row via the single-element
+    # ``transform`` idiom (ingest/dynamic.py ``_node`` — the repo's
+    # no-CSE workaround): the chunk lambda below references the
+    # boundary list 6 times (size, lo, hi, and the length twice), and
+    # Catalyst inlines a fresh copy of the full boundary expression —
+    # an md5 per text POSITION — at every reference.  Bound as a
+    # lambda variable, the rolling-hash pass runs once per document
+    # instead of six times; the per-chunk expressions are identical,
+    # so the emitted rows are bit-for-bit the same.
+    def _packed(bs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(bs) - 1),
+            lambda j: F.struct(
+                F.md5(
+                    F.substring(t, bs[j - 1] + 1, bs[j] - bs[j - 1])
+                ).alias("h"),
+                (bs[j] - bs[j - 1]).alias("n"),
+            ),
+        )
+
     base = docs.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0)
     ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     exploded = base.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(bounds) - 1),
-                lambda j: F.struct(
-                    F.md5(chunk(bounds[j - 1], bounds[j])).alias("h"),
-                    (bounds[j] - bounds[j - 1]).alias("n"),
-                ),
-            )
+            F.element_at(F.transform(F.array(bounds), _packed), 1)
         ).alias("chunk_idx", "c"),
     )
     return exploded.select(

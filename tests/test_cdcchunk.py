@@ -261,3 +261,17 @@ class TestGearChunks:
             rows = shared.collect()
             assert len(rows) >= 1
             assert all(r["n_docs"] == 2 and r["first_doc"] == 1 for r in rows)
+
+
+class TestBoundaryExpressionBoundOnce:
+    def test_rolling_hash_appears_once_in_plan(self, spark):
+        """r16 pin: the md5 rolling-window boundary expression must be
+        bound ONCE per row via the single-element transform idiom
+        (ingest/dynamic.py _node).  Before the fix the per-chunk
+        lambda referenced the boundary array 6 times and Catalyst
+        inlined a fresh full rolling-hash pass (one md5 per text
+        position) at every reference — grep the optimized plan for the
+        window-hash signature and demand exactly one expansion."""
+        df = cdc_chunks(_docs(spark, [(1, _text(9, 300))]))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("conv(substring(md5(") == 1
