@@ -705,19 +705,45 @@ def near_dedup_components(
     graph — full connected components, the exact semantics keep-first
     (`near_dedup_filter`) approximates.
 
-    Iterative min-label propagation WITH path compression: each round
+    Iterative min-label propagation WITH path compression: each step
     first takes the minimum over neighbors' labels, then replaces each
     label by its label's label (pointer jumping), so convergence is
-    O(log diameter) rounds — a 2^20-long chain converges within the
-    default ``max_iters``. Each round is two broadcast-able equi-joins
+    O(log diameter) steps — a 2^20-long chain converges within the
+    default ``max_iters``. Each step is two broadcast-able equi-joins
     + a groupBy over the PAIR graph only — corpus size never enters;
     the driver-side convergence check counts changed labels, an action
     over the (small) label frame, not the corpus. If ``max_iters`` is
     still exhausted without convergence a ``RuntimeWarning`` is issued
     rather than silently returning partial clusters.
+
+    Action layout (r16, guide §2.4/§5 — the bench and any scheduler
+    pay per ACTION here, so the loop is shaped to minimize them):
+
+    - ``edges`` is materialized ONCE as a stage boundary before the
+      loop. Without it every round's neighbor join re-ran the entire
+      upstream PAIR subplan (the LSH band join, the winnowing pair
+      join, ...) — k rounds meant k extra executions of the most
+      expensive frame in the query.
+    - each round applies TWO propagation steps before the boundary +
+      convergence count, halving the number of checkpoint/count
+      actions. Output is unchanged: labels are pointwise monotone
+      non-increasing under a step (every update is a ``least`` with
+      the current label), so step²(L) = L forces step(L) ≤ L and
+      step²(L) ≤ step(L) ≤ L = step²(L), i.e. step(L) = L — the
+      double-step loop exits at exactly the single-step fixpoint
+      (component-minimum labels), never a 2-cycle.
+    - the changed-label flag is computed INSIDE the checkpointed frame
+      (one extra leaf-join against the previous round's labels), so
+      the convergence check is a filter-count over the fresh boundary
+      — two tiny leaf scans per round, not a re-plan of the join.
     """
     import warnings
-    edges = (
+
+    from eventhub_to_timescale_spark.operators.boundary import (
+        stage_boundary as _boundary,
+    )
+
+    edges = _boundary(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(
@@ -731,11 +757,12 @@ def near_dedup_components(
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    converged = False
-    for _ in range(max_iters):
+
+    def _step(lbl: DataFrame) -> DataFrame:
+        """One min-label propagation + pointer-jumping compression."""
         neighbor_min = (
             edges.join(
-                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                lbl.withColumnRenamed("doc_id", "dst").withColumnRenamed(
                     "cluster_id", "nbr_label"
                 ),
                 on="dst",
@@ -744,11 +771,12 @@ def near_dedup_components(
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
         stepped = (
-            labels.join(neighbor_min, on="doc_id", how="left")
+            lbl.join(neighbor_min, on="doc_id", how="left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
@@ -758,7 +786,7 @@ def near_dedup_components(
             F.col("doc_id").alias("cluster_id"),
             F.col("cluster_id").alias("grand"),
         )
-        updated = (
+        return (
             stepped.join(parents, on="cluster_id", how="left")
             .select(
                 "doc_id",
@@ -768,14 +796,24 @@ def near_dedup_components(
                 ).alias("cluster_id"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
+
+    converged = False
+    for _ in range(max_iters):
+        twice = _step(_step(labels))
+        updated = _boundary(
+            twice.join(
+                labels.select(
+                    "doc_id", F.col("cluster_id").alias("_prev")
+                ),
+                on="doc_id",
+            ).select(
+                "doc_id",
+                "cluster_id",
+                (F.col("cluster_id") != F.col("_prev")).alias("_chg"),
+            )
         )
-        labels = updated
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
@@ -853,13 +891,23 @@ def jaccard_prefix_pairs(
     corpus size; the registered query uses n=12 for exactly this
     reason.
 
-    ``persist_frames`` (default on) persists the shingled frame and
-    the prefix frame: the DAG references grams in SIX branches (df
-    count, rank join, both candidate sides, both verify sides) and
-    without a cache each branch re-shingles the corpus — measured 6×
-    end-to-end at sf0.1 (18.7 s → 3.2 s warm).  A 100 TB run keeps
-    the persist but picks an explicit StorageLevel (DISK_ONLY), same
-    contract as ``minhash_lsh_pairs(persist_banded=True)``.
+    ``persist_frames`` (default on) materializes the shingled frame
+    and the prefix frame as STAGE BOUNDARIES (operators/boundary.py —
+    session-selectable localCheckpoint/checkpoint/persist): the DAG
+    references grams in SIX branches (df count, rank join, both
+    candidate sides, both verify sides) and without a boundary each
+    branch re-shingles the corpus — measured 6× end-to-end at sf0.1
+    (18.7 s → 3.2 s warm under the original persist()).  r16 moved the
+    mechanism from persist() to the shared boundary helper: persist
+    kept the full logical plan under every consumer, so Catalyst
+    re-planned the window subtree per branch and AQE compiled the
+    candidate join without runtime size facts; the boundary hands
+    every consumer a leaf (plan: 30 Exchanges → see
+    plans/r16/dedup_jaccard_prefix_after.txt) and the verify joins'
+    strategies are now AQE-chosen from real sizes instead of forced
+    shuffle_hash hints — the same migration minhash_lsh_pairs made in
+    r15.  ``persist_frames=False`` stays the fully-lazy recomputable
+    form for oracle comparison.
 
     SHUFFLE-WIDTH NOTE — grams are hashed to 64-bit longs
     (``xxhash64``) immediately after shingling, and every downstream
@@ -875,6 +923,10 @@ def jaccard_prefix_pairs(
     (df, gram text); any SHARED total order preserves the pigeonhole
     recall bound, so output is still exactly brute force.
     """
+    from eventhub_to_timescale_spark.operators.boundary import (
+        stage_boundary as _boundary,
+    )
+
     d = docs.filter(F.col(text_col).isNotNull())
     g = d.select(
         "doc_id",
@@ -883,7 +935,7 @@ def jaccard_prefix_pairs(
         ).alias("grams"),
     )
     if persist_frames:
-        g = g.persist()
+        g = _boundary(g)
     # set size from the array — no second window pass
     toks = g.select(
         "doc_id", F.size("grams").alias("s"), F.explode("grams").alias("gram")
@@ -902,7 +954,7 @@ def jaccard_prefix_pairs(
         .select("doc_id", "gram", "s", "rn")
     )
     if persist_frames:
-        prefix = prefix.persist()
+        prefix = _boundary(prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: matching at prefix positions (i, j)
     # bounds the achievable overlap at 1 + min(s_a−i, s_b−j); Jaccard
@@ -946,12 +998,16 @@ def jaccard_prefix_pairs(
     # the gram-array payload is kilobytes per row: a SortMergeJoin
     # here sorts candidate×array bytes and spills catastrophically on
     # duplicate-dense corpora (measured: >200 GB of sorter spill at
-    # the 10× sweep).  ShuffledHashJoin builds on the per-partition
-    # doc slice (small) and STREAMS the fat side — no sort, no spill
-    # proportional to candidate volume.
+    # the 10× sweep).  The joins are left UNHINTED (r16, matching the
+    # r15 minhash migration): the session-level
+    # adaptive.maxShuffledHashJoinLocalMapThreshold=64 MB lets AQE
+    # convert the sort-merge to a shuffled-hash join from REAL
+    # post-shuffle sizes — same no-sorted-array-exchange guarantee the
+    # old shuffle_hash hints forced, without blocking AQE's broadcast
+    # conversion when the doc-level side fits the broadcast threshold.
     return (
-        cand.join(ga.hint("shuffle_hash"), "doc_a")
-        .join(gb.hint("shuffle_hash"), "doc_b")
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")

@@ -223,20 +223,25 @@ class TestDedupJoinStrategy:
     STREAMS the fat side — no sort, no payload-proportional spill."""
 
     def test_jaccard_verify_joins_are_hash_not_sort(self, spark):
+        """r16 shape: the verify joins are UNHINTED (matching the r15
+        minhash migration) and the shingle/prefix frames are stage
+        boundaries, so the strategy is AQE-chosen from real sizes —
+        the assertion covers the AQE-FINAL plan: the gram-array verify
+        joins (on doc_a / doc_b) must never sort.  The candidate
+        self-join on the scalar gram key may stay sort-merge: its rows
+        are narrow (doc_id, gram, s, rn)."""
         from eventhub_to_timescale_spark.operators.dedup import (
             jaccard_prefix_pairs,
         )
 
-        plan = _plan(jaccard_prefix_pairs(_docs(spark), ngram=3))
-        # the two VERIFY joins (on doc_a / doc_b) carry the gram
-        # arrays — those must never sort.  The candidate self-join on
-        # the scalar gram key may stay sort-merge: its rows are
-        # narrow (doc_id, gram, s, rn).
-        assert "SortMergeJoin [doc_a" not in plan
-        assert "SortMergeJoin [doc_b" not in plan
-        assert plan.count("ShuffledHashJoin") >= 2 or (
-            "BroadcastHashJoin" in plan
-        )
+        pairs = jaccard_prefix_pairs(_docs(spark), ngram=3)
+        pairs.collect()
+        whole = _plan(pairs)
+        assert "isFinalPlan=true" in whole, whole
+        final = whole.split("Initial Plan")[0]
+        assert "SortMergeJoin [doc_a" not in final, final
+        assert "SortMergeJoin [doc_b" not in final, final
+        assert "ShuffledHashJoin" in final or "BroadcastHashJoin" in final
 
     def test_minhash_band_self_join_is_hash_not_sort(self, spark):
         """r15 shape: the band self-join is UNHINTED (the r8
