@@ -185,6 +185,7 @@ def bloom_seen_verdicts(
     id_col: str = "doc_id",
     m: int = _DEFAULT_M,
     k: int = _DEFAULT_K,
+    stage: bool = True,
 ) -> DataFrame:
     """Sequential Bloom pre-filter verdicts → (doc_id, maybe_seen):
     for every document, in ``doc_id`` (arrival) order, "had ALL k of
@@ -207,6 +208,12 @@ def bloom_seen_verdicts(
     (map-side combinable), one equi-join back on position, one
     map-side-combinable min per doc.  Never corpus × corpus; the
     first-setter frame is bounded by m rows.
+
+    ``stage`` (default on, r16): the (doc_id, pos) fan is materialized
+    once as a stage boundary — it feeds BOTH the first-setter
+    aggregation and the probe join, so the lazy form ran the corpus
+    md5 key + k position hashes twice per action (guide §2.4).
+    ``stage=False`` keeps the fully-lazy recomputable form.
     """
     if m < 2 or k < 1:
         raise ValueError(f"need m ≥ 2 and k ≥ 1, got {m}, {k}")
@@ -218,6 +225,12 @@ def bloom_seen_verdicts(
         "doc_id",
         F.explode(_positions(F.col("_key"), m, k)).alias("pos"),
     )
+    if stage:
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary as _boundary,
+        )
+
+        fan = _boundary(fan)
     first = fan.groupBy("pos").agg(F.min("doc_id").alias("_first"))
     return (
         fan.join(F.broadcast(first), "pos")

@@ -124,10 +124,21 @@ def bpe_train(
     argmax collect, then the fold application.  The vocab frame is
     persisted per round (previous round unpersisted) so round r+1
     starts from materialized state instead of an N-deep fold lineage.
-    Stops early if no pair remains (fully merged corpus)."""
+    Stops early if no pair remains (fully merged corpus).
+
+    Action layout (r16, guide §2.4): round r+1's argmax job is ALSO
+    round r's materialization — the fold result is persisted lazily
+    and first computed by the next argmax, and the parent's cache is
+    only released once its child is materialized.  One bounded job
+    per round instead of two (the old shape ran an extra ``count()``
+    per round purely to materialize; measured ~half the train's cold
+    wall at sf0.1).  Only a full-range loop pays one final
+    materialization count for the last vocab (its argmax never runs).
+    """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     vocab = _init_vocab(docs, text_col).persist()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, num_merges + 1):
@@ -140,18 +151,28 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # the collect above materialized `vocab` from prev's cache;
+            # prev's blocks are now dead weight
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b, c = best[0].a, best[0].b, int(best[0].c)
             merges.append((r, a, b, c))
             nxt = vocab.select(
                 "word", "freq", F.expr(_merge_fold_expr(a, b)).alias("syms")
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = nxt
+            ).persist()  # lazy: the NEXT round's argmax materializes it
+            prev, vocab = vocab, nxt
+        if prev is not None:
+            # full-range exit: the final vocab never had an argmax run
+            # over it — materialize off prev's cache, then release prev
+            vocab.count()
+            prev.unpersist()
     except Exception:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
         raise
     return merges, vocab
 
@@ -187,12 +208,25 @@ def bpe_token_counts(
     holds each word's final segmentation) and a map-side SUM — the
     corpus is scanned twice total (train word-count + apply), never
     per merge round.  Documents with zero lexer words are absent
-    (inner-join semantics, same as the oracle)."""
+    (inner-join semantics, same as the oracle).
+
+    The per-word token-count table is cut from the train lineage with
+    a stage boundary (r16): the old shape unpersisted the trained
+    vocab BEFORE returning, so every action on the returned frame
+    re-ran the whole N-round merge-fold chain from the raw corpus —
+    measured 0.95 s warm at sf0.1 for what is one broadcast-join +
+    SUM over a leaf (~0.3 s).  The boundary is the trained-model
+    artifact a production tokenizer would ship anyway."""
     _, vocab = bpe_train(docs, num_merges, text_col)
-    word_tokens = vocab.select(
-        "word", F.size("syms").cast("long").alias("_wtok")
+    from eventhub_to_timescale_spark.operators.boundary import (
+        stage_boundary as _boundary,
     )
-    out = (
+
+    word_tokens = _boundary(
+        vocab.select("word", F.size("syms").cast("long").alias("_wtok"))
+    )
+    vocab.unpersist()  # safe: word_tokens is materialized
+    return (
         docs.select(
             F.col(id_col),
             F.explode(
@@ -207,8 +241,6 @@ def bpe_token_counts(
         .agg(F.sum("_wtok").alias("n_tokens"))
         .orderBy(id_col)
     )
-    vocab.unpersist()
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -499,6 +499,7 @@ def bigram_lm_score(
     docs: DataFrame,
     text_col: str = "text",
     bigram_top_k: int = 2000,
+    stage: bool = True,
 ) -> DataFrame:
     """Bigram-LM fluency scoring — the second-order refinement of
     ``unigram_lm_score``: each adjacent pair (w1, w2) scores
@@ -520,22 +521,48 @@ def bigram_lm_score(
     and the corpus then probes it broadcast.  Two map-side-combinable
     count passes + one bounded broadcast join; the only driver scalar
     is total_tokens (same as the unigram model).
+
+    ``stage`` (default on, r16): the tokenized corpus
+    ``(doc_id, tokens[])`` is materialized once as a stage boundary.
+    Without it the regexp tokenizer ran over the corpus FOUR times per
+    action — the unigram count, the ``total`` scalar at construction,
+    the bigram count, and the probe side (guide §2.4: the same
+    staged-frame fix as tfidf/edit-distance).  ``stage=False`` keeps
+    the fully-lazy recomputable form for oracle comparison.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
-            )
-        ).alias("token"),
+    from eventhub_to_timescale_spark.operators.boundary import (
+        stage_boundary as _boundary,
     )
+
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
+        ).alias("_toks"),
+    )
+    if stage:
+        base = _boundary(base)
+    toks = base.select(F.explode("_toks").alias("token"))
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
     total = uni.agg(F.sum("ucnt")).collect()[0][0]
     if not total:
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, n_bigrams long, avg_neg_logprob double"
         )
-    bi = _bigram_arrays(docs, text_col)
+    tv = F.col("_toks")
+    pairs = F.when(
+        F.size(tv) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tv) - 1),
+            lambda i: F.struct(
+                F.element_at(tv, i).alias("w1"),
+                F.element_at(tv, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
     bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
     vocab = bcnt.orderBy(
         F.col("bcnt").desc(), "w1", "w2"

@@ -588,6 +588,10 @@ def test_overlap_join_blocking_is_exact(spark):
         )
 
     left, right = mk(120, 0), mk(120, 1000)
+    # collect both sides ONCE: a `for r in right.collect()` inner loop
+    # re-runs the Spark action per left row (120 jobs per bucket size —
+    # measured 163 s for a test whose real work is ~9 s)
+    left_rows, right_rows = left.collect(), right.collect()
     for bucket_seconds in (600, 3600, 86400):
         got = {
             (r.measurement_subject, r.l_id, r.r_id,
@@ -597,8 +601,8 @@ def test_overlap_join_blocking_is_exact(spark):
         brute = {
             (l.measurement_subject, l.interval_id, r.interval_id,
              max(l.start, r.start), min(l.end, r.end))
-            for l in left.collect()
-            for r in right.collect()
+            for l in left_rows
+            for r in right_rows
             if l.measurement_subject == r.measurement_subject
             # [s,s) is the empty set: overlaps nothing (the raw
             # predicate would treat it as a point)

@@ -61,7 +61,13 @@ def test_stream_kmv_converges_to_batch_sketch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # stateful applyInPandasWithState + availableNow never
+    # self-terminates (see conftest.drain_stateful_stream): a bare
+    # awaitTermination(300) burned its FULL timeout churning zero-input
+    # batches — 305 s measured for a test whose data work is ~10 s
+    from conftest import drain_stateful_stream
+
+    drain_stateful_stream(q)
 
     emitted = spark.read.parquet(str(tmp_path / "out"))
     latest = (
