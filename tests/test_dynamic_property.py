@@ -128,47 +128,61 @@ def _norm(kind, raw):
     return raw
 
 
+# One Spark action per BATCH of generated payloads, not per payload:
+# the depth-6 flatten expression tree costs ~2 s of analysis +
+# interpreted evaluation per action, so 25 one-row actions was ~50 s
+# of pure per-action overhead (measured).  3 examples × ≤25 payloads
+# keeps the generated-case volume while shrinking still works (the
+# list strategy shrinks element-wise).
 @settings(
-    max_examples=25,
+    max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(payload=PAYLOAD)
-def test_dynamic_flatten_matches_reference_model(spark_session, payload):
+@given(
+    payloads=st.lists(PAYLOAD, min_size=1, max_size=25)
+)
+def test_dynamic_flatten_matches_reference_model(spark_session, payloads):
     from pyspark.sql import functions as F  # noqa: F401
 
     from eventhub_to_timescale_spark.ingest.dynamic import flatten_payload_dynamic
 
     df = spark_session.createDataFrame(
-        [(json.dumps(payload, separators=(",", ":")),)], "payload string"
+        [
+            (i, json.dumps(p, separators=(",", ":")))
+            for i, p in enumerate(payloads)
+        ],
+        "pid int, payload string",
     )
     rows = flatten_payload_dynamic(df, "payload").collect()
-    got = sorted(
-        (
-            r.measurement_of,
-            r.measurement_data_type,
-            repr(_norm(r.measurement_data_type, r.measurement_value)),
+    for i, payload in enumerate(payloads):
+        got = sorted(
+            (
+                r.measurement_of,
+                r.measurement_data_type,
+                repr(_norm(r.measurement_data_type, r.measurement_value)),
+            )
+            for r in rows
+            if r.pid == i
         )
-        for r in rows
-    )
-    want_raw = _model_leaves(payload)
-    want = sorted(
-        (
-            name,
-            kind,
-            repr(
-                float(v)
-                if kind == "number"
-                else (
-                    [float(x) for x in v]
-                    if kind == "geography" or isinstance(v, list)
-                    else v
-                )
-            ),
+        want_raw = _model_leaves(payload)
+        want = sorted(
+            (
+                name,
+                kind,
+                repr(
+                    float(v)
+                    if kind == "number"
+                    else (
+                        [float(x) for x in v]
+                        if kind == "geography" or isinstance(v, list)
+                        else v
+                    )
+                ),
+            )
+            for (name, kind, v) in want_raw
         )
-        for (name, kind, v) in want_raw
-    )
-    assert got == want
+        assert got == want, payload
 
 
 @pytest.fixture(scope="module")
