@@ -2047,7 +2047,9 @@ def _dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_duplicates,
     )
 
-    norm = normalize_text(_docs(spark, sf_dir)).select(
+    # order=False: the presentation sort is useless under a further
+    # transformation (exact_duplicates orders its own output)
+    norm = normalize_text(_docs(spark, sf_dir), order=False).select(
         "doc_id", F.col("norm_text").alias("text")
     )
     return exact_duplicates(norm)

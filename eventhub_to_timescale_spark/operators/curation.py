@@ -317,7 +317,10 @@ _LOWER_ASCII = "abcdefghijklmnopqrstuvwxyz"
 
 
 def normalize_text(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: bool = True,
 ) -> DataFrame:
     """→ (doc_id, norm_text, changed): canonical text form for
     exact-match work — the pre-step that makes ``exact_dedup``/KMV
@@ -363,11 +366,18 @@ def normalize_text(
         _UPPER_ASCII,
         _LOWER_ASCII,
     )
-    return docs.select(
+    out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(t.isNotNull(), norm).alias("norm_text"),
         F.when(t.isNotNull(), norm != t).alias("changed"),
-    ).orderBy("doc_id")
+    )
+    # ``order=False`` for pipeline composition (r16): the presentation
+    # sort is a full range Exchange that AQE collapses to ONE partition
+    # at bench scale, so every downstream stage built on the sorted
+    # frame (quality flags, span surgery, shingling) ran single-
+    # threaded off a 1-partition boundary leaf.  Standalone/oracled
+    # callers keep the sorted contract (default).
+    return out.orderBy("doc_id") if order else out
 
 
 def normalize_oracle_sql(

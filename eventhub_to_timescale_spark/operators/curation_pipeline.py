@@ -134,7 +134,9 @@ def _build_stages(
         stage_boundary as _boundary,
     )
 
-    norm = normalize_text(docs).select(
+    # order=False: a presentation sort here would range-Exchange to one
+    # partition at bench scale and single-thread every later stage
+    norm = normalize_text(docs, order=False).select(
         "doc_id", F.col("norm_text").alias("text")
     )
     if persist_stages:
@@ -150,7 +152,9 @@ def _build_stages(
         flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
 
-    clean = remove_repeated_spans(qdocs, window, stride, min_docs)
+    clean = remove_repeated_spans(
+        qdocs, window, stride, min_docs, order=False
+    )
     if persist_stages:
         # three consumers: minhash pair subplan, survivor anti-join,
         # and the decontamination scan

@@ -77,7 +77,9 @@ def dedup_full_pipeline(
         remove_repeated_spans,
     )
 
-    clean = remove_repeated_spans(docs, window, stride, min_docs)
+    clean = remove_repeated_spans(
+        docs, window, stride, min_docs, order=False
+    )
     if persist_stages:
         # three consumers below — the boundary that keeps the
         # span-removal subplan from running three times.  r15: an eager

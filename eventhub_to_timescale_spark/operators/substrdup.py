@@ -175,6 +175,7 @@ def remove_repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: bool = True,
 ) -> DataFrame:
     """→ (doc_id, clean_text, removed_chars): every document with its
     flagged cross-document boilerplate spans CUT OUT — the terminal
@@ -228,19 +229,24 @@ def remove_repeated_spans(
             ),
         ),
     )
-    return (
-        docs.join(per_doc, docs[id_col] == per_doc["_sd"], "left")
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.when(F.col("_spans").isNotNull(), clean)
-            .otherwise(t)
-            .alias("clean_text"),
-            F.coalesce(F.col("_cut"), F.lit(0)).cast("long").alias(
-                "removed_chars"
-            ),
-        )
-        .orderBy("doc_id")
+    out = docs.join(
+        per_doc, docs[id_col] == per_doc["_sd"], "left"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col("_spans").isNotNull(), clean)
+        .otherwise(t)
+        .alias("clean_text"),
+        F.coalesce(F.col("_cut"), F.lit(0)).cast("long").alias(
+            "removed_chars"
+        ),
     )
+    # ``order=False`` for pipeline composition (r16): the presentation
+    # sort range-Exchanges the full cleaned text and AQE collapses the
+    # tiny bench-scale shuffle to ONE partition — the span-surgery fold
+    # and every later pipeline stage then ran single-threaded off a
+    # 1-partition boundary leaf.  Standalone/oracled callers keep the
+    # sorted contract (default).
+    return out.orderBy("doc_id") if order else out
 
 
 def repeated_windows_oracle_sql(
