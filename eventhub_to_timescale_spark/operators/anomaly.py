@@ -71,13 +71,29 @@ def mad_outliers(
     value_col: str = "value",
     id_col: str = "event_id",
     k: float = 3.0,
+    stage: bool = True,
 ) -> DataFrame:
     """→ (id, group, value) of rows whose value deviates from the
-    group median by more than ``k`` MADs (see module docstring)."""
+    group median by more than ``k`` MADs (see module docstring).
+
+    ``stage`` (default on) materializes the ≤|groups|-row (med, mad)
+    stats frame through the session's stage boundary — it is exactly
+    the fitted-model artifact the stream-static applier persists, and
+    without it every action re-runs BOTH median aggregations (two full
+    input scans) before the final scoring scan.  The input frame is
+    NOT staged (only scanned), so the caller controls its own
+    caching; ``stage=False`` keeps the fully-lazy recomputable form
+    for oracle comparison."""
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     g, v = F.col(group_col), F.col(value_col)
     stats = mad_stats(events, group_col, value_col)
+    if stage:
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        stats = stage_boundary(stats)
     return (
         events.join(F.broadcast(stats), group_col)
         .filter(F.abs(v - F.col("_med")) > F.lit(k) * F.col("_mad"))

@@ -78,6 +78,11 @@ def basket_pmi(
     type_n = baskets.groupBy(F.col("event_type").alias("t")).agg(
         F.count(F.lit(1)).alias("n_t")
     )
+    if persist_baskets:
+        # type_n re-enters the result TWICE (as n_a and as n_b); the
+        # lazy form re-aggregates the basket frame once per side per
+        # action. |event_types| rows — same caller-releases contract.
+        type_n = type_n.persist()
     a = baskets.select(
         "user_id", "session_idx", F.col("event_type").alias("type_a")
     )

@@ -45,12 +45,23 @@ def graph_triangle_stats(
     self-loops are removed before counting.
 
     ``persist_graph`` (default on, caller-releases contract like
-    pagerank's) caches the canonical edge and degree frames: edges
-    feed four consumers (degrees, orientation, the closure probe, the
-    edge count) and degrees feed four more — without the cache every
+    pagerank's) caches the canonical edge, degree AND oriented-edge
+    frames: edges feed three consumers (degrees, orientation, the
+    closure probe), degrees feed three more, and the oriented frame
+    is BOTH sides of the wedge self-join — without the cache every
     consumer re-executes the whole upstream pair-generation plan
     (e.g. the MinHash banding join), measured 8 s → sub-second at
-    sf0.1.  Both frames are pair-graph-sized, never corpus-sized.
+    sf0.1, and each action re-ran the orientation join twice (once
+    per wedge side).  All three frames are pair-graph-sized, never
+    corpus-sized.
+
+    n_nodes / n_edges / n_wedges all come out of ONE aggregation pass
+    over the degree frame (r16): n_edges = Σdeg/2 exactly (every edge
+    contributes to both endpoint degrees), so the former separate
+    edge-count subtree is gone.  On an empty graph Σdeg/2 is
+    coalesced to 0 to keep the former COUNT(*) semantics, while
+    n_wedges stays NULL exactly as the SUM aggregate (and the DuckDB
+    oracle) always produced.
     """
     edges = (
         pairs.select(
@@ -89,6 +100,10 @@ def graph_triangle_stats(
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
     )
+    if persist_graph:
+        # both wedge sides read this frame — without the cache the
+        # orientation join (edges ⨝ deg ⨝ deg) runs twice per action
+        oriented = oriented.persist()
     # wedges at the low-degree vertex: (s; t1 < t2)
     w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
@@ -101,19 +116,23 @@ def graph_triangle_stats(
         "left_semi",
     )
     n_tri = closed.agg(F.count(F.lit(1)).alias("n")).select("n")
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n")).select("n")
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
-    # wedge count for the coefficient is the UNORIENTED one:
-    # Σ deg·(deg−1)/2 over vertices (every unordered neighbor pair)
-    n_wedges = deg.agg(
+    # ONE pass over the degree frame yields all three graph totals:
+    # n_nodes = |deg|, n_edges = Σdeg/2 (each edge is counted at both
+    # endpoints — coalesced to 0 on an empty graph, matching the old
+    # COUNT(*) subtree), and the UNORIENTED wedge count
+    # Σ deg·(deg−1)/2 (every unordered neighbor pair; NULL on an
+    # empty graph, exactly as the bare SUM always was).
+    totals = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.coalesce(F.sum("deg"), F.lit(0)) / F.lit(2))
+        .cast("long")
+        .alias("n_edges"),
         (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
         .cast("long")
-        .alias("n")
-    ).select("n")
+        .alias("n_wedges"),
+    )
     return (
-        n_nodes.select(F.col("n").alias("n_nodes"))
-        .crossJoin(F.broadcast(n_edges.select(F.col("n").alias("n_edges"))))
-        .crossJoin(F.broadcast(n_wedges.select(F.col("n").alias("n_wedges"))))
+        totals
         .crossJoin(
             F.broadcast(n_tri.select(F.col("n").alias("n_triangles")))
         )

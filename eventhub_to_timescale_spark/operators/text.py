@@ -757,6 +757,7 @@ def bm25_topk(
     terms: tuple[str, ...],
     k: int = 20,
     text_col: str = "text",
+    stage: bool = True,
 ) -> DataFrame:
     """BM25 document retrieval: the top-``k`` documents for a bag of
     query ``terms`` under Okapi BM25 (k1=1.2, b=0.75) with Lucene's
@@ -775,12 +776,16 @@ def bm25_topk(
     (score DESC, doc_id) order is total.  Headroom: 2·idf·44·tf·L ≤
     2·14e6·44·tf·L — inside int64 through sf10-scale corpora.
 
-    100 TB posture: one corpus scan computes (dl, tf per term); one
-    map-side-combinable aggregation produces the global (N, L, df)
-    row, which re-enters as a BROADCAST cross-join (one row — the
-    corpus never shuffles); scoring is whole-stage-codegen'd integer
-    math and the top-k is TakeOrderedAndProject (per-partition heap,
-    driver merges k rows, no global sort).
+    100 TB posture: one corpus scan computes (dl, tf per term) into a
+    staged narrow frame (``stage=True`` default; both the stats
+    aggregate and the scoring probe read it, so the tokenize pass
+    runs once, not twice); one map-side-combinable aggregation
+    produces the global (N, L, df) row, which re-enters as a
+    BROADCAST cross-join (one row — the corpus never shuffles);
+    scoring is whole-stage-codegen'd integer math and the top-k is
+    TakeOrderedAndProject (per-partition heap, driver merges k rows,
+    no global sort).  ``stage=False`` is the fully-lazy
+    oracle-comparison form.
     """
     t = F.col(text_col)
     ws = _words(t)
@@ -797,6 +802,18 @@ def bm25_topk(
     for i, term in enumerate(terms):
         sel.append(term_count(term).alias(f"tf{i}"))
     per_doc = docs.select(*sel)
+    if stage:
+        # (doc_id, dl, tf0..tfN) feeds TWO consumers — the global
+        # (N, L, df) stats aggregate and the scoring probe — so the
+        # lazy form tokenizes the corpus twice per action (guide
+        # §2.4).  The staged frame is the narrow per-doc term-stats
+        # table an inverted-index build would persist anyway;
+        # ``stage=False`` keeps the fully-lazy recomputable form.
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        per_doc = stage_boundary(per_doc)
 
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -77,6 +77,11 @@ def activity_xcorr(
         # dense grid join); the boundary keeps the raw-event scan to
         # exactly one. Cached frame is |types| x |buckets| rows.
         counts = counts.persist()
+    # NOTE: `dense` below is also persisted under this flag — it is
+    # BOTH sides of the lag self-join, so the lazy form evaluates the
+    # grid-join subplan twice per action (measured: 14 jobs/action at
+    # sf0.1, guide §2.4 duplicated-subtree). Cached frame is the same
+    # |types| x |buckets| rows as counts.
     span = counts.agg(
         F.min("b").alias("blo"), F.max("b").alias("bhi")
     )
@@ -91,6 +96,8 @@ def activity_xcorr(
     dense = grid.join(counts, ["etype", "b"], "left").select(
         "etype", "b", F.coalesce("c", F.lit(0)).alias("c")
     )
+    if persist_counts:
+        dense = dense.persist()
     lags = F.explode(
         F.sequence(F.lit(-max_lag), F.lit(max_lag))
     ).alias("lag")

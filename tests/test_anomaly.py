@@ -57,8 +57,32 @@ def test_rejects_negative_k(spark):
 
 def test_plan_broadcasts_both_stats(spark):
     df = _ev(spark, [(i, "ab"[i % 2], float(i)) for i in range(20)])
-    plan = mad_outliers(df)._jdf.queryExecution().executedPlan().toString()
-    # every stats join against the fact scan must broadcast — the
-    # fact table itself is never shuffled for a join
+    # lazy form (stage=False): both stats joins are in the action
+    # plan — every stats join against the fact scan must broadcast;
+    # the fact table itself is never shuffled for a join
+    plan = (
+        mad_outliers(df, stage=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+    # staged form (default): the fitted stats frame is a boundary
+    # leaf, so the action plan holds exactly the one scoring join —
+    # still broadcast, still no fact-side shuffle
+    staged = (
+        mad_outliers(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in staged
+    assert "SortMergeJoin" not in staged
+    assert staged.count("median") == 0  # aggregations ran at the boundary
+
+
+def test_staged_equals_lazy(spark):
+    rows = [(i, "abc"[i % 3], float((i * 7) % 23)) for i in range(60)]
+    rows += [(100, "a", 1e6), (101, "b", -1e6)]
+    df = _ev(spark, rows)
+    staged = {tuple(r) for r in mad_outliers(df).collect()}
+    lazy = {tuple(r) for r in mad_outliers(df, stage=False).collect()}
+    assert staged == lazy and staged  # same verdicts, non-empty

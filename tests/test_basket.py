@@ -109,3 +109,18 @@ def test_oracle_parity_sf0001(spark):
     )
     want = con.execute(basket_pmi_oracle_sql()).fetchall()
     assert got == want and len(got) > 0
+
+
+def test_unpersisted_form_matches(spark):
+    df = _events(
+        spark,
+        [
+            (1, 0, ["a", "b", "c"]),
+            (1, 1, ["a", "b"]),
+            (2, 0, ["b", "c"]),
+            (2, 1, ["a", "b", "c"]),
+        ],
+    )
+    cached = basket_pmi(df).collect()
+    lazy = basket_pmi(df, persist_baskets=False).collect()
+    assert cached == lazy and len(cached) > 0

@@ -65,3 +65,15 @@ class TestBm25:
         assert "ArrowEvalPython" not in plan
         assert "SortMergeJoin" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+def test_staged_equals_lazy(spark):
+    texts = (
+        ["spark window dup"] * 3
+        + ["spark spark spark"] * 2
+        + ["window pane", "dup dedup dup", "unrelated words entirely"] * 4
+    )
+    docs = _docs(spark, texts)
+    staged = bm25_topk(docs, terms=("spark", "dup"), k=8).collect()
+    lazy = bm25_topk(docs, terms=("spark", "dup"), k=8, stage=False).collect()
+    assert staged == lazy and len(staged) > 0

@@ -79,3 +79,22 @@ class TestTriangleStats:
             graph_triangle_stats_oracle_sql("SELECT doc_a, doc_b FROM p")
         ).fetchall()[0]
         assert got == want
+
+
+def test_empty_pair_frame_totals(spark):
+    # r16 single-pass totals: n_edges = Σdeg/2 must coalesce to the
+    # old COUNT(*)'s 0 on an empty graph, while n_wedges stays NULL
+    # exactly as the bare SUM (and the DuckDB oracle) produced
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    r = graph_triangle_stats(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
+    assert r["n_wedges"] is None
+    assert r["clustering_coeff"] == 0.0
+
+
+def test_unpersisted_form_matches(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    cached = graph_triangle_stats(df).collect()
+    lazy = graph_triangle_stats(df, persist_graph=False).collect()
+    assert cached == lazy

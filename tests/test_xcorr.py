@@ -152,3 +152,12 @@ def test_negative_epoch_buckets_floor_and_match_oracle(spark):
         .collect()[0][0]
     )
     assert b == -1
+
+
+def test_unpersisted_form_matches(spark):
+    spec = [("a", b, c) for b, c in enumerate([3, 1, 4, 1, 5])]
+    spec += [("b", b, c) for b, c in enumerate([2, 7, 1, 8, 2])]
+    ev = _events(spark, spec)
+    cached = activity_xcorr(ev, BUCKET, 1).collect()
+    lazy = activity_xcorr(ev, BUCKET, 1, persist_counts=False).collect()
+    assert cached == lazy and len(cached) > 0
