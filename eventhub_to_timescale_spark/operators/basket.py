@@ -75,6 +75,10 @@ def basket_pmi(
     n_sessions = baskets.select("user_id", "session_idx").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+    if persist_baskets:
+        # one row — but the lazy form re-runs the session distinct
+        # (a full exchange over the basket frame) on every action
+        n_sessions = n_sessions.persist()
     type_n = baskets.groupBy(F.col("event_type").alias("t")).agg(
         F.count(F.lit(1)).alias("n_t")
     )

@@ -97,12 +97,21 @@ def _merge_fold_expr(a: str, b: str) -> str:
     if not (_SYM_OK.match(a) and _SYM_OK.match(b)):
         raise ValueError(f"non-lexer symbols in merge pair: {a!r}, {b!r}")
     merged = a + b
-    return (
+    fold = (
         "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
         f"AND s = '{b}' "
         f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
         "ELSE concat(acc, array(s)) END)"
+    )
+    # Cheap containment pre-check: a word without BOTH symbols cannot
+    # hold an adjacent (a, b), and on such a word the fold is the
+    # identity (it appends every symbol unchanged) — so skipping it is
+    # bit-identical while sparing the interpreted array rebuild on the
+    # typically large majority of vocabulary rows each round.
+    return (
+        f"CASE WHEN array_contains(syms, '{a}') "
+        f"AND array_contains(syms, '{b}') THEN {fold} ELSE syms END"
     )
 
 

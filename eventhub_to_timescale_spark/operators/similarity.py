@@ -332,6 +332,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    stage: bool = True,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cosine, rank): approximate top-k via
     an IVF coarse quantizer — queries probe their ``nprobe`` nearest
@@ -340,7 +341,14 @@ def ivf_topk(
     Scale shape: centroid training is a bounded driver-side sample;
     cell assignment is a per-row expression over the full corpus;
     candidate generation is an equi-join on cell id (queries exploded
-    ×nprobe, broadcast). The corpus never self-joins."""
+    ×nprobe, broadcast). The corpus never self-joins.
+
+    ``stage`` (default on) materializes the cell-assigned corpus
+    through the session's stage boundary: that frame IS the inverted
+    file a production IVF index stores once at build time — the lazy
+    form re-runs the Arrow assignment pass over the whole corpus on
+    every action.  ``stage=False`` keeps the fully-lazy recomputable
+    form for oracle comparison."""
     import numpy as np
 
     cents = train_ivf_centroids(embeddings, n_centroids)
@@ -357,6 +365,12 @@ def ivf_topk(
         .filter((F.size("cv") == dim) & _finite_vec(F.col("cv")))
         .withColumn("cell", assign(F.col("cv")))
     )
+    if stage:
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        corpus = stage_boundary(corpus)
 
     # driver-side probe list per query (queries are a bounded set)
     qrows = (

@@ -233,3 +233,21 @@ def test_rrf_fusion_beats_each_single_ranker(spark, clustered_ground_truth):
         f"lsh={r_lsh:.3f} ivf={r_ivf:.3f}"
     )
     assert r_fused >= 0.70, f"fused recall@{K} = {r_fused:.3f} (floor 0.70)"
+
+
+def test_ivf_staged_equals_lazy(spark):
+    # r16: the cell-assigned corpus (the stored inverted file) is a
+    # stage-boundary leaf by default; results must match the lazy form
+    from eventhub_to_timescale_spark.operators.similarity import ivf_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(200, 64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    staged = ivf_topk(emb, query_max_id=4, k=3).collect()
+    lazy = ivf_topk(emb, query_max_id=4, k=3, stage=False).collect()
+    assert staged == lazy and len(staged) > 0
