@@ -135,6 +135,12 @@ def winnow_pairs(
         .select("fp")
     )
     pruned = fps.join(rare, "fp")
+    if persist_fps:
+        # pruned is BOTH sides of the self-join: without the cache the
+        # df-prune join (and the rare aggregate above it) re-runs once
+        # per side per action.  Strictly smaller than fps — same
+        # caller-releases contract.
+        pruned = pruned.persist()
     a = pruned.select(
         F.col("fp"), F.col("doc_id").alias("doc_a")
     )

@@ -207,3 +207,19 @@ class TestTfidfTopTerms:
         )
         want = sorted(map(tuple, con.execute(tfidf_oracle_sql(3)).fetchall()))
         assert got == want
+
+
+def test_unpersisted_form_matches(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+            (2, "alpha beta gamma delta epsilon zeta eta theta " * 3 + "x"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    cached = winnow_pairs(docs, k=5, w=4, min_shared=2).collect()
+    lazy = winnow_pairs(
+        docs, k=5, w=4, min_shared=2, persist_fps=False
+    ).collect()
+    assert cached == lazy and len(cached) > 0
