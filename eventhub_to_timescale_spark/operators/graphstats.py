@@ -72,7 +72,18 @@ def graph_triangle_stats(
         .distinct()
     )
     if persist_graph:
-        edges = edges.persist()
+        # stage boundary rather than persist (r16, same rationale as
+        # near_dedup_components over the SAME upstream): a lazy persist
+        # keeps the full pair-generation subplan (e.g. the MinHash
+        # banding join) in the logical plan of every consumer, so
+        # Catalyst re-analyzes a thousand-line tree per action even
+        # though execution reads cache.  The boundary leaf cuts both
+        # the re-planning and the in-plan subtree replication.
+        from eventhub_to_timescale_spark.operators.boundary import (
+            stage_boundary,
+        )
+
+        edges = stage_boundary(edges)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
